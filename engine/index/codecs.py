@@ -1,0 +1,246 @@
+"""Posting-list compression codecs (SURVEY.md §2.3-F3/F4/F5).
+
+Delta-encoded, varint/PForDelta-compressed posting lists (BASELINE.json:6).
+All hot loops are NumPy-vectorised; no per-value Python in encode or decode.
+
+Block format (one term = a sequence of fixed-size blocks of BLOCK_SIZE docs,
+last block ragged). Per block, three integer streams are packed:
+
+    gaps[i]  = doc_key[i] - doc_key[i-1]   (gaps[0] = doc_key[0] - base)
+    tfm1[i]  = tf[i] - 1                   (tf >= 1 always)
+    dl[i]    = document length of doc i    (scoring is segment-local; see
+                                            SURVEY §2.4-A1 — no docmap lookup
+                                            in the hot path)
+
+Each stream is PForDelta-compressed: a frame width ``b`` covers most values;
+values needing more bits are *patched* — their low ``b`` bits stay in the
+frame, the exceptions' positions and high bits are varint-appended. The width
+is chosen per stream to minimise encoded size. A stream whose values are all
+equal (common for tf=1 runs) packs to width 0 + no exceptions = header only.
+
+Wire layout per block:
+    u8  n_minus_1        (number of docs in block - 1; 1..=BLOCK_SIZE)
+    for each of the 3 streams:
+        u8  width        (0..=64)
+        u16 n_exceptions
+        ceil(n*width/8) bytes of little-endian bit-packed low bits
+        varint positions (delta-encoded) then varint high bits for exceptions
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128) — vectorised
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorised: loops over byte slots (<=10),
+    not over values."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    shifted = v.copy()
+    max_len = int(nbytes.max())
+    for slot in range(max_len):
+        active = nbytes > slot
+        pos = starts[active] + slot
+        byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[active] - 1 > slot).astype(np.uint8) << 7
+        out[pos] = byte | cont
+        shifted[active] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode ``n`` LEB128 values starting at ``offset``. Returns (values,
+    next_offset). Vectorised over terminator positions."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+    is_term = raw < 0x80
+    term_pos = np.nonzero(is_term)[0]
+    if term_pos.size < n:
+        raise ValueError("varint stream truncated")
+    ends = term_pos[:n]  # inclusive end byte of each value
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for slot in range(max_len):
+        active = lengths > slot
+        b = raw[starts[active] + slot].astype(np.uint64) & np.uint64(0x7F)
+        vals[active] |= b << np.uint64(7 * slot)
+    return vals, offset + int(ends[n - 1]) + 1
+
+
+# ---------------------------------------------------------------------------
+# fixed-width bit packing — vectorised via unpackbits/packbits
+# ---------------------------------------------------------------------------
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values into ``width`` bits each, little-endian bit order."""
+    if width == 0 or values.size == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint64)
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes | memoryview, n: int, width: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64), offset
+    nbytes = (n * width + 7) // 8
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=offset)[:nbytes]
+    bits = np.unpackbits(raw, count=n * width, bitorder="little").reshape(n, width)
+    vals = (bits.astype(np.uint64) << np.arange(width, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    return vals, offset + nbytes
+
+
+# ---------------------------------------------------------------------------
+# PForDelta stream codec
+# ---------------------------------------------------------------------------
+
+def _bit_width(x: np.ndarray) -> np.ndarray:
+    """bits needed per value (0 for value 0)."""
+    w = np.zeros(x.size, dtype=np.int64)
+    tmp = np.asarray(x, dtype=np.uint64).copy()
+    while tmp.any():
+        nz = tmp > 0
+        w[nz] += 1
+        tmp >>= np.uint64(1)
+    return w
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Patched frame-of-reference encode of one stream (<= 2^16 values)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    widths = _bit_width(v)
+    max_w = int(widths.max()) if n else 0
+    # choose frame width minimising frame + exception cost
+    best_b, best_cost = max_w, n * max_w
+    hist = np.bincount(widths, minlength=max_w + 1)
+    n_above = n - np.cumsum(hist)  # n_above[b] = #values needing > b bits
+    for b in range(max_w + 1):
+        exc = int(n_above[b]) if b < len(n_above) else 0
+        cost = n * b + exc * 16  # ~2 bytes/exception (pos delta + high bits)
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    b = best_b
+    mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
+    low = v & mask if b else np.zeros(n, dtype=np.uint64)
+    exc_idx = np.nonzero(widths > b)[0]
+    header = bytes([b]) + int(exc_idx.size).to_bytes(2, "little")
+    frame = pack_bits(low, b)
+    if exc_idx.size:
+        pos_delta = np.diff(exc_idx, prepend=0).astype(np.uint64)
+        high = v[exc_idx] >> np.uint64(b)
+        exc_bytes = varint_encode(pos_delta) + varint_encode(high)
+    else:
+        exc_bytes = b""
+    return header + frame + exc_bytes
+
+
+def pfor_decode(buf: bytes | memoryview, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    mv = memoryview(buf)
+    b = mv[offset]
+    n_exc = int.from_bytes(mv[offset + 1 : offset + 3], "little")
+    offset += 3
+    vals, offset = unpack_bits(mv, n, b, offset)
+    if n_exc:
+        pos_delta, offset = varint_decode(mv, n_exc, offset)
+        high, offset = varint_decode(mv, n_exc, offset)
+        pos = np.cumsum(pos_delta.astype(np.int64))
+        vals[pos] |= high << np.uint64(b)
+    return vals, offset
+
+
+# ---------------------------------------------------------------------------
+# posting blocks: (doc_keys, tfs, dls) <-> bytes
+# ---------------------------------------------------------------------------
+
+def encode_block(doc_keys: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int) -> bytes:
+    """Encode one block of <= BLOCK_SIZE postings. ``doc_keys`` must be
+    strictly increasing; ``base`` is the previous block's last doc_key (or
+    the term's base for the first block)."""
+    n = doc_keys.size
+    assert 1 <= n <= BLOCK_SIZE
+    gaps = np.diff(np.asarray(doc_keys, dtype=np.int64), prepend=base).astype(np.uint64)
+    body = (
+        pfor_encode(gaps)
+        + pfor_encode(np.asarray(tfs, dtype=np.uint64) - np.uint64(1))
+        + pfor_encode(np.asarray(dls, dtype=np.uint64))
+    )
+    return bytes([n - 1]) + body
+
+
+def decode_block(buf: bytes | memoryview, base: int, offset: int = 0):
+    """Returns (doc_keys:int64, tfs:int32, dls:int32, next_offset)."""
+    mv = memoryview(buf)
+    n = mv[offset] + 1
+    offset += 1
+    gaps, offset = pfor_decode(mv, n, offset)
+    tfm1, offset = pfor_decode(mv, n, offset)
+    dls, offset = pfor_decode(mv, n, offset)
+    doc_keys = np.cumsum(gaps.astype(np.int64)) + base
+    return doc_keys, (tfm1 + np.uint64(1)).astype(np.int32), dls.astype(np.int32), offset
+
+
+def encode_posting_list(doc_keys: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int = -1):
+    """Full term encode → (bytes, skip rows). Skip row per block:
+    (block_idx, last_doc_key, rel_offset, nbytes, n_docs, max_tf, min_dl)."""
+    out = []
+    skips = []
+    off = 0
+    prev = base
+    n = doc_keys.size
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        blk = encode_block(doc_keys[s:e], tfs[s:e], dls[s:e], prev)
+        skips.append(
+            (
+                s // BLOCK_SIZE,
+                int(doc_keys[e - 1]),
+                off,
+                len(blk),
+                e - s,
+                int(tfs[s:e].max()),
+                int(dls[s:e].min()),
+            )
+        )
+        out.append(blk)
+        off += len(blk)
+        prev = int(doc_keys[e - 1])
+    return b"".join(out), skips
+
+
+def decode_posting_list(buf: bytes | memoryview, n_docs: int, base: int = -1):
+    """Decode a whole term's posting list."""
+    keys, tfs, dls = [], [], []
+    offset = 0
+    prev = base
+    remaining = n_docs
+    while remaining > 0:
+        k, t, d, offset = decode_block(buf, prev, offset)
+        keys.append(k)
+        tfs.append(t)
+        dls.append(d)
+        prev = int(k[-1])
+        remaining -= k.size
+    return np.concatenate(keys), np.concatenate(tfs), np.concatenate(dls)

@@ -1,0 +1,107 @@
+"""Unit + property tests for the posting codecs (SURVEY.md §5.1-5.2)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.index import codecs
+
+
+class TestVarint:
+    def test_roundtrip_edges(self):
+        vals = np.array([0, 1, 127, 128, 255, 16383, 16384, 2**32, 2**63, 2**64 - 1], dtype=np.uint64)
+        buf = codecs.varint_encode(vals)
+        out, off = codecs.varint_decode(buf, len(vals))
+        assert off == len(buf)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_empty(self):
+        assert codecs.varint_encode(np.array([], dtype=np.uint64)) == b""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_property(self, xs):
+        vals = np.array(xs, dtype=np.uint64)
+        out, _ = codecs.varint_decode(codecs.varint_encode(vals), len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+class TestPackBits:
+    @given(
+        st.integers(min_value=0, max_value=64),
+        st.integers(min_value=0, max_value=200),
+        st.integers(min_value=0, max_value=2**32),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, width, n, seed):
+        rng = np.random.default_rng(seed)
+        hi = (1 << width) - 1 if width else 0
+        vals = rng.integers(0, hi + 1, size=n, dtype=np.uint64) if hi else np.zeros(n, dtype=np.uint64)
+        buf = codecs.pack_bits(vals, width)
+        out, _ = codecs.unpack_bits(buf, n, width)
+        np.testing.assert_array_equal(out, vals)
+
+
+class TestPFor:
+    def test_all_equal_packs_tiny(self):
+        vals = np.ones(128, dtype=np.uint64)
+        buf = codecs.pfor_encode(vals)
+        assert len(buf) <= 3 + 16 + 4  # header + 1-bit frame
+        out, _ = codecs.pfor_decode(buf, 128)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_exceptions_patched(self):
+        vals = np.ones(128, dtype=np.uint64)
+        vals[7] = 2**40
+        vals[100] = 2**33
+        buf = codecs.pfor_encode(vals)
+        out, _ = codecs.pfor_decode(buf, 128)
+        np.testing.assert_array_equal(out, vals)
+        # frame width should stay tiny despite outliers
+        assert buf[0] <= 2
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=256), st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_property(self, xs, data):
+        vals = np.array(xs, dtype=np.uint64)
+        buf = codecs.pfor_encode(vals)
+        out, off = codecs.pfor_decode(buf, len(vals))
+        assert off == len(buf)
+        np.testing.assert_array_equal(out, vals)
+
+
+class TestPostingList:
+    @given(st.integers(min_value=1, max_value=1000), st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, n, seed):
+        rng = np.random.default_rng(seed)
+        doc_keys = np.cumsum(rng.integers(1, 10_000, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 50, size=n).astype(np.int32)
+        dls = rng.integers(1, 3000, size=n).astype(np.int32)
+        buf, skips = codecs.encode_posting_list(doc_keys, tfs, dls)
+        k, t, d = codecs.decode_posting_list(buf, n)
+        np.testing.assert_array_equal(k, doc_keys)
+        np.testing.assert_array_equal(t, tfs)
+        np.testing.assert_array_equal(d, dls)
+        # skip metadata is sound
+        assert len(skips) == (n + codecs.BLOCK_SIZE - 1) // codecs.BLOCK_SIZE
+        assert skips[-1][1] == doc_keys[-1]
+        assert sum(s[4] for s in skips) == n
+        assert sum(s[3] for s in skips) == len(buf)
+
+    def test_block_level_decode_with_skips(self):
+        n = 500
+        rng = np.random.default_rng(0)
+        doc_keys = np.cumsum(rng.integers(1, 100, size=n)).astype(np.int64)
+        tfs = np.ones(n, dtype=np.int32)
+        dls = np.full(n, 7, dtype=np.int32)
+        buf, skips = codecs.encode_posting_list(doc_keys, tfs, dls)
+        # decode only block 2 using its skip entry
+        blk = 2
+        _, last_doc, off, nbytes, ndocs, max_tf, min_dl = skips[blk]
+        prev_last = skips[blk - 1][1]
+        k, t, d, _ = codecs.decode_block(buf, prev_last, off)
+        np.testing.assert_array_equal(k, doc_keys[blk * 128 : blk * 128 + ndocs])
+        assert k[-1] == last_doc
+        assert max_tf == 1 and min_dl == 7
