@@ -1,0 +1,166 @@
+"""Index build orchestration — entry point E1 (SURVEY.md §3-E1).
+
+    build_index(source, index_dir)
+        source: ray.data.Dataset of T1 transcripts, OR a list/str of parquet
+                paths (path sources get fragment-level lineage → resume).
+
+Pipeline (all streaming, no full materialisation):
+
+  pass A (cheap, column-pruned to conv_id/turn_idx — never touches text):
+      read → DocMapRows → write_parquet(docmap/build-<id>/)
+      n_docs comes from the written parquet footers.
+  pass B (the tokenise pass, runs exactly once over text):
+      read → EmitTriples (actor pool; analyzer + hash cache per actor)
+           → repartition(keys=["term_shard"])            ← THE all-to-all
+           → AssembleSegments (whole blocks; writes segments, returns metrics)
+  commit: manifest.add_build(segments, n_docs, sum_dl=Σcf) atomically.
+
+avgdl = Σcf / n_docs — exact, with no doc-length shuffle and no second
+tokenise pass (Σcf over segment dicts ≡ total token count).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow.parquet as pq
+
+from engine.core.partitioning import DEFAULT_NUM_SHARDS, SaltMap
+from engine.index.triples import EmitTriples, docmap_rows
+from engine.index.postings import AssembleSegments
+from engine.io.manifest import Manifest
+
+
+def _default_concurrency():
+    """Autoscaling actor-pool bounds from the current cluster size."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus))
+
+
+def _as_dataset(source, columns: list[str] | None = None):
+    import ray.data as rd
+
+    if isinstance(source, (str, list)):
+        return rd.read_parquet(source, columns=columns), _fragment_list(source)
+    if columns:
+        return source.select_columns(columns), None
+    return source, None
+
+
+def _fragment_list(source) -> list[str]:
+    paths = [source] if isinstance(source, str) else list(source)
+    frags: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            frags.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            frags.append(p)
+    return frags
+
+
+def build_index(
+    source,
+    index_dir: str,
+    *,
+    num_shards: int = DEFAULT_NUM_SHARDS,
+    analyzer: str = "default",
+    salt_map: SaltMap | None = None,
+    build_id: str | None = None,
+    concurrency=None,
+    triple_batch_size: int = 8192,
+    resume: bool = True,
+) -> Manifest:
+    manifest = Manifest(index_dir)
+    if manifest.data["num_base_shards"] is None:
+        manifest.data["num_base_shards"] = num_shards
+        manifest.data["analyzer"] = analyzer
+        manifest.data["salt_map"] = (salt_map or SaltMap(num_shards)).to_json()
+    else:
+        num_shards = manifest.data["num_base_shards"]
+        analyzer = manifest.data["analyzer"]
+    salt = SaltMap.from_json(manifest.data["salt_map"]) if manifest.data["salt_map"] else SaltMap(num_shards)
+    if salt_map is not None:
+        salt = salt_map
+        manifest.data["salt_map"] = salt.to_json()
+
+    build_id = build_id or uuid.uuid4().hex[:8]
+    lineage: dict = {}
+    if isinstance(source, (str, list)):
+        frags = _fragment_list(source)
+        if resume:
+            frags = manifest.pending_fragments(frags)
+        if not frags:
+            return manifest  # everything already indexed
+        lineage = {"fragments": frags}
+        source = frags
+
+    segments_dir = os.path.join(index_dir, "segments")
+    docmap_dir = os.path.join(index_dir, "docmap", f"build-{build_id}")
+    os.makedirs(segments_dir, exist_ok=True)
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(None if isinstance(source, (str, list)) else source)
+    if concurrency is None:
+        concurrency = _default_concurrency()
+
+    # -- pass A: docmap (no text column read) -------------------------------
+    ds_a, _ = _as_dataset(source, columns=["conv_id", "turn_idx"])
+    ds_a.map_batches(docmap_rows, batch_format="pyarrow", zero_copy_batch=True
+                     ).write_parquet(docmap_dir)
+    n_docs = sum(
+        pq.read_metadata(os.path.join(docmap_dir, f)).num_rows
+        for f in os.listdir(docmap_dir)
+        if f.endswith(".parquet")
+    )
+
+    # -- pass B: triples → shuffle → segments -------------------------------
+    ds_b, _ = _as_dataset(source, columns=["conv_id", "turn_idx", "text"])
+    triples = ds_b.map_batches(
+        EmitTriples,
+        fn_constructor_kwargs={
+            "num_shards": num_shards,
+            "analyzer": analyzer,
+            "salt_map": salt.to_json(),
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=triple_batch_size,
+        concurrency=concurrency,
+    )
+    shuffled = triples.repartition(num_blocks=salt.num_total_shards, keys=["term_shard"])
+    metrics_ds = shuffled.map_batches(
+        AssembleSegments,
+        fn_constructor_kwargs={
+            "segments_dir": segments_dir,
+            "build_id": build_id,
+            "lineage": lineage,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    metrics = metrics_ds.to_pandas()  # one row per segment — small
+
+    segments = [
+        {
+            "name": r.segment,
+            "shard": int(r.shard),
+            "tier": 0,
+            "n_terms": int(r.n_terms),
+            "n_postings": int(r.n_postings),
+            "sum_cf": int(r.sum_cf),
+            "bytes_compressed": int(r.bytes_compressed),
+        }
+        for r in metrics.itertuples()
+    ]
+    sum_dl = int(metrics["sum_cf"].sum()) if len(metrics) else 0
+    manifest.add_build(build_id, segments, n_docs=n_docs, sum_dl=sum_dl, lineage=lineage)
+    manifest.commit()
+    return manifest

@@ -1,0 +1,79 @@
+"""Tokenize + emit (term, doc, tf, dl) triples — THE build hot path
+(SURVEY.md §2.2-M3, BASELINE.json:6 "emit (term, docID=conv_id:turn_idx, tf)
+triples").
+
+One ``map_batches`` stage does normalise+tokenize+count in a single pass over
+the text column (tokenisation is the dominant compute; it must happen exactly
+once). The per-batch combine means each (term, doc) pair leaves the task
+already counted — a flat per-token ``flat_map`` would emit ~40× more rows
+into the shuffle.
+
+Rows carry ``dl`` (document length) so BM25 scoring is fully segment-local:
+no doc-length lookup against a shuffled docmap at query time (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.core.dockey import doc_key_batch
+from engine.core.partitioning import SaltMap, TermHasher, assign_shards
+from engine.text.analyzer import get_analyzer
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("term", pa.large_string()),
+        ("term_shard", pa.int32()),
+        ("doc_key", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+    ]
+)
+
+
+class EmitTriples:
+    """Actor-pool stage: analyzer + term-hash cache held per actor
+    (setup once in __init__, per SURVEY.md §2.4)."""
+
+    def __init__(self, num_shards: int, analyzer: str = "default", salt_map: dict | None = None):
+        self.analyzer = get_analyzer(analyzer)
+        self.hasher = TermHasher()
+        self.salt = SaltMap.from_json(salt_map) if salt_map else SaltMap(num_shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_keys = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
+        flat, dl = self.analyzer.tokenize_batch(batch["text"])
+        if flat.size == 0:
+            return TRIPLES_SCHEMA.empty_table()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
+        uniq_terms, term_inv = np.unique(flat, return_inverse=True)
+        # count (doc, term) pairs without Python loops: composite key → unique
+        key = doc_idx * len(uniq_terms) + term_inv
+        uk, tf = np.unique(key, return_counts=True)
+        out_doc = (uk // len(uniq_terms)).astype(np.int64)
+        out_term = (uk % len(uniq_terms)).astype(np.int64)
+        shards = assign_shards(uniq_terms, out_term, doc_keys[out_doc], self.hasher, self.salt)
+        return pa.table(
+            {
+                "term": pa.array(uniq_terms[out_term], type=pa.large_string()),
+                "term_shard": pa.array(shards, type=pa.int32()),
+                "doc_key": pa.array(doc_keys[out_doc], type=pa.int64()),
+                "tf": pa.array(tf.astype(np.int32), type=pa.int32()),
+                "dl": pa.array(dl[out_doc].astype(np.int32), type=pa.int32()),
+            }
+        )
+
+
+def docmap_rows(batch: pa.Table) -> pa.Table:
+    """Cheap stateless pass (NO tokenisation — column-pruned to
+    conv_id/turn_idx): docmap rows (doc_key, conv_id, turn_idx)."""
+    doc_keys = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
+    return pa.table(
+        {
+            "doc_key": pa.array(doc_keys, type=pa.int64()),
+            "conv_id": batch["conv_id"].cast(pa.string()) if batch["conv_id"].type != pa.string() else batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+        }
+    )

@@ -1,0 +1,69 @@
+"""Atomic segment writes (SURVEY.md §2.1-S4).
+
+A segment is the immutable persisted index unit: one term-shard's posting
+lists from one build (or one tiered merge). Layout per segment directory:
+
+    dict.parquet   — term, df, cf, n_blocks, offset, nbytes, max_tf
+    skips.parquet  — per 128-doc block: last_doc_key, offset, nbytes, n_docs,
+                     block_max_tf, block_min_dl  (Block-Max WAND metadata)
+    postings.bin   — concatenated PForDelta-compressed blocks (codecs.py)
+    meta.json      — lineage + build metrics (terms/sec, postings/sec,
+                     bytes compressed — BASELINE.json:6)
+
+Write protocol (idempotent under Ray task retries, SURVEY.md §7 hard part 3):
+write into ``<name>.tmp-<pid>``, fsync files, atomic ``os.replace`` to the
+final name. Names are content-derived, so a retried task re-creates the same
+name with the same bytes — the replace is a harmless overwrite; two tasks
+never produce the same name with different content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def segment_name(build_id: str, shard: int, dict_table: pa.Table, n_postings: int) -> str:
+    h = hashlib.blake2b(digest_size=4)
+    h.update(build_id.encode())
+    h.update(shard.to_bytes(4, "little"))
+    h.update(dict_table.num_rows.to_bytes(8, "little"))
+    h.update(int(n_postings).to_bytes(8, "little"))
+    if dict_table.num_rows:
+        h.update(str(dict_table["term"][0].as_py()).encode())
+        h.update(str(dict_table["term"][-1].as_py()).encode())
+    return f"seg-{build_id}-s{shard:05d}-{h.hexdigest()}"
+
+
+def write_segment(
+    segments_dir: str,
+    name: str,
+    dict_table: pa.Table,
+    skips_table: pa.Table,
+    postings: bytes,
+    meta: dict,
+) -> str:
+    final = os.path.join(segments_dir, name)
+    tmp = f"{final}.tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(dict_table, os.path.join(tmp, "dict.parquet"))
+    pq.write_table(skips_table, os.path.join(tmp, "skips.parquet"))
+    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+        f.write(postings)
+        f.flush()
+        os.fsync(f.fileno())
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    if os.path.exists(final):
+        shutil.rmtree(final)  # identical content by construction
+    os.replace(tmp, final)
+    return final

@@ -1,0 +1,183 @@
+"""Query execution — entry point E2 (SURVEY.md §3-E2).
+
+``SegmentServer`` is the stateful actor-pool stage (BASELINE.json:6
+"stateful actor-pool segment servers"): segments are opened lazily and
+mmapped ONCE per actor; the QUERY SET is partitioned across the pool, so one
+actor scores a query completely (all its term shards) and exactly.
+
+Why queries — not term shards — partition across the pool: BM25 scores sum
+per-doc contributions across query terms, and terms of one query hash to
+different shards. Per-shard *top-k* heaps therefore cannot be merged
+rank-exactly for multi-shard queries (a doc ranked k+1 in two shards can be
+global top-1). Scoring each query doc-completely inside one actor keeps
+rank-identity to the oracle unconditional (BASELINE.json:14); heap merging
+across partial results remains exact for the doc-disjoint case and is used
+by the doc-bucketed scale path (engine/query/bucketed.py).
+
+Determinism: contributions accumulate in sorted-term order (stable
+sort + reduceat), bit-identical to the oracle's accumulation order
+(SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.core.partitioning import SaltMap
+from engine.index.segment import Segment
+from engine.io.manifest import Manifest
+from engine.oracle.bm25 import idf as bm25_idf
+from engine.oracle.bm25 import tf_sat
+from engine.query.topk import topk_postings
+from engine.text.analyzer import get_analyzer
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("qid", pa.int64()),
+        ("rank", pa.int32()),
+        ("doc_key", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class SegmentServer:
+    """map_batches callable-class over a queries Dataset (qid, text)."""
+
+    def __init__(self, index_dir: str, k: int = 10, shards: list[int] | None = None,
+                 mode: str = "exhaustive"):
+        import os
+
+        self.manifest = Manifest(index_dir)
+        self.k = k
+        self.mode = mode
+        st = self.manifest.stats
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+        self.analyzer = get_analyzer(self.manifest.data["analyzer"])
+        sm = self.manifest.data.get("salt_map")
+        self.salt = SaltMap.from_json(sm) if sm else SaltMap(self.manifest.data["num_base_shards"])
+        self._by_shard: dict[int, list[str]] = {}
+        seg_root = os.path.join(index_dir, "segments")
+        shard_filter = set(shards) if shards is not None else None
+        for s in self.manifest.live_segments():
+            if shard_filter is not None and s["shard"] not in shard_filter:
+                continue
+            self._by_shard.setdefault(s["shard"], []).append(
+                os.path.join(seg_root, s["name"])
+            )
+        for paths in self._by_shard.values():
+            paths.sort()  # deterministic contribution order within a term
+        self._open: dict[str, Segment] = {}
+
+    def _segment(self, path: str) -> Segment:
+        seg = self._open.get(path)
+        if seg is None:
+            seg = Segment(path)
+            self._open[path] = seg
+        return seg
+
+    def _term_hits(self, term: str):
+        """All (segment, dict_idx) holding ``term``, and the GLOBAL df
+        (summed across tiers/segments — SURVEY.md §2.6-G2)."""
+        hits = []
+        df = 0
+        for shard in self.salt.shards_for_term(term):
+            for path in self._by_shard.get(shard, ()):
+                seg = self._segment(path)
+                idx = seg.lookup(term)
+                if idx >= 0:
+                    hits.append((seg, idx))
+                    df += int(seg.df[idx])
+        return hits, df
+
+    # ------------------------------------------------------------------
+    def score_query(self, text: str):
+        """Exhaustive scoring → (doc_keys, scores) for every matching doc.
+
+        Accumulation replicates the oracle's op sequence exactly — per term
+        (sorted), ``scores[pos] += w`` over a sorted candidate array — so
+        engine and oracle sums are BIT-identical, not merely close
+        (SURVEY.md §7 hard part 1; np.add.reduceat would differ in the last
+        ulp because its SIMD accumulation order differs from sequential +=).
+        """
+        terms = sorted(set(self.analyzer.tokens(text)))
+        parts = []  # (term_order, doc_keys, weights) per (term, segment)
+        for t in terms:
+            hits, df = self._term_hits(t)
+            if not hits:
+                continue
+            w_idf = float(bm25_idf(self.n_docs, df))
+            for seg, idx in hits:
+                dk, tf, dl = seg.read_postings(idx)
+                parts.append((dk, w_idf * tf_sat(tf, dl, self.avgdl)))
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        candidates = np.unique(np.concatenate([p[0] for p in parts]))
+        scores = np.zeros(candidates.size, dtype=np.float64)
+        for dk, w in parts:
+            scores[np.searchsorted(candidates, dk)] += w
+        return candidates, scores
+
+    def topk(self, text: str, k: int | None = None):
+        if self.mode == "wand":
+            from engine.query.wand import wand_topk
+
+            return wand_topk(self, text, k or self.k)
+        dk, sc = self.score_query(text)
+        return topk_postings(dk, sc, k or self.k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_qid, out_rank, out_key, out_score = [], [], [], []
+        for qid, text in zip(qids, texts):
+            dk, sc = self.topk(text)
+            n = len(dk)
+            out_qid.append(np.full(n, qid, dtype=np.int64))
+            out_rank.append(np.arange(1, n + 1, dtype=np.int32))
+            out_key.append(dk)
+            out_score.append(sc)
+        if not out_qid:
+            return PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "qid": np.concatenate(out_qid),
+                "rank": np.concatenate(out_rank).astype(np.int32),
+                "doc_key": np.concatenate(out_key),
+                "score": np.concatenate(out_score),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+
+def query_index(
+    index_dir: str,
+    queries,
+    *,
+    k: int = 10,
+    mode: str = "exhaustive",
+    concurrency=(1, 8),
+    batch_size: int = 256,
+    hydrate: bool = True,
+):
+    """queries: Dataset(qid, text) or list[(qid, text)] → results Dataset
+    (qid, rank, doc_id?, doc_key, score) sorted by (qid, rank)."""
+    import ray.data as rd
+
+    if not hasattr(queries, "map_batches"):
+        queries = rd.from_items([{"qid": int(q), "text": t} for q, t in queries])
+    partials = queries.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if hydrate:
+        from engine.query.hydrate import hydrate_results
+
+        partials = hydrate_results(index_dir, partials)
+    return partials.sort(["qid", "rank"])

@@ -1,0 +1,129 @@
+"""End-to-end: Ray build → segment query == pure-NumPy oracle, rank-identical
+(SURVEY.md §5.3; BASELINE.json:14). The invariant gate for everything."""
+
+import numpy as np
+import pytest
+
+from engine.core.dockey import doc_key_batch
+from engine.index.build import build_index
+from engine.io.synth import synth_transcripts_table
+from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+from engine.query.engine import SegmentServer, query_index
+
+N_CONVS = 60
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = synth_transcripts_table(N_CONVS, seed=SEED)
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    return t, keys
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    t, keys = corpus
+    return BM25Oracle(list(keys), t["text"].to_pylist())
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, corpus, ray_session):
+    import ray.data as rd
+
+    t, _ = corpus
+    d = str(tmp_path_factory.mktemp("idx"))
+    ds = rd.from_arrow(t)
+    m = build_index(ds, d, num_shards=8, build_id="t1")
+    assert m.stats["n_docs"] == t.num_rows
+    return d
+
+
+class TestBuild:
+    def test_stats_match_oracle(self, index_dir, oracle):
+        from engine.io.manifest import Manifest
+
+        m = Manifest(index_dir)
+        assert m.stats["n_docs"] == oracle.n_docs
+        assert abs(m.stats["avgdl"] - oracle.avgdl) < 1e-9
+
+    def test_df_cf_match_oracle(self, index_dir, oracle):
+        srv = SegmentServer(index_dir, k=10)
+        for term in ["kona", "rokona", "notaterm_xyz"]:
+            hits, df = srv._term_hits(term)
+            want = len(oracle.postings.get(term, ([], []))[0])
+            assert df == want, term
+
+    def test_postings_roundtrip_vs_oracle(self, index_dir, oracle):
+        srv = SegmentServer(index_dir, k=10)
+        # check a handful of terms end-to-end through the compressed format
+        terms = sorted(oracle.postings)[::37]
+        for t in terms:
+            hits, df = srv._term_hits(t)
+            got_keys, got_tf = [], []
+            for seg, idx in hits:
+                dk, tf, dl = seg.read_postings(idx)
+                got_keys.append(dk)
+                got_tf.append(tf)
+                # dl in the posting equals oracle's dl for those docs
+                pos = np.searchsorted(oracle.doc_keys, dk)
+                np.testing.assert_array_equal(oracle.dl[pos], dl)
+            got_keys = np.concatenate(got_keys)
+            order = np.argsort(got_keys)
+            odk, otf = oracle.postings[t]
+            np.testing.assert_array_equal(np.sort(got_keys), oracle.doc_keys[odk])
+            np.testing.assert_array_equal(np.concatenate(got_tf)[order], otf)
+
+
+class TestRankIdentity:
+    @pytest.mark.parametrize("k", [10, 100])
+    def test_topk_rank_identical(self, index_dir, oracle, k):
+        srv = SegmentServer(index_dir, k=k)
+        for qid, qtext in seeded_query_set(40, seed=7):
+            want_keys, want_scores = oracle.topk(qtext, k)
+            got_keys, got_scores = srv.topk(qtext, k)
+            np.testing.assert_array_equal(got_keys, want_keys, err_msg=f"q{qid}: {qtext}")
+            np.testing.assert_allclose(got_scores, want_scores, rtol=0, atol=1e-6)
+
+    def test_scores_bit_identical(self, index_dir, oracle):
+        """Fixed summation order → engine == oracle exactly, not just 1e-6."""
+        srv = SegmentServer(index_dir, k=10)
+        for qid, qtext in seeded_query_set(10, seed=11):
+            want_keys, want_scores = oracle.topk(qtext, 10)
+            got_keys, got_scores = srv.topk(qtext, 10)
+            np.testing.assert_array_equal(got_scores, want_scores)
+
+
+class TestDistributedQuery:
+    def test_query_pipeline(self, index_dir, oracle, corpus, ray_session):
+        t, keys = corpus
+        queries = seeded_query_set(12, seed=5)
+        res = query_index(index_dir, queries, k=10, concurrency=2).to_pandas()
+        assert set(res.columns) >= {"qid", "rank", "doc_key", "score", "doc_id"}
+        # doc_id hydration correct: matches conv:turn of the doc_key
+        id_map = {
+            int(k): f"{c}:{x}"
+            for k, c, x in zip(keys, t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+        }
+        for r in res.itertuples():
+            assert id_map[int(r.doc_key)] == r.doc_id
+        # every query rank-identical to oracle
+        for qid, qtext in queries:
+            sub = res[res.qid == qid].sort_values("rank")
+            want_keys, want_scores = oracle.topk(qtext, 10)
+            np.testing.assert_array_equal(sub["doc_key"].to_numpy(), want_keys)
+            np.testing.assert_allclose(sub["score"].to_numpy(), want_scores, atol=1e-9)
+
+    def test_parallelism_invariance(self, index_dir, oracle, ray_session, tmp_path):
+        """Same top-k regardless of build parallelism (SURVEY §5.2c)."""
+        import ray.data as rd
+
+        t = synth_transcripts_table(N_CONVS, seed=SEED)
+        d2 = str(tmp_path / "idx2")
+        build_index(rd.from_arrow(t).repartition(7), d2, num_shards=3, build_id="t2")
+        srv = SegmentServer(d2, k=10)
+        for qid, qtext in seeded_query_set(15, seed=13):
+            want_keys, want_scores = oracle.topk(qtext, 10)
+            got_keys, got_scores = srv.topk(qtext, 10)
+            np.testing.assert_array_equal(got_keys, want_keys)
+            np.testing.assert_array_equal(got_scores, want_scores)
