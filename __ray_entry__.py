@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
+sf_dir parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible entry (same column names, integer cent/micro units for
+order-sensitive float aggregates — see engine/pipelines.py docstring).
+Entries without SQL (LSH/SimHash/IVF/lang-id/transcript pipelines) get the
+driver's rows-only check and are oracle-tested in pytest instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+below calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,193 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror engine/text/analyzer.py exactly)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1)
+"""
+
+
+def _doc_queries_values() -> str:
+    from engine.pipelines import DOC_QUERIES
+
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text in DOC_QUERIES)
+    return f"(VALUES {rows})"
+
+
+def _bm25_sql(k: int) -> str:
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the documents BM25
+    index with the distributed engine, run the reference query set, and also
+    exercise the transcript corpus path."""
+    from engine.pipelines import ft_bm25_topk, tr_bm25_topk
+
+    _ = tr_bm25_topk("/root/testdata/sf0.001", k=10)
+    return ft_bm25_topk("/root/testdata/sf0.001", k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.ops import ann, dedup, relational, textstats
+    from engine import pipelines as P
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # full-text engine (documents corpus, real build+query path)
+        "ft_bm25_topk10": lambda sf: P.ft_bm25_topk(sf, k=10),
+        "ft_bm25_topk100": lambda sf: P.ft_bm25_topk(sf, k=100),
+        "ft_term_stats": P.ft_term_stats,
+        "ft_stats": P.ft_stats,
+        "ft_doc_stats": textstats.doc_stats,
+        # transcript pipelines (no SQL view for the synth corpus → rows-only)
+        "tr_bm25_topk10": lambda sf: P.tr_bm25_topk(sf, k=10),
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
+        "dedup_minhash_candidates": dedup.minhash_candidates,
+        "dedup_simhash_pairs": dedup.simhash_pairs,
+        # similarity search
+        "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
+        # text analysis
+        "ta_lang_id": textstats.lang_id,
+        # relational operator layer
+        "rel_pricing_summary": relational.q1_pricing_summary,
+        "rel_nation_revenue": relational.nation_revenue,
+        "rel_top_orders": relational.top_orders,
+        "ev_hourly": relational.events_hourly,
+        "ev_json_stats": relational.events_json_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ft_bm25_topk10": _bm25_sql(10),
+        "ft_bm25_topk100": _bm25_sql(100),
+        "ft_term_stats": f"""
+WITH {_TOK_CTE}
+SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf
+FROM tf GROUP BY 1 ORDER BY 1
+""",
+        "ft_stats": f"""
+WITH {_TOK_CTE}
+SELECT n_docs, (SELECT sum(dl) FROM dl)::BIGINT sum_dl, avgdl FROM stats
+""",
+        "ft_doc_stats": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT n_tokens,
+       len(list_distinct(toks))::BIGINT n_uniq_tokens,
+       len(list_filter(toks, x -> x IN ('a','the','of','and','to','in')))::BIGINT stop_count,
+       coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT sum_token_len,
+       md5(array_to_string(toks, ' ')) fingerprint
+FROM t ORDER BY doc_id
+""",
+        "dedup_exact": f"""
+WITH t AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) fingerprint FROM documents)
+SELECT min(doc_id)::BIGINT doc_id, count(*)::BIGINT dup_count
+FROM t GROUP BY fingerprint ORDER BY doc_id
+""",
+        "dedup_jaccard_pairs": f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) s FROM documents)
+SELECT doc_a, doc_b, jaccard_micro FROM (
+  SELECT a.doc_id doc_a, b.doc_id doc_b,
+         floor((len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5)::BIGINT jaccard_micro
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+) WHERE jaccard_micro >= 900000
+ORDER BY doc_a, doc_b
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+)
+SELECT qid, rank, vec_id, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
+  FROM sims
+) WHERE rank <= 10 ORDER BY qid, rank
+""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT sum_qty_cents,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT sum_price_cents,
+       sum(floor(l_discount * 100 + 0.5)::BIGINT)::BIGINT sum_disc_cents,
+       count(*)::BIGINT count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-09-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "rel_nation_revenue": """
+SELECT n_name,
+       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT revenue_cents,
+       count(*)::BIGINT n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+        "rel_top_orders": """
+SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5)::BIGINT price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 25
+""",
+        "ev_hourly": """
+SELECT epoch(date_trunc('hour', ts))::BIGINT hour_epoch, event_type,
+       count(*)::BIGINT n_events,
+       sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT sum_value_micro
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "ev_json_stats": """
+SELECT event_type, count(*)::BIGINT n,
+       sum((props::JSON ->> 'k')::BIGINT)::BIGINT sum_k,
+       max((props::JSON ->> 'k')::BIGINT)::BIGINT max_k
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    }

@@ -41,12 +41,23 @@ def _default_concurrency():
 
 
 def _as_dataset(source, columns: list[str] | None = None):
+    """Column-pruned Dataset view of the source; keeps an externally supplied
+    doc_key column when present (see triples.py)."""
     import ray.data as rd
 
     if isinstance(source, (str, list)):
-        return rd.read_parquet(source, columns=columns), _fragment_list(source)
+        frags = _fragment_list(source)
+        if columns is not None:
+            names = pq.read_schema(frags[0]).names
+            if "doc_key" in names and "doc_key" not in columns:
+                columns = columns + ["doc_key"]
+            columns = [c for c in columns if c in names]
+        return rd.read_parquet(source, columns=columns), frags
     if columns:
-        return source.select_columns(columns), None
+        names = source.schema().names
+        if "doc_key" in names and "doc_key" not in columns:
+            columns = columns + ["doc_key"]
+        return source.select_columns([c for c in columns if c in names]), None
     return source, None
 
 

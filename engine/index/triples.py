@@ -43,7 +43,12 @@ class EmitTriples:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        doc_keys = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
+        if "doc_key" in batch.column_names:
+            # caller supplied external int64 keys (e.g. documents.doc_id) —
+            # keeps engine tie-break (doc_key asc) == oracle tie-break
+            doc_keys = batch["doc_key"].to_numpy()
+        else:
+            doc_keys = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
         flat, dl = self.analyzer.tokenize_batch(batch["text"])
         if flat.size == 0:
             return TRIPLES_SCHEMA.empty_table()
@@ -69,11 +74,18 @@ class EmitTriples:
 def docmap_rows(batch: pa.Table) -> pa.Table:
     """Cheap stateless pass (NO tokenisation — column-pruned to
     conv_id/turn_idx): docmap rows (doc_key, conv_id, turn_idx)."""
-    doc_keys = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
-    return pa.table(
-        {
-            "doc_key": pa.array(doc_keys, type=pa.int64()),
-            "conv_id": batch["conv_id"].cast(pa.string()) if batch["conv_id"].type != pa.string() else batch["conv_id"],
-            "turn_idx": batch["turn_idx"],
-        }
-    )
+    import pyarrow.compute as pc
+
+    if "doc_key" in batch.column_names:
+        doc_keys = pa.array(batch["doc_key"].to_numpy(), type=pa.int64())
+    else:
+        doc_keys = pa.array(
+            doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy()), type=pa.int64()
+        )
+    if "conv_id" in batch.column_names:
+        conv = batch["conv_id"].cast(pa.string())
+        turn = batch["turn_idx"].cast(pa.int32())
+    else:  # plain keyed corpus (e.g. documents.doc_id): docID == str(doc_key)
+        conv = pc.cast(doc_keys, pa.string())
+        turn = pa.array(np.zeros(batch.num_rows, dtype=np.int32), type=pa.int32())
+    return pa.table({"doc_key": doc_keys, "conv_id": conv, "turn_idx": turn})

@@ -1,0 +1,232 @@
+"""Generic relational operator layer over the TPC-H-ish fixture tables —
+demonstrates the engine's scan/filter/project/aggregate/join/sort surface as
+Ray Data pipelines (SURVEY.md §5.5; exercised by the driver's DuckDB oracle).
+
+Float determinism policy for oracle-hash parity: money-like aggregates are
+summed as integer cents via ``floor(x*100 + 0.5)`` — the identical IEEE op
+sequence in NumPy and DuckDB — because summing doubles in engine-dependent
+order diverges in the last ulps and breaks value-hash comparison. Ratios are
+single divisions of exact integers (deterministic in both engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.core.context import ensure_hash_shuffle
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str, ship_before: str = "1997-09-01"):
+    """TPC-H Q1-flavoured: filter + groupby + multi-aggregate over lineitem.
+
+    Vectorised pre-aggregation inside map_batches (partial combine per batch)
+    → tiny final groupby — the sum shuffle moves ~|groups| rows per batch,
+    not 600k rows (SURVEY.md §4 'pre-aggregate inside map_batches')."""
+    cutoff = np.datetime64(ship_before, "us")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mask = batch["l_shipdate"].to_numpy() < cutoff
+        df = pd.DataFrame(
+            {
+                "l_returnflag": np.asarray(batch["l_returnflag"])[mask],
+                "l_linestatus": np.asarray(batch["l_linestatus"])[mask],
+                "qty_c": cents(batch["l_quantity"].to_numpy()[mask]),
+                "price_c": cents(batch["l_extendedprice"].to_numpy()[mask]),
+                "disc_c": cents(batch["l_discount"].to_numpy()[mask]),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("qty_c", "sum"),
+            sum_price_cents=("price_c", "sum"),
+            sum_disc_cents=("disc_c", "sum"),
+            count_order=("qty_c", "size"),
+        )
+        return g
+
+    ensure_hash_shuffle()
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    for c in ["sum_qty_cents", "sum_price_cents", "sum_disc_cents", "count_order"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def nation_revenue(sf_dir: str):
+    """Broadcast join (nation, tiny → ray.put) + hash join
+    (orders ⋈ customer via Dataset.join) + grouped sum (SURVEY.md §2.5-J1
+    pattern: small side broadcast, large sides shuffled on the key)."""
+    import ray
+
+    ensure_hash_shuffle()
+    nation = _read(sf_dir, "nation").to_pandas()  # 25 rows — broadcast
+    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nation_ref = ray.put(nation_map)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def orders_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "price_c": pa.array(cents(batch["o_totalprice"].to_numpy()), type=pa.int64()),
+            }
+        )
+
+    joined = orders.map_batches(orders_cents, batch_format="pyarrow", zero_copy_batch=True).join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def attach_nation(batch: pa.Table) -> pd.DataFrame:
+        nm = ray.get(nation_ref)
+        df = pd.DataFrame(
+            {
+                "n_name": [nm[k] for k in batch["c_nationkey"].to_numpy()],
+                "price_c": batch["price_c"].to_numpy(),
+            }
+        )
+        return df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("price_c", "sum"), n_orders=("price_c", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(attach_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def top_orders(sf_dir: str, k: int = 25):
+    """Global top-k by sort key with deterministic tie-break
+    (o_totalprice cents desc, o_orderkey asc)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "price_cents": pa.array(cents(batch["o_totalprice"].to_numpy()), type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort([("price_cents"), ("o_orderkey")], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (1h) per event_type over the events table
+    (streaming-shaped workload realised as bucket + groupby — SURVEY §2.9)."""
+    ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        # epoch seconds (int64) — timestamp representations hash differently
+        # across engines, epoch integers don't
+        hour_epoch = hour.cast(pa.int64()).to_numpy() // 1_000_000
+        df = pd.DataFrame(
+            {
+                "hour_epoch": hour_epoch,
+                "event_type": np.asarray(batch["event_type"]),
+                "value_micro": np.floor(batch["value"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+        return df.groupby(["hour_epoch", "event_type"], as_index=False).agg(
+            n_events=("value_micro", "size"), sum_value_micro=("value_micro", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
+        .groupby(["hour_epoch", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value_micro", alias_name="sum_value_micro"))
+        .to_pandas()
+        .sort_values(["hour_epoch", "event_type"])
+        .reset_index(drop=True)
+    )
+    out["hour_epoch"] = out["hour_epoch"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value_micro"] = out["sum_value_micro"].astype("int64")
+    return out
+
+
+def events_json_stats(sf_dir: str):
+    """JSON scalar-function demo (SURVEY §2.3-F8): parse props, aggregate k."""
+    import json
+
+    ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch["props"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        df = pd.DataFrame({"event_type": np.asarray(batch["event_type"]), "k": ks})
+        return df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ["n", "sum_k", "max_k"]:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1,0 +1,145 @@
+"""Text-analysis operators over document corpora (large-scale training-data
+pipeline ops): token stats, quality signals, fingerprinting, language-ID.
+All are single map_batches passes sharing the engine analyzer — no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from engine.text.analyzer import Analyzer
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+class DocStats:
+    """Per-doc token statistics + canonical fingerprint.
+
+    fingerprint = md5 of the normalised token stream joined by single
+    spaces — the canonical text identity used by exact dedup; matches
+    DuckDB's ``md5(array_to_string(tokens, ' '))`` byte-for-byte.
+    """
+
+    def __init__(self) -> None:
+        self.an = Analyzer()
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        n_uniq = np.zeros(n, dtype=np.int64)
+        stop_count = np.zeros(n, dtype=np.int64)
+        sum_token_len = np.zeros(n, dtype=np.int64)
+        fingerprints = []
+        for i, t in enumerate(texts):
+            toks = self.an.tokens(t or "")
+            n_tokens[i] = len(toks)
+            n_uniq[i] = len(set(toks))
+            stop_count[i] = sum(1 for x in toks if x in self.stop)
+            sum_token_len[i] = sum(len(x) for x in toks)
+            fingerprints.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_uniq_tokens": pa.array(n_uniq),
+                "stop_count": pa.array(stop_count),
+                "sum_token_len": pa.array(sum_token_len),
+                "fingerprint": pa.array(fingerprints, type=pa.string()),
+            }
+        )
+
+
+def doc_stats(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(DocStats, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class LangId:
+    """Character-trigram language-ID heuristic (actor-pool stage: profiles
+    built once per actor in __init__). The fixture corpus shares one
+    vocabulary across lang labels, so this demonstrates the op (profile
+    build, cosine over trigram counts) rather than real discrimination; no
+    SQL oracle (rows-only check)."""
+
+    def __init__(self, profiles: dict[str, dict[str, float]]):
+        self.profiles = {
+            lang: (list(p.keys()), np.array(list(p.values())))
+            for lang, p in profiles.items()
+        }
+
+    @staticmethod
+    def trigrams(text: str) -> dict[str, int]:
+        s = " " + "".join(c if c.isalnum() else " " for c in text.lower()) + " "
+        out: dict[str, int] = {}
+        for i in range(len(s) - 2):
+            g = s[i : i + 3]
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    @classmethod
+    def build_profiles(cls, texts_by_lang: dict[str, list[str]], top: int = 300):
+        profiles = {}
+        for lang, texts in texts_by_lang.items():
+            counts: dict[str, int] = {}
+            for t in texts:
+                for g, c in cls.trigrams(t).items():
+                    counts[g] = counts.get(g, 0) + c
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+            tot = sum(c for _, c in best) or 1
+            profiles[lang] = {g: c / tot for g, c in best}
+        return profiles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for text in batch["text"].to_pylist():
+            tg = self.trigrams(text or "")
+            norm = np.sqrt(sum(v * v for v in tg.values())) or 1.0
+            best_lang, best_sim = "und", -1.0
+            for lang, (grams, weights) in self.profiles.items():
+                dot = sum(tg.get(g, 0) * w for g, w in zip(grams, weights))
+                pnorm = np.sqrt((weights**2).sum()) or 1.0
+                sim = dot / (norm * pnorm)
+                if sim > best_sim:
+                    best_lang, best_sim = lang, sim
+            preds.append(best_lang)
+            confs.append(round(float(best_sim), 6))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, type=pa.string()),
+                "confidence": pa.array(confs, type=pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str, sample_per_lang: int = 20):
+    """Two-phase: small driver-side sample builds profiles (broadcast via
+    fn_constructor_kwargs), actor pool classifies the stream."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    sample = ds.limit(sample_per_lang * 10).to_pandas()
+    by_lang: dict[str, list[str]] = {}
+    for lang, text in zip(sample["lang"], sample["text"]):
+        by_lang.setdefault(lang, [])
+        if len(by_lang[lang]) < sample_per_lang:
+            by_lang[lang].append(text)
+    profiles = LangId.build_profiles(by_lang)
+    out = ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"profiles": profiles},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

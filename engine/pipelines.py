@@ -1,0 +1,140 @@
+"""Driver-facing named pipelines (the __ray_entry__.queries() surface).
+
+Each function takes ``sf_dir`` and returns a pandas DataFrame whose column
+names AND value representations match the paired DuckDB oracle SQL exactly
+(__ray_entry__.oracle_sql): integer aggregates (cents / micro units) where
+float summation order would diverge, and micro-unit BM25/cosine scores
+ranked (score desc, id asc) identically in both engines.
+
+The documents corpus doubles as a keyed transcript corpus: doc_key = doc_id
+(external-key hook in engine/index/triples.py), so tie-breaks match SQL's
+``doc_id`` ordering with no hydration step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from engine.index.build import build_index
+from engine.io.manifest import Manifest
+from engine.query.engine import SegmentServer
+
+# the fixed "reference query set" for the documents corpus — mirrored
+# literally in the oracle SQL; edit both together or not at all.
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join batch"),
+    (1, "window agg stream"),
+    (2, "customer order line value"),
+    (3, "spark vector"),
+    (4, "scan"),
+    (5, "slow query filter the"),
+    (6, "merge sort key"),
+    (7, "zzz nosuchterm"),
+]
+
+INDEX_ROOT = "/tmp/engine_indexes"
+
+
+def documents_corpus(sf_dir: str):
+    """documents table → keyed corpus (doc_key=doc_id, text)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def adapt(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_key": b["doc_id"].cast(pa.int64()), "text": b["text"]})
+
+    return ds.map_batches(adapt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def documents_index(sf_dir: str, num_shards: int = 8) -> str:
+    """Build (once per sf_dir per process tree) the documents BM25 index."""
+    key = hashlib.md5(f"{sf_dir}|{num_shards}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"docs-{key}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(documents_corpus(sf_dir), idx, num_shards=num_shards, build_id="docs")
+    return idx
+
+
+def ft_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Distributed BM25 top-k over documents for DOC_QUERIES.
+    Columns: qid, rank, doc_id, score_micro (all int64)."""
+    import ray.data as rd
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    res = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
+
+
+def ft_term_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (term, df, cf) read back from the segment dictionaries —
+    the index audits itself against SQL recomputation."""
+    import glob
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    idx = documents_index(sf_dir)
+    files = sorted(glob.glob(f"{idx}/segments/*/dict.parquet"))
+    out = (
+        rd.read_parquet(files, columns=["term", "df", "cf"])
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    return out.astype({"df": "int64", "cf": "int64"})
+
+
+def ft_stats(sf_dir: str) -> pd.DataFrame:
+    idx = documents_index(sf_dir)
+    st = Manifest(idx).stats
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([int(st["n_docs"])], dtype="int64"),
+            "sum_dl": pd.Series([int(st["sum_dl"])], dtype="int64"),
+            "avgdl": pd.Series([float(st["avgdl"])], dtype="float64"),
+        }
+    )
+
+
+# -- transcripts-corpus pipelines (no SQL view exists → rows-only checks) ----
+
+def transcripts_index(n_convs: int = 150, seed: int = 42) -> str:
+    from engine.io.synth import synth_transcripts
+
+    key = hashlib.md5(f"tr|{n_convs}|{seed}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"tr-{key}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(synth_transcripts(n_convs, seed=seed), idx, num_shards=8, build_id="tr")
+    return idx
+
+
+def tr_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Flagship transcript pipeline: synth corpus → build → BM25 top-k with
+    docID hydration (docID = conv_id:turn_idx)."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import query_index
+
+    idx = transcripts_index()
+    res = query_index(idx, seeded_query_set(20, seed=7), k=k, concurrency=2).to_pandas()
+    return res[["qid", "rank", "doc_id", "doc_key", "score"]].reset_index(drop=True)

@@ -14,9 +14,9 @@ rank-identity to the oracle unconditional (BASELINE.json:14); heap merging
 across partial results remains exact for the doc-disjoint case and is used
 by the doc-bucketed scale path (engine/query/bucketed.py).
 
-Determinism: contributions accumulate in sorted-term order (stable
-sort + reduceat), bit-identical to the oracle's accumulation order
-(SURVEY.md §7 hard part 1).
+Determinism: contributions accumulate in sorted-term order with the oracle's
+exact float op sequence (see score_query), so scores are bit-identical to the
+oracle (SURVEY.md §7 hard part 1).
 """
 
 from __future__ import annotations
@@ -46,12 +46,16 @@ class SegmentServer:
     """map_batches callable-class over a queries Dataset (qid, text)."""
 
     def __init__(self, index_dir: str, k: int = 10, shards: list[int] | None = None,
-                 mode: str = "exhaustive"):
+                 mode: str = "exhaustive", score_micro: bool = False):
         import os
 
         self.manifest = Manifest(index_dir)
         self.k = k
         self.mode = mode
+        # score_micro: rank and report scores as floor(score*1e6+0.5) int64 —
+        # the SQL-oracle-reproducible ordering (identical IEEE op in DuckDB),
+        # decoupling driver value-hash checks from last-ulp float order.
+        self.score_micro = score_micro
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
@@ -124,8 +128,12 @@ class SegmentServer:
         if self.mode == "wand":
             from engine.query.wand import wand_topk
 
+            assert not self.score_micro, "score_micro requires exhaustive mode"
             return wand_topk(self, text, k or self.k)
         dk, sc = self.score_query(text)
+        if self.score_micro:
+            # floor BEFORE top-k so selection order == the micro order
+            sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
         return topk_postings(dk, sc, k or self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -139,8 +147,13 @@ class SegmentServer:
             out_rank.append(np.arange(1, n + 1, dtype=np.int32))
             out_key.append(dk)
             out_score.append(sc)
+        schema = PARTIAL_SCHEMA
+        if self.score_micro:
+            schema = pa.schema(
+                [("qid", pa.int64()), ("rank", pa.int32()), ("doc_key", pa.int64()), ("score", pa.int64())]
+            )
         if not out_qid:
-            return PARTIAL_SCHEMA.empty_table()
+            return schema.empty_table()
         return pa.table(
             {
                 "qid": np.concatenate(out_qid),
@@ -148,7 +161,7 @@ class SegmentServer:
                 "doc_key": np.concatenate(out_key),
                 "score": np.concatenate(out_score),
             },
-            schema=PARTIAL_SCHEMA,
+            schema=schema,
         )
 
 
