@@ -1,0 +1,177 @@
+"""Benchmark harness (SURVEY.md §6, M5).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+  build_transcripts  — index a deterministic synthetic transcript corpus
+                       (parquet on disk, written untimed on first run) —
+                       the indexing-throughput headline (turns/sec)
+  query_transcripts  — BM25 top-10 for 200 seeded queries via the
+                       SegmentServer actor pool (queries/sec)
+  build_documents    — index the sf documents table
+  bm25_documents     — driver query set over the documents index
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling: runs the harness twice in fresh processes (8 vs 32 CPUs by
+default — the sandbox stand-in for N vs 4N nodes, BASELINE.json:14) on the
+SAME corpus and reports throughput at both plus scaling efficiency
+T_hi_throughput / (4 * T_lo_throughput-rate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "200"))
+CORPUS_DIR = f"/tmp/bench_corpus/convs-{N_CONVS}"
+
+
+def _prepare_corpus():
+    """Untimed: materialise the synthetic transcript corpus to parquet once
+    (also warms the page cache so timed runs measure compute + shuffle)."""
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        from engine.io.synth import synth_transcripts
+
+        synth_transcripts(N_CONVS, seed=42, parallelism=64).write_parquet(CORPUS_DIR)
+        with open(marker, "w") as f:
+            f.write("ok")
+    # warm cache
+    for f in os.listdir(CORPUS_DIR):
+        if f.endswith(".parquet"):
+            with open(os.path.join(CORPUS_DIR, f), "rb") as fh:
+                fh.read()
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(CORPUS_DIR, f)).num_rows
+        for f in os.listdir(CORPUS_DIR)
+        if f.endswith(".parquet")
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.index.build import build_index
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import query_index
+    from engine import pipelines as P
+
+    timings: dict[str, float] = {}
+    n_turns = _prepare_corpus()
+
+    # -- build_transcripts ---------------------------------------------------
+    idx_dir = f"/tmp/bench_idx/tr-{N_CONVS}-{NUM_CPUS}-{time.monotonic_ns()}"
+    num_shards = max(16, 2 * NUM_CPUS)
+    t0 = time.monotonic()
+    build_index(
+        CORPUS_DIR,
+        idx_dir,
+        num_shards=num_shards,
+        build_id="bench",
+        concurrency=(1, NUM_CPUS),
+    )
+    timings["build_transcripts"] = time.monotonic() - t0
+
+    # -- query_transcripts ---------------------------------------------------
+    queries = seeded_query_set(N_QUERIES, seed=7)
+    t0 = time.monotonic()
+    res = query_index(
+        idx_dir,
+        queries,
+        k=10,
+        concurrency=max(2, NUM_CPUS // 2),  # pinned pool (SURVEY §4)
+        batch_size=4,
+        hydrate=False,
+        sort_output=False,
+    )
+    n_results = res.count()
+    timings["query_transcripts"] = time.monotonic() - t0
+
+    # -- documents pipelines -------------------------------------------------
+    shutil.rmtree(P.INDEX_ROOT, ignore_errors=True)
+    t0 = time.monotonic()
+    P.documents_index(SF_DIR)
+    timings["build_documents"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    bm = P.ft_bm25_topk(SF_DIR, k=10)
+    timings["bm25_documents"] = time.monotonic() - t0
+
+    out = {
+        "metric": "e2e_index_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "num_cpus": NUM_CPUS,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / timings["build_transcripts"], 1),
+        "queries_per_sec": round(N_QUERIES / timings["query_transcripts"], 1),
+        "n_results": int(n_results) + len(bm) * 0,
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    _prepare_corpus()  # shared, warmed corpus for both runs
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["turns_per_sec"]
+    tput_hi = r_hi["turns_per_sec"]
+    eff = tput_hi / (tput_lo * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "build_sec_lo": r_lo["queries"]["build_transcripts"],
+        "build_sec_hi": r_hi["queries"]["build_transcripts"],
+        "turns_per_sec_lo": tput_lo,
+        "turns_per_sec_hi": tput_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

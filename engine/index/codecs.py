@@ -70,7 +70,9 @@ def varint_decode(buf: bytes | memoryview, n: int, offset: int = 0) -> tuple[np.
     next_offset). Vectorised over terminator positions."""
     if n == 0:
         return np.empty(0, dtype=np.uint64), offset
-    raw = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+    # a value is <= 10 bytes, so scan at most n*10 bytes — scanning the whole
+    # remaining buffer would make per-block decode O(list size) (quadratic)
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=offset, count=min(n * 10, len(buf) - offset))
     is_term = raw < 0x80
     term_pos = np.nonzero(is_term)[0]
     if term_pos.size < n:
@@ -102,10 +104,29 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
+def _gather_bits(raw: np.ndarray, n: int, width: int, bit0: int = 0) -> np.ndarray:
+    """Decode n fixed-width little-endian bit fields starting at ``bit0``
+    via unaligned 8-byte gathers — 3 vector ops, no per-bit matrix.
+    Requires width <= 57 (value + 7-bit misalignment fits in one u64)."""
+    starts = bit0 + np.arange(n, dtype=np.int64) * width
+    byte_idx = starts >> 3
+    shift = (starts & 7).astype(np.uint64)
+    need = int(byte_idx[-1]) + 8 if n else 0
+    if raw.size < need:
+        raw = np.concatenate([raw, np.zeros(need - raw.size, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(raw, 8)[byte_idx]
+    words = np.ascontiguousarray(win).view("<u8").ravel()
+    mask = np.uint64((1 << width) - 1)
+    return (words >> shift) & mask
+
+
 def unpack_bits(buf: bytes | memoryview, n: int, width: int, offset: int = 0) -> tuple[np.ndarray, int]:
-    if width == 0:
+    if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64), offset
     nbytes = (n * width + 7) // 8
+    if width <= 57:
+        raw = np.frombuffer(buf, dtype=np.uint8, offset=offset, count=min(nbytes + 8, len(buf) - offset))
+        return _gather_bits(raw, n, width), offset + nbytes
     raw = np.frombuffer(buf, dtype=np.uint8, offset=offset)[:nbytes]
     bits = np.unpackbits(raw, count=n * width, bitorder="little").reshape(n, width)
     vals = (bits.astype(np.uint64) << np.arange(width, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
@@ -172,7 +193,185 @@ def pfor_decode(buf: bytes | memoryview, n: int, offset: int = 0) -> tuple[np.nd
 
 
 # ---------------------------------------------------------------------------
-# posting blocks: (doc_keys, tfs, dls) <-> bytes
+# stream codec with u32 exception count (whole-term streams)
+# ---------------------------------------------------------------------------
+
+
+def pfor_stream_encode(values: np.ndarray) -> bytes:
+    """PFor a whole stream: u8 width, u32 n_exc, u32 exc_nbytes, frame,
+    exception position-deltas (varint), exception high bits (varint).
+
+    ONE width per stream (not per 128-block): decode is a single
+    unpack_bits + one varint pass, and block b's frame bits live at the
+    fixed offset b*BLOCK_SIZE*width — O(1) random access for WAND skipping.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    widths = _bit_width(v)
+    max_w = int(widths.max()) if n else 0
+    hist = np.bincount(widths, minlength=max_w + 1)
+    n_above = n - np.cumsum(hist)
+    best_b, best_cost = max_w, n * max_w
+    for b in range(max_w + 1):
+        exc = int(n_above[b]) if b < len(n_above) else 0
+        cost = n * b + exc * 16
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    b = best_b
+    mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
+    low = v & mask if b else np.zeros(n, dtype=np.uint64)
+    exc_idx = np.nonzero(widths > b)[0]
+    frame = pack_bits(low, b)
+    if exc_idx.size:
+        pos_delta = np.diff(exc_idx, prepend=0).astype(np.uint64)
+        high = v[exc_idx] >> np.uint64(b)
+        exc_bytes = varint_encode(pos_delta) + varint_encode(high)
+    else:
+        exc_bytes = b""
+    header = bytes([b]) + int(exc_idx.size).to_bytes(4, "little") + len(exc_bytes).to_bytes(4, "little")
+    return header + frame + exc_bytes
+
+
+class StreamReader:
+    """Parsed stream header + lazy frame/exception access (shared by full
+    decode and per-block WAND access)."""
+
+    __slots__ = ("buf", "n", "width", "n_exc", "frame_off", "exc_off", "end", "_exc")
+
+    def __init__(self, buf, n: int, offset: int):
+        mv = memoryview(buf)
+        self.buf = mv
+        self.n = n
+        self.width = mv[offset]
+        self.n_exc = int.from_bytes(mv[offset + 1 : offset + 5], "little")
+        exc_nbytes = int.from_bytes(mv[offset + 5 : offset + 9], "little")
+        self.frame_off = offset + 9
+        self.exc_off = self.frame_off + (n * self.width + 7) // 8
+        self.end = self.exc_off + exc_nbytes
+        self._exc = None
+
+    def exceptions(self):
+        if self._exc is None:
+            if self.n_exc:
+                pos_delta, off = varint_decode(self.buf, self.n_exc, self.exc_off)
+                high, _ = varint_decode(self.buf, self.n_exc, off)
+                self._exc = (np.cumsum(pos_delta.astype(np.int64)), high)
+            else:
+                self._exc = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+        return self._exc
+
+    def decode_all(self) -> np.ndarray:
+        vals, _ = unpack_bits(self.buf, self.n, self.width, self.frame_off)
+        pos, high = self.exceptions()
+        if pos.size:
+            vals[pos] |= high << np.uint64(self.width)
+        return vals
+
+    def decode_range(self, start: int, stop: int) -> np.ndarray:
+        """Decode values [start, stop) — used for per-block WAND access.
+        Frame bits for position p start at bit p*width; we byte-align by
+        over-reading up to 7 bits."""
+        stop = min(stop, self.n)
+        count = stop - start
+        if count <= 0:
+            return np.empty(0, dtype=np.uint64)
+        w = self.width
+        if w == 0:
+            vals = np.zeros(count, dtype=np.uint64)
+        elif w <= 57:
+            bit0 = start * w
+            byte0 = self.frame_off + bit0 // 8
+            nbytes = (bit0 % 8 + count * w + 7) // 8
+            raw = np.frombuffer(
+                self.buf, dtype=np.uint8, offset=byte0,
+                count=min(nbytes + 8, len(self.buf) - byte0),
+            )
+            vals = _gather_bits(raw, count, w, bit0 % 8)
+        else:
+            bit0 = start * w
+            byte0 = self.frame_off + bit0 // 8
+            shift = bit0 % 8
+            nbytes = (shift + count * w + 7) // 8
+            raw = np.frombuffer(self.buf, dtype=np.uint8, offset=byte0, count=nbytes)
+            bits = np.unpackbits(raw, bitorder="little")[shift : shift + count * w].reshape(count, w)
+            vals = (bits.astype(np.uint64) << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        pos, high = self.exceptions()
+        if pos.size:
+            lo = int(np.searchsorted(pos, start))
+            hi = int(np.searchsorted(pos, stop))
+            if hi > lo:
+                vals[pos[lo:hi] - start] |= high[lo:hi] << np.uint64(w)
+        return vals
+
+
+# ---------------------------------------------------------------------------
+# term postings: stream-major (gaps | tf-1 | dl), one PFor stream each
+# ---------------------------------------------------------------------------
+
+
+def encode_term_postings(doc_keys: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int = -1):
+    """Whole-term encode → (bytes, skip rows). Skip row per BLOCK_SIZE docs:
+    (block_idx, last_doc_key, n_docs, max_tf, min_dl) — block-max metadata
+    for WAND; frame offsets are implicit (fixed width per stream)."""
+    doc_keys = np.asarray(doc_keys, dtype=np.int64)
+    n = doc_keys.size
+    gaps = np.diff(doc_keys, prepend=base).astype(np.uint64)
+    blob = (
+        pfor_stream_encode(gaps)
+        + pfor_stream_encode(np.asarray(tfs, dtype=np.uint64) - np.uint64(1))
+        + pfor_stream_encode(np.asarray(dls, dtype=np.uint64))
+    )
+    skips = []
+    tfs = np.asarray(tfs)
+    dls = np.asarray(dls)
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        skips.append(
+            (
+                s // BLOCK_SIZE,
+                int(doc_keys[e - 1]),
+                e - s,
+                int(tfs[s:e].max()),
+                int(dls[s:e].min()),
+            )
+        )
+    return blob, skips
+
+
+class TermPostings:
+    """Lazy reader over one term's encoded postings."""
+
+    def __init__(self, buf, n_docs: int, base: int = -1):
+        self.n = n_docs
+        self.base = base
+        self.gaps = StreamReader(buf, n_docs, 0)
+        self.tfm1 = StreamReader(buf, n_docs, self.gaps.end)
+        self.dls = StreamReader(buf, n_docs, self.tfm1.end)
+
+    def decode_all(self):
+        dk = np.cumsum(self.gaps.decode_all().astype(np.int64)) + self.base
+        tf = (self.tfm1.decode_all() + np.uint64(1)).astype(np.int32)
+        dl = self.dls.decode_all().astype(np.int32)
+        return dk, tf, dl
+
+    def decode_block(self, block_idx: int, block_base: int):
+        """Decode one BLOCK_SIZE block given the previous block's last
+        doc_key (from the skip table)."""
+        s = block_idx * BLOCK_SIZE
+        e = min(s + BLOCK_SIZE, self.n)
+        dk = np.cumsum(self.gaps.decode_range(s, e).astype(np.int64)) + block_base
+        tf = (self.tfm1.decode_range(s, e) + np.uint64(1)).astype(np.int32)
+        dl = self.dls.decode_range(s, e).astype(np.int32)
+        return dk, tf, dl
+
+
+def decode_term_postings(buf, n_docs: int, base: int = -1):
+    return TermPostings(buf, n_docs, base).decode_all()
+
+
+# ---------------------------------------------------------------------------
+# legacy per-block format (kept for the codec test-bed; the index uses the
+# stream-major format above)
 # ---------------------------------------------------------------------------
 
 def encode_block(doc_keys: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int) -> bytes:

@@ -46,8 +46,6 @@ SKIPS_SCHEMA = pa.schema(
         ("term_idx", pa.int32()),
         ("block_idx", pa.int32()),
         ("last_doc_key", pa.int64()),
-        ("offset", pa.int64()),
-        ("nbytes", pa.int64()),
         ("n_docs", pa.int32()),
         ("block_max_tf", pa.int32()),
         ("block_min_dl", pa.int32()),
@@ -74,7 +72,7 @@ def assemble_shard_tables(
         dk = doc_keys[s:e]
         tf = tfs[s:e]
         dl = dls[s:e]
-        blob, skips = codecs.encode_posting_list(dk, tf, dl)
+        blob, skips = codecs.encode_term_postings(dk, tf, dl)
         d_term.append(terms[s])
         d_df.append(e - s)
         d_cf.append(int(tf.sum()))
@@ -82,8 +80,8 @@ def assemble_shard_tables(
         d_off.append(offset)
         d_nbytes.append(len(blob))
         d_maxtf.append(int(tf.max()))
-        for blk_idx, last_doc, rel_off, nbytes, ndocs, max_tf, min_dl in skips:
-            sk_rows.append((ti, blk_idx, last_doc, offset + rel_off, nbytes, ndocs, max_tf, min_dl))
+        for blk_idx, last_doc, ndocs, max_tf, min_dl in skips:
+            sk_rows.append((ti, blk_idx, last_doc, ndocs, max_tf, min_dl))
         blobs.append(blob)
         offset += len(blob)
     dict_table = pa.table(

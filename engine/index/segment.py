@@ -47,25 +47,28 @@ class Segment:
             return i
         return -1
 
+    def _term_blob(self, idx: int) -> memoryview:
+        off = int(self.offsets[idx])
+        return memoryview(self._mm)[off : off + int(self.nbytes[idx])]
+
     def read_postings(self, idx: int):
         """Decode the full posting list for dict entry ``idx`` →
         (doc_keys:int64, tfs:int32, dls:int32)."""
-        off = int(self.offsets[idx])
-        end = off + int(self.nbytes[idx])
-        return codecs.decode_posting_list(memoryview(self._mm)[off:end], int(self.df[idx]))
+        return codecs.decode_term_postings(self._term_blob(idx), int(self.df[idx]))
+
+    def term_postings(self, idx: int) -> codecs.TermPostings:
+        """Lazy per-block reader (WAND path)."""
+        return codecs.TermPostings(self._term_blob(idx), int(self.df[idx]))
 
     def term_skips(self, idx: int):
         """Skip rows (NumPy dict) for dict entry ``idx`` — block-max WAND
-        metadata: last_doc_key, offset, nbytes, n_docs, block_max_tf,
-        block_min_dl per 128-doc block."""
+        metadata per 128-doc block."""
         sk = self.skips
         ti = sk["term_idx"].to_numpy()
         lo = int(np.searchsorted(ti, idx, side="left"))
         hi = int(np.searchsorted(ti, idx, side="right"))
         return {
             "last_doc_key": sk["last_doc_key"].to_numpy()[lo:hi],
-            "offset": sk["offset"].to_numpy()[lo:hi],
-            "nbytes": sk["nbytes"].to_numpy()[lo:hi],
             "n_docs": sk["n_docs"].to_numpy()[lo:hi],
             "block_max_tf": sk["block_max_tf"].to_numpy()[lo:hi],
             "block_min_dl": sk["block_min_dl"].to_numpy()[lo:hi],

@@ -174,9 +174,12 @@ def query_index(
     concurrency=(1, 8),
     batch_size: int = 256,
     hydrate: bool = True,
+    sort_output: bool = True,
 ):
     """queries: Dataset(qid, text) or list[(qid, text)] → results Dataset
-    (qid, rank, doc_id?, doc_key, score) sorted by (qid, rank)."""
+    (qid, rank, doc_id?, doc_key, score), sorted by (qid, rank) unless
+    ``sort_output=False`` (top-k output is tiny — callers consuming to
+    pandas should sort driver-side instead of paying an all-to-all)."""
     import ray.data as rd
 
     if not hasattr(queries, "map_batches"):
@@ -193,4 +196,4 @@ def query_index(
         from engine.query.hydrate import hydrate_results
 
         partials = hydrate_results(index_dir, partials)
-    return partials.sort(["qid", "rank"])
+    return partials.sort(["qid", "rank"]) if sort_output else partials

@@ -71,6 +71,60 @@ class TestPFor:
         np.testing.assert_array_equal(out, vals)
 
 
+class TestStreamCodec:
+    @given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=0, max_size=1000), st.data())
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, xs, data):
+        vals = np.array(xs, dtype=np.uint64)
+        buf = codecs.pfor_stream_encode(vals)
+        r = codecs.StreamReader(buf, len(vals), 0)
+        np.testing.assert_array_equal(r.decode_all(), vals)
+        assert r.end == len(buf)
+
+    def test_decode_range(self):
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 2**20, size=1000, dtype=np.uint64)
+        vals[::97] = 2**45  # force exceptions
+        buf = codecs.pfor_stream_encode(vals)
+        r = codecs.StreamReader(buf, 1000, 0)
+        for s, e in [(0, 128), (128, 256), (500, 700), (896, 1000), (990, 2000)]:
+            np.testing.assert_array_equal(r.decode_range(s, e), vals[s : min(e, 1000)])
+
+
+class TestTermPostings:
+    @given(st.integers(min_value=1, max_value=2000), st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=30, deadline=None)
+    def test_roundtrip(self, n, seed):
+        rng = np.random.default_rng(seed)
+        doc_keys = np.cumsum(rng.integers(1, 10_000, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 50, size=n).astype(np.int32)
+        dls = rng.integers(1, 3000, size=n).astype(np.int32)
+        buf, skips = codecs.encode_term_postings(doc_keys, tfs, dls)
+        k, t, d = codecs.decode_term_postings(buf, n)
+        np.testing.assert_array_equal(k, doc_keys)
+        np.testing.assert_array_equal(t, tfs)
+        np.testing.assert_array_equal(d, dls)
+        assert len(skips) == (n + codecs.BLOCK_SIZE - 1) // codecs.BLOCK_SIZE
+        assert skips[-1][1] == doc_keys[-1]
+
+    def test_block_access_matches_full(self):
+        rng = np.random.default_rng(7)
+        n = 1000
+        doc_keys = np.cumsum(rng.integers(1, 500, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 9, size=n).astype(np.int32)
+        dls = rng.integers(5, 400, size=n).astype(np.int32)
+        buf, skips = codecs.encode_term_postings(doc_keys, tfs, dls)
+        tp = codecs.TermPostings(buf, n)
+        for blk_idx, last_doc, ndocs, max_tf, min_dl in skips:
+            base = -1 if blk_idx == 0 else skips[blk_idx - 1][1]
+            k, t, d = tp.decode_block(blk_idx, base)
+            s = blk_idx * codecs.BLOCK_SIZE
+            np.testing.assert_array_equal(k, doc_keys[s : s + ndocs])
+            np.testing.assert_array_equal(t, tfs[s : s + ndocs])
+            np.testing.assert_array_equal(d, dls[s : s + ndocs])
+            assert k[-1] == last_doc and t.max() == max_tf and d.min() == min_dl
+
+
 class TestPostingList:
     @given(st.integers(min_value=1, max_value=1000), st.integers(min_value=0, max_value=2**31))
     @settings(max_examples=40, deadline=None)
