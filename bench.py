@@ -103,6 +103,7 @@ def run_bench() -> dict:
         idx_dir,
         queries,
         k=10,
+        mode="wand",  # block-max pruning; rank-identical (tests/test_wand.py)
         concurrency=max(2, NUM_CPUS // 2),  # pinned pool (SURVEY §4)
         batch_size=4,
         hydrate=False,

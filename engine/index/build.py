@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from engine.core.partitioning import DEFAULT_NUM_SHARDS, SaltMap
 from engine.index.triples import EmitTriples, docmap_rows
-from engine.index.postings import AssembleSegments
+from engine.index.postings import assemble_batch
 from engine.io.manifest import Manifest
 
 
@@ -144,18 +144,19 @@ def build_index(
         batch_size=triple_batch_size,
         concurrency=concurrency,
     )
+    import functools
+
     shuffled = triples.repartition(num_blocks=salt.num_total_shards, keys=["term_shard"])
     metrics_ds = shuffled.map_batches(
-        AssembleSegments,
-        fn_constructor_kwargs={
-            "segments_dir": segments_dir,
-            "build_id": build_id,
-            "lineage": lineage,
-        },
+        functools.partial(
+            assemble_batch,
+            segments_dir=segments_dir,
+            build_id=build_id,
+            lineage=lineage,
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
     )
     metrics = metrics_ds.to_pandas()  # one row per segment — small
 

@@ -102,9 +102,16 @@ def assemble_shard_tables(
     return dict_table, skips_table, b"".join(blobs)
 
 
-class AssembleSegments:
-    """map_batches callable over shuffled triple blocks → metrics rows."""
+def assemble_batch(batch: pa.Table, *, segments_dir: str, build_id: str,
+                   lineage: dict | None = None) -> pa.Table:
+    """Stateless map_batches fn over shuffled triple blocks → metrics rows.
+    (A plain function, not an actor pool: there is no per-worker state to
+    amortise, and elastic tasks avoid pool ramp-up on the reduce side.)"""
+    self = _Assemble(segments_dir, build_id, lineage)
+    return self(batch)
 
+
+class _Assemble:
     def __init__(self, segments_dir: str, build_id: str, lineage: dict | None = None):
         self.segments_dir = segments_dir
         self.build_id = build_id

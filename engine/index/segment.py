@@ -37,7 +37,10 @@ class Segment:
     @property
     def skips(self):
         if self._skips is None:
-            self._skips = pq.read_table(os.path.join(self.path, "skips.parquet"))
+            t = pq.read_table(os.path.join(self.path, "skips.parquet"))
+            # materialise columns to NumPy ONCE — term_skips is on the
+            # per-query hot path and slices these as views
+            self._skips = {c: t[c].to_numpy() for c in t.column_names}
         return self._skips
 
     def lookup(self, term: str) -> int:
@@ -64,14 +67,14 @@ class Segment:
         """Skip rows (NumPy dict) for dict entry ``idx`` — block-max WAND
         metadata per 128-doc block."""
         sk = self.skips
-        ti = sk["term_idx"].to_numpy()
+        ti = sk["term_idx"]
         lo = int(np.searchsorted(ti, idx, side="left"))
         hi = int(np.searchsorted(ti, idx, side="right"))
         return {
-            "last_doc_key": sk["last_doc_key"].to_numpy()[lo:hi],
-            "n_docs": sk["n_docs"].to_numpy()[lo:hi],
-            "block_max_tf": sk["block_max_tf"].to_numpy()[lo:hi],
-            "block_min_dl": sk["block_min_dl"].to_numpy()[lo:hi],
+            "last_doc_key": sk["last_doc_key"][lo:hi],
+            "n_docs": sk["n_docs"][lo:hi],
+            "block_max_tf": sk["block_max_tf"][lo:hi],
+            "block_min_dl": sk["block_min_dl"][lo:hi],
         }
 
     def close(self):
