@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "160000"))
 N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "200"))
 CORPUS_DIR = f"/tmp/bench_corpus/convs-{N_CONVS}"
 
@@ -85,7 +85,9 @@ def run_bench() -> dict:
 
     # -- build_transcripts ---------------------------------------------------
     idx_dir = f"/tmp/bench_idx/tr-{N_CONVS}-{NUM_CPUS}-{time.monotonic_ns()}"
-    num_shards = max(16, 2 * NUM_CPUS)
+    # fixed shard count at every parallelism level: the scaling comparison
+    # must run the IDENTICAL job at both cluster sizes (BASELINE.json:14)
+    num_shards = int(os.environ.get("GRAFT_BENCH_SHARDS", "64"))
     t0 = time.monotonic()
     build_index(
         CORPUS_DIR,

@@ -1,0 +1,132 @@
+"""Tiered merge determinism + checkpoint/resume (SURVEY.md §5.2b, §5.4;
+BASELINE.json:14 'resumable from checkpoint with per-partition lineage',
+BASELINE.json:6 'partial builds compose deterministically')."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from engine.core.dockey import doc_key_batch
+from engine.index.build import build_index
+from engine.index.merge import gc_tombstoned, plan_merges, run_merge
+from engine.io.manifest import Manifest
+from engine.io.synth import synth_transcripts_table
+from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+from engine.query.engine import SegmentServer
+
+
+def _write_fragments(tmp_path, n_convs=60, n_frags=4, seed=5):
+    """Corpus split into parquet fragments (simulating arriving batches)."""
+    t = synth_transcripts_table(n_convs, seed=seed)
+    d = str(tmp_path / "frags")
+    os.makedirs(d, exist_ok=True)
+    convs = t["conv_id"].to_pandas().unique()
+    bounds = np.array_split(np.arange(len(convs)), n_frags)
+    import pyarrow.compute as pc
+
+    for i, idxs in enumerate(bounds):
+        sel = t.filter(pc.is_in(t["conv_id"], value_set=__import__("pyarrow").array(convs[idxs])))
+        pq.write_table(sel, os.path.join(d, f"frag-{i:03d}.parquet"))
+    return d, t
+
+
+class TestIncrementalAndMerge:
+    @pytest.fixture(scope="class")
+    def env(self, tmp_path_factory, ray_session):
+        tmp = tmp_path_factory.mktemp("mr")
+        frag_dir, t = _write_fragments(tmp)
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+        return tmp, frag_dir, oracle
+
+    def test_incremental_builds_then_merge_rank_identical(self, env):
+        tmp, frag_dir, oracle = env
+        idx = str(tmp / "idx_inc")
+        frags = sorted(os.listdir(frag_dir))
+        # four partial builds (one fragment each) — tier-0 segments pile up
+        for i, f in enumerate(frags):
+            build_index(os.path.join(frag_dir, f), idx, num_shards=4, build_id=f"b{i}")
+        m = Manifest(idx)
+        assert len(m.live_segments()) >= 4
+        srv = SegmentServer(idx, k=10)
+        for qid, q in seeded_query_set(15, seed=2):
+            wk, ws = oracle.topk(q, 10)
+            gk, gs = srv.topk(q, 10)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
+        # tiered merge: fanin 4 → one tier-1 segment per shard
+        n = run_merge(idx, fanin=4)
+        assert n >= 1
+        m2 = Manifest(idx)
+        live = m2.live_segments()
+        assert all(s["tier"] == 1 for s in live if s["shard"] in {p["shard"] for p in []} or True)
+        # post-merge: still rank-identical, same stats
+        assert m2.stats == m.stats
+        srv2 = SegmentServer(idx, k=10)
+        for qid, q in seeded_query_set(15, seed=2):
+            wk, ws = oracle.topk(q, 10)
+            gk, gs = srv2.topk(q, 10)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
+        # tombstoned segments GC'd from disk
+        on_disk = set(os.listdir(os.path.join(idx, "segments")))
+        assert on_disk == {s["name"] for s in live}
+
+    def test_merge_deterministic_any_order(self, env, tmp_path):
+        """Merging [A,B] then with [C,D] == one merge of [A,B,C,D] contents:
+        dict tables and postings bytes identical (associative fold)."""
+        tmp, frag_dir, oracle = env
+        import pyarrow.parquet as pqq
+
+        idx_a = str(tmp_path / "a")
+        idx_b = str(tmp_path / "b")
+        frags = sorted(os.listdir(frag_dir))
+        for tgt in (idx_a, idx_b):
+            for i, f in enumerate(frags):
+                build_index(os.path.join(frag_dir, f), tgt, num_shards=4, build_id=f"b{i}")
+        run_merge(idx_a, fanin=4, merge_id="mA")          # one merge of 4
+        run_merge(idx_b, fanin=2, merge_id="mB1")          # pairwise...
+        run_merge(idx_b, fanin=2, merge_id="mB2")          # ...then again
+        sa = sorted(Manifest(idx_a).live_segments(), key=lambda s: s["shard"])
+        sb = sorted(Manifest(idx_b).live_segments(), key=lambda s: s["shard"])
+        assert [s["shard"] for s in sa] == [s["shard"] for s in sb]
+        for x, y in zip(sa, sb):
+            da = pqq.read_table(os.path.join(idx_a, "segments", x["name"], "dict.parquet"))
+            db = pqq.read_table(os.path.join(idx_b, "segments", y["name"], "dict.parquet"))
+            assert da.equals(db), f"shard {x['shard']} dicts differ"
+            ba = open(os.path.join(idx_a, "segments", x["name"], "postings.bin"), "rb").read()
+            bb = open(os.path.join(idx_b, "segments", y["name"], "postings.bin"), "rb").read()
+            assert ba == bb, f"shard {x['shard']} postings differ"
+
+
+class TestResume:
+    def test_resume_skips_indexed_fragments(self, tmp_path, ray_session):
+        frag_dir, t = _write_fragments(tmp_path, n_convs=40, n_frags=4, seed=9)
+        idx = str(tmp_path / "idx")
+        frags = [os.path.join(frag_dir, f) for f in sorted(os.listdir(frag_dir))]
+        # "crash" after indexing only the first two fragments
+        build_index(frags[:2], idx, num_shards=4, build_id="part1")
+        m1 = Manifest(idx)
+        n_docs_1 = m1.stats["n_docs"]
+        assert set(m1.indexed_fragments()) == set(frags[:2])
+        # resume over the FULL input list: only pending fragments are read
+        build_index(frags, idx, num_shards=4, build_id="part2")
+        m2 = Manifest(idx)
+        assert set(m2.indexed_fragments()) == set(frags)
+        assert m2.stats["n_docs"] == t.num_rows > n_docs_1
+        # a third run is a no-op (nothing pending)
+        before = open(os.path.join(idx, "manifest.json")).read()
+        build_index(frags, idx, num_shards=4, build_id="part3")
+        assert open(os.path.join(idx, "manifest.json")).read() == before
+        # and the resumed index is rank-identical to a fresh full build
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+        srv = SegmentServer(idx, k=10)
+        for qid, q in seeded_query_set(10, seed=4):
+            wk, ws = oracle.topk(q, 10)
+            gk, gs = srv.topk(q, 10)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
