@@ -1,0 +1,114 @@
+"""CLI entry points (SURVEY.md §3): the verbs a cluster operator runs via
+``ray job submit -- python -m engine.cli <verb> ...`` (BASELINE.json:6).
+
+This is the ONLY module (besides bench.py and the test fixture) that owns a
+Ray session; the library itself never calls ray.init (__ray_entry__.py
+contract).
+
+Verbs:
+  build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto]
+  query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand]
+  merge  --index DIR [--fanin 4]
+  synth  --out DIR --convs N [--seed 42]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray, owned
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="engine.cli")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--salt", default=None, choices=[None, "auto"])
+    b.add_argument("--no-resume", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", default=None, help="parquet with (qid, text)")
+    q.add_argument("--text", default=None, help="single ad-hoc query")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    q.add_argument("--out", default=None, help="write results parquet here")
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--fanin", type=int, default=4)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--out", required=True)
+    s.add_argument("--convs", type=int, required=True)
+    s.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+    ray, owned = _init_ray(args.num_cpus)
+    try:
+        if args.verb == "build":
+            from engine.index.build import build_index
+
+            manifest = build_index(
+                args.input, args.index, num_shards=args.shards,
+                salt_map=args.salt, resume=not args.no_resume,
+            )
+            print(json.dumps({"n_docs": manifest.stats["n_docs"],
+                              "avgdl": manifest.stats["avgdl"],
+                              "segments": len(manifest.live_segments())}))
+        elif args.verb == "query":
+            import ray.data as rd
+
+            from engine.query.engine import query_index
+
+            if args.text is not None:
+                queries = [(0, args.text)]
+            elif args.queries:
+                queries = rd.read_parquet(args.queries)
+            else:
+                p.error("need --queries or --text")
+            res = query_index(args.index, queries, k=args.k, mode=args.mode)
+            if args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"written": args.out}))
+            else:
+                for row in res.take_all():
+                    print(json.dumps({k: (v.item() if hasattr(v, "item") else v) for k, v in row.items()}))
+        elif args.verb == "merge":
+            from engine.index.merge import run_merge
+
+            n = run_merge(args.index, fanin=args.fanin)
+            print(json.dumps({"merges": n}))
+        elif args.verb == "synth":
+            from engine.io.synth import synth_transcripts
+
+            synth_transcripts(args.convs, seed=args.seed).write_parquet(args.out)
+            print(json.dumps({"written": args.out}))
+    finally:
+        if owned:  # never tear down a session someone else initialised
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

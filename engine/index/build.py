@@ -27,7 +27,7 @@ import uuid
 import pyarrow.parquet as pq
 
 from engine.core.partitioning import DEFAULT_NUM_SHARDS, SaltMap
-from engine.index.triples import EmitTriples, docmap_rows
+from engine.index.triples import EmitTriples, docmap_rows, emit_triples_fn
 from engine.index.postings import assemble_batch
 from engine.io.manifest import Manifest
 
@@ -80,12 +80,17 @@ def build_index(
     *,
     num_shards: int = DEFAULT_NUM_SHARDS,
     analyzer: str = "default",
-    salt_map: SaltMap | None = None,
+    salt_map: SaltMap | str | None = None,
     build_id: str | None = None,
     concurrency=None,
     triple_batch_size: int = 8192,
     resume: bool = True,
 ) -> Manifest:
+    if salt_map == "auto":
+        # A4 head-term sketch over a bounded sample → dedicated salt ranges
+        from engine.index.skew import sketch_salt_map
+
+        salt_map = sketch_salt_map(source, num_shards, analyzer=analyzer)
     manifest = Manifest(index_dir)
     if manifest.data["num_base_shards"] is None:
         manifest.data["num_base_shards"] = num_shards
@@ -131,19 +136,39 @@ def build_index(
     )
 
     # -- pass B: triples → shuffle → segments -------------------------------
+    from engine.text.analyzer import analyzer_is_expensive
+
     ds_b, _ = _as_dataset(source, columns=["conv_id", "turn_idx", "text"])
-    triples = ds_b.map_batches(
-        EmitTriples,
-        fn_constructor_kwargs={
-            "num_shards": num_shards,
-            "analyzer": analyzer,
-            "salt_map": salt.to_json(),
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=triple_batch_size,
-        concurrency=concurrency,
-    )
+    import functools
+
+    if analyzer_is_expensive(analyzer):
+        # heavy analyzer state → actor pool, capped to leave shuffle CPUs
+        triples = ds_b.map_batches(
+            EmitTriples,
+            fn_constructor_kwargs={
+                "num_shards": num_shards,
+                "analyzer": analyzer,
+                "salt_map": salt.to_json(),
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=triple_batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        # stateless tasks: release CPUs to the pipelined shuffle as they
+        # finish (a pool pinned to the cluster starves the all-to-all)
+        triples = ds_b.map_batches(
+            functools.partial(
+                emit_triples_fn,
+                num_shards=num_shards,
+                analyzer=analyzer,
+                salt_map=salt.to_json(),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=triple_batch_size,
+        )
     import functools
 
     shuffled = triples.repartition(num_blocks=salt.num_total_shards, keys=["term_shard"])

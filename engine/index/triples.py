@@ -71,6 +71,27 @@ class EmitTriples:
         )
 
 
+# Worker-process-global emitter cache: the default tokenize stage runs as
+# STATELESS TASKS (not an actor pool) so finished tasks release their CPUs
+# to the downstream shuffle — an actor pool pinned to most of the cluster
+# starves pipelined all-to-all stages. The analyzer/hash-cache state is
+# amortised per worker process here instead of per actor; actor pools remain
+# for analyzers registered expensive=True (SURVEY.md §2.4-A2).
+_EMITTERS: dict[tuple, EmitTriples] = {}
+
+
+def emit_triples_fn(batch: pa.Table, *, num_shards: int, analyzer: str = "default",
+                    salt_map: dict | None = None) -> pa.Table:
+    import json
+
+    key = (num_shards, analyzer, json.dumps(salt_map, sort_keys=True) if salt_map else None)
+    em = _EMITTERS.get(key)
+    if em is None:
+        em = EmitTriples(num_shards, analyzer, salt_map)
+        _EMITTERS[key] = em
+    return em(batch)
+
+
 def docmap_rows(batch: pa.Table) -> pa.Table:
     """Cheap stateless pass (NO tokenisation — column-pruned to
     conv_id/turn_idx): docmap rows (doc_key, conv_id, turn_idx)."""

@@ -58,7 +58,8 @@ def hydrate_results(index_dir: str, partials):
     # top-k output is small (queries × k) — pin it so collecting the key set
     # doesn't re-execute the scoring pipeline
     partials = partials.materialize()
-    keys = partials.select_columns(["doc_key"]).to_pandas()["doc_key"].to_numpy()
+    kdf = partials.select_columns(["doc_key"]).to_pandas()
+    keys = kdf["doc_key"].to_numpy() if "doc_key" in kdf.columns else np.empty(0, dtype=np.int64)
     mapping = load_docmap_for_keys(index_dir, keys)
     import ray
 
