@@ -94,7 +94,8 @@ def run_bench() -> dict:
         idx_dir,
         num_shards=num_shards,
         build_id="bench",
-        concurrency=(1, NUM_CPUS),
+        salt_map="auto",  # head-term skew → without salting the assemble
+        # stage is straggler-bound by the biggest term's shard (SURVEY §4)
     )
     timings["build_transcripts"] = time.monotonic() - t0
 

@@ -85,6 +85,11 @@ def build_index(
     concurrency=None,
     triple_batch_size: int = 8192,
     resume: bool = True,
+    doc_buckets: int = 1,
+    roles: list[str] | None = None,
+    ts_min=None,
+    ts_max=None,
+    dedup_input: bool = False,
 ) -> Manifest:
     if salt_map == "auto":
         # A4 head-term sketch over a bounded sample → dedicated salt ranges
@@ -96,9 +101,11 @@ def build_index(
         manifest.data["num_base_shards"] = num_shards
         manifest.data["analyzer"] = analyzer
         manifest.data["salt_map"] = (salt_map or SaltMap(num_shards)).to_json()
+        manifest.data["doc_buckets"] = doc_buckets
     else:
         num_shards = manifest.data["num_base_shards"]
         analyzer = manifest.data["analyzer"]
+        doc_buckets = int(manifest.data.get("doc_buckets", 1))
     salt = SaltMap.from_json(manifest.data["salt_map"]) if manifest.data["salt_map"] else SaltMap(num_shards)
     if salt_map is not None:
         salt = salt_map
@@ -125,10 +132,28 @@ def build_index(
     if concurrency is None:
         concurrency = _default_concurrency()
 
+    # input-side predicates / input dedup (M6/D1) need extra columns; both
+    # passes must see the IDENTICAL filtered view so stats stay consistent
+    extra_cols: list[str] = []
+    if roles is not None:
+        extra_cols.append("role")
+    if ts_min is not None or ts_max is not None or dedup_input:
+        extra_cols.append("ts")
+
+    def _prepare(ds):
+        from engine.text.filters import apply_input_filters
+
+        ds = apply_input_filters(ds, roles=roles, ts_min=ts_min, ts_max=ts_max)
+        if dedup_input:
+            from engine.core.dedup import dedup_turns
+
+            ds = dedup_turns(ds)
+        return ds
+
     # -- pass A: docmap (no text column read) -------------------------------
-    ds_a, _ = _as_dataset(source, columns=["conv_id", "turn_idx"])
-    ds_a.map_batches(docmap_rows, batch_format="pyarrow", zero_copy_batch=True
-                     ).write_parquet(docmap_dir)
+    ds_a, _ = _as_dataset(source, columns=["conv_id", "turn_idx"] + extra_cols)
+    _prepare(ds_a).map_batches(docmap_rows, batch_format="pyarrow", zero_copy_batch=True
+                               ).write_parquet(docmap_dir)
     n_docs = sum(
         pq.read_metadata(os.path.join(docmap_dir, f)).num_rows
         for f in os.listdir(docmap_dir)
@@ -138,7 +163,8 @@ def build_index(
     # -- pass B: triples → shuffle → segments -------------------------------
     from engine.text.analyzer import analyzer_is_expensive
 
-    ds_b, _ = _as_dataset(source, columns=["conv_id", "turn_idx", "text"])
+    ds_b, _ = _as_dataset(source, columns=["conv_id", "turn_idx", "text"] + extra_cols)
+    ds_b = _prepare(ds_b)
     import functools
 
     if analyzer_is_expensive(analyzer):
@@ -164,6 +190,7 @@ def build_index(
                 num_shards=num_shards,
                 analyzer=analyzer,
                 salt_map=salt.to_json(),
+                doc_buckets=doc_buckets,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -171,7 +198,9 @@ def build_index(
         )
     import functools
 
-    shuffled = triples.repartition(num_blocks=salt.num_total_shards, keys=["term_shard"])
+    shuffled = triples.repartition(
+        num_blocks=salt.num_total_shards * doc_buckets, keys=["term_shard"]
+    )
     metrics_ds = shuffled.map_batches(
         functools.partial(
             assemble_batch,
@@ -200,4 +229,37 @@ def build_index(
     sum_dl = int(metrics["sum_cf"].sum()) if len(metrics) else 0
     manifest.add_build(build_id, segments, n_docs=n_docs, sum_dl=sum_dl, lineage=lineage)
     manifest.commit()
+    if doc_buckets > 1:
+        # bucketed layout: per-term GLOBAL df/cf live across buckets → roll
+        # up the segment dictionaries into the term_stats artifact that
+        # bucketed query servers broadcast (engine/query/bucketed.py)
+        build_term_stats(index_dir)
     return manifest
+
+
+def build_term_stats(index_dir: str) -> str:
+    """Aggregate (term, df, cf) across ALL live segments → parquet artifact.
+    A small shuffle over dictionary rows (vocab-sized, not corpus-sized)."""
+    import glob
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    out_dir = os.path.join(index_dir, "term_stats")
+    files = sorted(glob.glob(os.path.join(index_dir, "segments", "*", "dict.parquet")))
+    stats = (
+        rd.read_parquet(files, columns=["term", "df", "cf"])
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    import shutil
+
+    tmp = out_dir + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats.write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir

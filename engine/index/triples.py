@@ -36,10 +36,14 @@ class EmitTriples:
     """Actor-pool stage: analyzer + term-hash cache held per actor
     (setup once in __init__, per SURVEY.md §2.4)."""
 
-    def __init__(self, num_shards: int, analyzer: str = "default", salt_map: dict | None = None):
+    def __init__(self, num_shards: int, analyzer: str = "default", salt_map: dict | None = None,
+                 doc_buckets: int = 1):
         self.analyzer = get_analyzer(analyzer)
         self.hasher = TermHasher()
         self.salt = SaltMap.from_json(salt_map) if salt_map else SaltMap(num_shards)
+        # doc-bucketed layout (scale path for per-shard heap-merge queries):
+        # partition id = term_shard + num_total_shards * (doc_key % D)
+        self.doc_buckets = doc_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -60,6 +64,11 @@ class EmitTriples:
         out_doc = (uk // len(uniq_terms)).astype(np.int64)
         out_term = (uk % len(uniq_terms)).astype(np.int64)
         shards = assign_shards(uniq_terms, out_term, doc_keys[out_doc], self.hasher, self.salt)
+        if self.doc_buckets > 1:
+            shards = (
+                shards.astype(np.int64)
+                + self.salt.num_total_shards * (doc_keys[out_doc] % self.doc_buckets)
+            ).astype(np.int32)
         return pa.table(
             {
                 "term": pa.array(uniq_terms[out_term], type=pa.large_string()),
@@ -81,13 +90,14 @@ _EMITTERS: dict[tuple, EmitTriples] = {}
 
 
 def emit_triples_fn(batch: pa.Table, *, num_shards: int, analyzer: str = "default",
-                    salt_map: dict | None = None) -> pa.Table:
+                    salt_map: dict | None = None, doc_buckets: int = 1) -> pa.Table:
     import json
 
-    key = (num_shards, analyzer, json.dumps(salt_map, sort_keys=True) if salt_map else None)
+    key = (num_shards, analyzer,
+           json.dumps(salt_map, sort_keys=True) if salt_map else None, doc_buckets)
     em = _EMITTERS.get(key)
     if em is None:
-        em = EmitTriples(num_shards, analyzer, salt_map)
+        em = EmitTriples(num_shards, analyzer, salt_map, doc_buckets)
         _EMITTERS[key] = em
     return em(batch)
 

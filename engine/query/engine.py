@@ -46,7 +46,8 @@ class SegmentServer:
     """map_batches callable-class over a queries Dataset (qid, text)."""
 
     def __init__(self, index_dir: str, k: int = 10, shards: list[int] | None = None,
-                 mode: str = "exhaustive", score_micro: bool = False):
+                 mode: str = "exhaustive", score_micro: bool = False,
+                 bucket: int | None = None, df_overrides_ref=None):
         import os
 
         self.manifest = Manifest(index_dir)
@@ -56,15 +57,31 @@ class SegmentServer:
         # the SQL-oracle-reproducible ordering (identical IEEE op in DuckDB),
         # decoupling driver value-hash checks from last-ulp float order.
         self.score_micro = score_micro
+        # bucketed layout (engine/query/bucketed.py): this server owns doc
+        # bucket ``bucket``; its shard ids are base_shard + S_total*bucket and
+        # per-term GLOBAL df comes from the broadcast term_stats overrides
+        # (local df would only count this bucket's docs).
+        self.bucket = bucket
+        self.df_overrides = None
+        if df_overrides_ref is not None:
+            import ray
+
+            self.df_overrides = ray.get(df_overrides_ref)
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
         self.analyzer = get_analyzer(self.manifest.data["analyzer"])
         sm = self.manifest.data.get("salt_map")
         self.salt = SaltMap.from_json(sm) if sm else SaltMap(self.manifest.data["num_base_shards"])
+        self._shard_offset = 0
+        if self.bucket is not None:
+            self._shard_offset = self.salt.num_total_shards * self.bucket
         self._by_shard: dict[int, list[str]] = {}
         seg_root = os.path.join(index_dir, "segments")
         shard_filter = set(shards) if shards is not None else None
+        if self.bucket is not None:
+            own = set(range(self._shard_offset, self._shard_offset + self.salt.num_total_shards))
+            shard_filter = own if shard_filter is None else (shard_filter & own)
         for s in self.manifest.live_segments():
             if shard_filter is not None and s["shard"] not in shard_filter:
                 continue
@@ -88,12 +105,14 @@ class SegmentServer:
         hits = []
         df = 0
         for shard in self.salt.shards_for_term(term):
-            for path in self._by_shard.get(shard, ()):
+            for path in self._by_shard.get(shard + self._shard_offset, ()):
                 seg = self._segment(path)
                 idx = seg.lookup(term)
                 if idx >= 0:
                     hits.append((seg, idx))
                     df += int(seg.df[idx])
+        if self.df_overrides is not None:
+            df = int(self.df_overrides.get(term, 0))
         return hits, df
 
     # ------------------------------------------------------------------

@@ -1,0 +1,75 @@
+"""Doc-bucketed build + per-bucket-heap query == oracle, bit-identical
+(the 'merging per-shard heaps' scale path; SURVEY.md §2.7-P3/P4)."""
+
+import numpy as np
+import pytest
+
+from engine.core.dockey import doc_key_batch
+from engine.index.build import build_index
+from engine.io.manifest import Manifest
+from engine.io.synth import synth_transcripts_table
+from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+from engine.query.bucketed import query_bucketed
+from engine.query.engine import SegmentServer
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    t = synth_transcripts_table(60, seed=17)
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+    idx = str(tmp_path_factory.mktemp("bidx"))
+    build_index(rd.from_arrow(t), idx, num_shards=4, build_id="bk", doc_buckets=3)
+    return idx, oracle
+
+
+def test_layout_and_term_stats(env):
+    import os
+
+    idx, oracle = env
+    m = Manifest(idx)
+    assert m.data["doc_buckets"] == 3
+    shards = {s["shard"] for s in m.live_segments()}
+    assert max(shards) >= 4  # bucket offsets present
+    assert os.path.isdir(os.path.join(idx, "term_stats"))
+    # term_stats df == oracle df
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(idx, "term_stats")).to_table().to_pandas()
+    for term, (docs, tf) in list(oracle.postings.items())[::29]:
+        row = tbl[tbl.term == term]
+        assert len(row) == 1 and int(row["df"].iloc[0]) == len(docs)
+
+
+def test_bucket_server_local_view(env):
+    idx, oracle = env
+    # each bucket server sees only its doc slice; dfs come from overrides
+    import ray
+
+    term = max(oracle.postings, key=lambda t: len(oracle.postings[t][0]))
+    want_df = len(oracle.postings[term][0])
+    ref = ray.put({term: want_df})
+    total_local = 0
+    for b in range(3):
+        srv = SegmentServer(idx, k=10, bucket=b, df_overrides_ref=ref)
+        hits, df = srv._term_hits(term)
+        assert df == want_df  # global df via override
+        for seg, i in hits:
+            dk, tf, dl = seg.read_postings(i)
+            assert (dk % 3 == b).all(), "bucket leakage"
+            total_local += dk.size
+    assert total_local == want_df
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_bucketed_rank_identical(env, mode):
+    idx, oracle = env
+    queries = seeded_query_set(25, seed=9)
+    res = query_bucketed(idx, queries, k=10, mode=mode).to_pandas()
+    for qid, q in queries:
+        want_k, want_s = oracle.topk(q, 10)
+        sub = res[res.qid == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub["doc_key"].to_numpy(), want_k, err_msg=f"{mode}:{q}")
+        np.testing.assert_array_equal(sub["score"].to_numpy(), want_s, err_msg=f"{mode}:{q}")
