@@ -43,6 +43,55 @@ def _doc_queries_values() -> str:
     return f"(VALUES {rows})"
 
 
+def _not_queries_values() -> str:
+    from engine.pipelines import NOT_QUERIES
+
+    rows = ", ".join(f"({qid}, '{t}', '{ex}')" for qid, t, ex in NOT_QUERIES)
+    return f"(VALUES {rows})"
+
+
+def _bm25_not_sql(k: int) -> str:
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext, extext) AS {_not_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+exterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(extext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+excluded AS (
+  SELECT DISTINCT e.qid, tf.doc_id FROM exterm e JOIN tf ON tf.term = e.term
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c
+  WHERE NOT EXISTS (SELECT 1 FROM excluded x WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_sql(k: int) -> str:
     return f"""
 WITH {_TOK_CTE},
@@ -96,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-text engine (documents corpus, real build+query path)
         "ft_bm25_topk10": lambda sf: P.ft_bm25_topk(sf, k=10),
         "ft_bm25_topk100": lambda sf: P.ft_bm25_topk(sf, k=100),
+        "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
         "ft_stats": P.ft_stats,
         "ft_doc_stats": textstats.doc_stats,
@@ -124,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_bm25_topk10": _bm25_sql(10),
         "ft_bm25_topk100": _bm25_sql(100),
+        "ft_bm25_not": _bm25_not_sql(10),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

@@ -80,12 +80,17 @@ class BM25Oracle:
             scores[idx] += w
         return scores
 
-    def topk(self, query_text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def topk(self, query_text: str, k: int, exclude_text: str | None = None):
         """(doc_keys, scores) of the top-k with tie-break score desc, doc_key asc.
 
-        Docs with score 0 (no query term matches) are excluded.
+        Docs with score 0 (no query term matches) are excluded; docs matching
+        any term of ``exclude_text`` are removed (NOT semantics, D4).
         """
         scores = self.score_query(query_text)
+        if exclude_text:
+            for t in sorted(set(self.analyzer.tokens(exclude_text))):
+                if t in self.postings:
+                    scores[self.postings[t][0]] = 0.0
         nz = np.nonzero(scores)[0]
         # lexsort: last key is primary → (-score, doc_key)
         order = nz[np.lexsort((self.doc_keys[nz], -scores[nz]))][:k]

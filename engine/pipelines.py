@@ -39,6 +39,13 @@ DOC_QUERIES: list[tuple[int, str]] = [
 
 INDEX_ROOT = "/tmp/engine_indexes"
 
+# NOT-query set (D4): (qid, positive terms, excluded terms) — mirrored in SQL
+NOT_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash join", "window"),
+    (1, "scan filter", "spark"),
+    (2, "customer value", "the"),
+]
+
 
 def documents_corpus(sf_dir: str):
     """documents table → keyed corpus (doc_key=doc_id, text)."""
@@ -68,6 +75,28 @@ def ft_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     idx = documents_index(sf_dir)
     qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    res = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
+
+
+def ft_bm25_not(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k with NOT semantics (D4): docs matching any excluded term
+    are removed before top-k. Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items(
+        [{"qid": q, "text": t, "exclude": ex} for q, t, ex in NOT_QUERIES]
+    )
     res = qds.map_batches(
         SegmentServer,
         fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},

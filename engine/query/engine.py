@@ -143,13 +143,31 @@ class SegmentServer:
             scores[np.searchsorted(candidates, dk)] += w
         return candidates, scores
 
-    def topk(self, text: str, k: int | None = None):
-        if self.mode == "wand":
+    def _exclusion_keys(self, exclude_text: str) -> np.ndarray:
+        """Sorted doc_keys matching any exclusion term (D4 NOT semantics)."""
+        parts = []
+        for t in sorted(set(self.analyzer.tokens(exclude_text))):
+            hits, _ = self._term_hits(t)
+            for seg, idx in hits:
+                parts.append(seg.read_postings(idx)[0])
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+    def topk(self, text: str, k: int | None = None, exclude: str | None = None):
+        if self.mode == "wand" and not exclude:
             from engine.query.wand import wand_topk
 
             assert not self.score_micro, "score_micro requires exhaustive mode"
             return wand_topk(self, text, k or self.k)
         dk, sc = self.score_query(text)
+        if exclude:
+            # NOT queries: sorted-set difference before top-k (block-max
+            # bounds are not exclusion-aware, so this path is exhaustive)
+            ex = self._exclusion_keys(exclude)
+            if ex.size:
+                pos = np.searchsorted(ex, dk)
+                pos[pos >= ex.size] = 0
+                keep = ex[pos] != dk
+                dk, sc = dk[keep], sc[keep]
         if self.score_micro:
             # floor BEFORE top-k so selection order == the micro order
             sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
@@ -158,9 +176,14 @@ class SegmentServer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["qid"].to_numpy()
         texts = batch["text"].to_pylist()
+        excludes = (
+            batch["exclude"].to_pylist()
+            if "exclude" in batch.column_names
+            else [None] * len(texts)
+        )
         out_qid, out_rank, out_key, out_score = [], [], [], []
-        for qid, text in zip(qids, texts):
-            dk, sc = self.topk(text)
+        for qid, text, excl in zip(qids, texts, excludes):
+            dk, sc = self.topk(text, exclude=excl or None)
             n = len(dk)
             out_qid.append(np.full(n, qid, dtype=np.int64))
             out_rank.append(np.arange(1, n + 1, dtype=np.int32))

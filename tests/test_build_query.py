@@ -85,6 +85,18 @@ class TestRankIdentity:
             np.testing.assert_array_equal(got_keys, want_keys, err_msg=f"q{qid}: {qtext}")
             np.testing.assert_allclose(got_scores, want_scores, rtol=0, atol=1e-6)
 
+    def test_not_queries(self, index_dir, oracle):
+        """D4: exclusion removes docs matching any excluded term."""
+        srv = SegmentServer(index_dir, k=10)
+        for qtext, excl in [("sa ro", "mi"), ("kona", "sa"), ("sa", "sa")]:
+            wk, ws = oracle.topk(qtext, 10, exclude_text=excl)
+            gk, gs = srv.topk(qtext, exclude=excl)
+            np.testing.assert_array_equal(gk, wk, err_msg=f"{qtext} NOT {excl}")
+            np.testing.assert_array_equal(gs, ws)
+            # excluded docs truly absent
+            ex = srv._exclusion_keys(excl)
+            assert not np.isin(gk, ex).any()
+
     def test_scores_bit_identical(self, index_dir, oracle):
         """Fixed summation order → engine == oracle exactly, not just 1e-6."""
         srv = SegmentServer(index_dir, k=10)
