@@ -142,8 +142,13 @@ def run_bench() -> dict:
 
 
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    # the scaling evidence uses a larger corpus than the per-round bench so
+    # compute dominates fixed pipeline costs at the high-CPU leg (the
+    # criterion compares the SAME job at both levels either way)
+    scale_convs = os.environ.get("GRAFT_SCALING_CONVS", str(max(N_CONVS, 480_000)))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CONVS=scale_convs)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -154,7 +159,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    _prepare_corpus()  # shared, warmed corpus for both runs
+    # corpus is generated (untimed) by the first child run and shared
     r_lo, r_hi = run(lo), run(hi)
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]

@@ -198,9 +198,16 @@ def build_index(
         )
     import functools
 
-    shuffled = triples.repartition(
-        num_blocks=salt.num_total_shards * doc_buckets, keys=["term_shard"]
-    )
+    # Reduce-partition count: shards are the LOGICAL partitioning (segment
+    # content is per-shard regardless of task granularity — assemble splits
+    # multi-shard blocks); task-level partitions track the cluster instead,
+    # because hash-shuffle cost grows with partition count (~1s/partition of
+    # fixed overhead at small scale). Capped by shard count.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+    num_blocks = min(salt.num_total_shards * doc_buckets, max(8, 2 * cpus))
+    shuffled = triples.repartition(num_blocks=num_blocks, keys=["term_shard"])
     metrics_ds = shuffled.map_batches(
         functools.partial(
             assemble_batch,

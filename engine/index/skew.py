@@ -31,14 +31,16 @@ class _TermCounts:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, dl = self.an.tokenize_batch(batch["text"])
+        # term "" is never a real token — it carries the batch's doc count so
+        # the driver needs no second pass over the sample to size the scale
         if flat.size == 0:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
+            return pa.table({"term": pa.array([""], type=pa.string()),
+                             "n": pa.array([batch.num_rows], type=pa.int64())})
         uniq, counts = np.unique(flat, return_counts=True)
         return pa.table(
             {
-                "term": pa.array(uniq, type=pa.string()),
-                "n": pa.array(counts.astype(np.int64)),
+                "term": pa.array(np.concatenate([[""], uniq]), type=pa.string()),
+                "n": pa.array(np.concatenate([[batch.num_rows], counts]).astype(np.int64)),
             }
         )
 
@@ -75,7 +77,7 @@ def sketch_salt_map(
     if len(parts) == 0:
         return SaltMap(num_shards)
     counts = parts.groupby("term")["n"].sum()
-    n_sample_docs = min(sample_docs, int(sample.count()))
+    n_sample_docs = int(counts.pop("")) if "" in counts.index else 0
     scale = 1.0
     if total_docs and n_sample_docs:
         scale = max(1.0, total_docs / n_sample_docs)
