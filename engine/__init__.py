@@ -6,7 +6,7 @@ session (__ray_entry__.py contract).
 """
 
 try:  # configure hash shuffle before any Dataset is created by our callers
-    from engine.core.context import ensure_hash_shuffle as _ehs
+    from engine.core.context import tune_shuffle as _ehs
 
     _ehs()
 except Exception:  # pragma: no cover - ray not importable yet

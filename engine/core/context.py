@@ -1,18 +1,25 @@
 """Ray Data execution-context knobs the engine relies on.
 
-The engine's all-to-all exchanges (term_shard repartition, groupbys) are hash
-partitioned — key-based ``repartition(keys=...)`` requires
-``ShuffleStrategy.HASH_SHUFFLE``. Ray's hash-shuffle defaults assume a large
-cluster (200 partitions, up to 64 aggregator actors, 300 s aggregator wait);
-on a small/local cluster those actors cannot all schedule and the executor
-stalls minutes per shuffle. ``ensure_hash_shuffle`` therefore sizes the
-aggregator pool to the cluster that actually exists — which is also the
-right behaviour on a 256-node cluster (scales back up with CPU count).
+Shuffle strategy policy (measured on this Ray version, see build.py):
+- The engine's all-to-alls use the DEFAULT sort-based shuffle — the build's
+  term_shard exchange is a range-partitioning sort (~9x faster than the
+  hash-shuffle operator on the same triples, with row-balanced output
+  blocks), and groupby/map_groups work under it unchanged.
+- Key-based ``repartition(keys=...)`` (only core/dedup.py needs the
+  co-location guarantee) requires ShuffleStrategy.HASH_SHUFFLE — scoped via
+  the ``hash_strategy()`` context manager around dataset CREATION (Datasets
+  snapshot DataContext when created, so the global flip is restored
+  immediately after).
+- ``tune_shuffle`` sizes the hash-aggregator pool to the cluster that
+  actually exists: Ray's defaults (200 partitions, 64 aggregator actors,
+  300s waits) assume a large cluster and stall a small one.
 
 Never calls ray.init (the driver owns the session — __ray_entry__.py).
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 
 def _cluster_cpus() -> int:
@@ -26,15 +33,33 @@ def _cluster_cpus() -> int:
     return 4
 
 
-def ensure_hash_shuffle(ds=None) -> None:
-    """Set hash shuffle (sized to the cluster) on the global context and, if
-    given, on a Dataset's captured context (Datasets snapshot DataContext at
-    creation time)."""
-    from ray.data.context import DataContext, ShuffleStrategy
+def tune_shuffle(ds=None) -> None:
+    """Size hash-shuffle aggregators to the real cluster (no strategy change)."""
+    from ray.data.context import DataContext
 
     cpus = _cluster_cpus()
     for ctx in filter(None, [DataContext.get_current(), getattr(ds, "context", None)]):
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         ctx.default_hash_shuffle_parallelism = max(8, 2 * cpus)
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
         ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
+
+
+@contextmanager
+def hash_strategy():
+    """Scoped HASH_SHUFFLE for pipelines that need repartition(keys=...)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    tune_shuffle()
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+# Backwards-compatible alias used across ops: sizing only (strategy stays
+# at Ray's default sort shuffle).
+def ensure_hash_shuffle(ds=None) -> None:
+    tune_shuffle(ds)

@@ -14,9 +14,7 @@ import pyarrow as pa
 
 
 def dedup_turns(ds):
-    from engine.core.context import ensure_hash_shuffle
-
-    ensure_hash_shuffle(ds)
+    from engine.core.context import hash_strategy
 
     def keep_first(batch: pa.Table) -> pa.Table:
         """Within a hash partition every instance of a key is present, so a
@@ -38,6 +36,13 @@ def dedup_turns(ds):
     import ray
 
     nblocks = 2 * int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 8
-    return ds.repartition(num_blocks=nblocks, keys=["conv_id", "turn_idx"]).map_batches(
-        keep_first, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    with hash_strategy():  # repartition(keys) needs the hash operator
+        from ray.data.context import ShuffleStrategy
+
+        try:  # the input Dataset snapshotted its context at creation
+            ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        except AttributeError:
+            pass
+        return ds.repartition(num_blocks=nblocks, keys=["conv_id", "turn_idx"]).map_batches(
+            keep_first, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )

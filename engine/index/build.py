@@ -198,17 +198,15 @@ def build_index(
         )
     import functools
 
-    # Reduce-partition count: shards are the LOGICAL partitioning (segment
-    # content is per-shard regardless of task granularity — assemble splits
-    # multi-shard blocks); task-level partitions track the cluster instead,
-    # because hash-shuffle cost grows with partition count (~1s/partition of
-    # fixed overhead at small scale). Capped by shard count.
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
-    num_blocks = min(salt.num_total_shards * doc_buckets, max(8, 2 * cpus))
-    shuffled = triples.repartition(num_blocks=num_blocks, keys=["term_shard"])
-    metrics_ds = shuffled.map_batches(
+    # THE all-to-all: a range-partitioning SORT on term_shard, not a hash
+    # repartition. Measured on this Ray version the sort shuffle moves the
+    # same triples ~9x faster than the hash-shuffle operator, its output
+    # blocks are ROW-balanced (a hot shard spans several blocks, so the
+    # assemble stage has no straggler by construction), and shards remain
+    # the logical partitioning: a shard (or term) split across blocks just
+    # yields multiple segments, which the query path already treats as
+    # tiers (df summed across segments; merge compacts later).
+    metrics_ds = triples.sort("term_shard").map_batches(
         functools.partial(
             assemble_batch,
             segments_dir=segments_dir,
