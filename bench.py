@@ -99,6 +99,13 @@ def run_bench() -> dict:
     )
     timings["build_transcripts"] = time.monotonic() - t0
 
+    # -- merge (E3): compact each shard's build segments before querying -----
+    from engine.index.merge import run_merge
+
+    t0 = time.monotonic()
+    run_merge(idx_dir, compact=True)
+    timings["merge_segments"] = time.monotonic() - t0
+
     # -- query_transcripts ---------------------------------------------------
     queries = seeded_query_set(N_QUERIES, seed=7)
     t0 = time.monotonic()

@@ -187,7 +187,7 @@ def pfor_decode(buf: bytes | memoryview, n: int, offset: int = 0) -> tuple[np.nd
     if n_exc:
         pos_delta, offset = varint_decode(mv, n_exc, offset)
         high, offset = varint_decode(mv, n_exc, offset)
-        pos = np.cumsum(pos_delta.astype(np.int64))
+        pos = np.cumsum(pos_delta).astype(np.int64)  # uint64 cumsum: fast path
         vals[pos] |= high << np.uint64(b)
     return vals, offset
 
@@ -255,7 +255,7 @@ class StreamReader:
             if self.n_exc:
                 pos_delta, off = varint_decode(self.buf, self.n_exc, self.exc_off)
                 high, _ = varint_decode(self.buf, self.n_exc, off)
-                self._exc = (np.cumsum(pos_delta.astype(np.int64)), high)
+                self._exc = (np.cumsum(pos_delta).astype(np.int64), high)
             else:
                 self._exc = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
         return self._exc
@@ -349,17 +349,27 @@ class TermPostings:
         self.dls = StreamReader(buf, n_docs, self.tfm1.end)
 
     def decode_all(self):
-        dk = np.cumsum(self.gaps.decode_all().astype(np.int64)) + self.base
+        dk = np.cumsum(self.gaps.decode_all()).astype(np.int64) + self.base
         tf = (self.tfm1.decode_all() + np.uint64(1)).astype(np.int32)
         dl = self.dls.decode_all().astype(np.int32)
         return dk, tf, dl
+
+    def decode_tfdl(self):
+        """tf+dl streams only — enough to compute BM25 weights without the
+        gap decode + cumsum (used for the sortless θ bootstrap)."""
+        tf = (self.tfm1.decode_all() + np.uint64(1)).astype(np.int32)
+        dl = self.dls.decode_all().astype(np.int32)
+        return tf, dl
+
+    def decode_keys(self):
+        return np.cumsum(self.gaps.decode_all()).astype(np.int64) + self.base
 
     def decode_block(self, block_idx: int, block_base: int):
         """Decode one BLOCK_SIZE block given the previous block's last
         doc_key (from the skip table)."""
         s = block_idx * BLOCK_SIZE
         e = min(s + BLOCK_SIZE, self.n)
-        dk = np.cumsum(self.gaps.decode_range(s, e).astype(np.int64)) + block_base
+        dk = np.cumsum(self.gaps.decode_range(s, e)).astype(np.int64) + block_base
         tf = (self.tfm1.decode_range(s, e) + np.uint64(1)).astype(np.int32)
         dl = self.dls.decode_range(s, e).astype(np.int32)
         return dk, tf, dl
@@ -397,7 +407,7 @@ def decode_block(buf: bytes | memoryview, base: int, offset: int = 0):
     gaps, offset = pfor_decode(mv, n, offset)
     tfm1, offset = pfor_decode(mv, n, offset)
     dls, offset = pfor_decode(mv, n, offset)
-    doc_keys = np.cumsum(gaps.astype(np.int64)) + base
+    doc_keys = np.cumsum(gaps).astype(np.int64) + base  # uint64 cumsum: fast path
     return doc_keys, (tfm1 + np.uint64(1)).astype(np.int32), dls.astype(np.int32), offset
 
 

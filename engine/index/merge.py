@@ -77,9 +77,24 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
     }
 
 
-def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN) -> list[dict]:
+def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN, *, compact: bool = False) -> list[dict]:
     """Log-structured policy: per (shard, tier) with >= fanin live segments,
-    merge the oldest ``fanin`` into tier+1."""
+    merge the oldest ``fanin`` into tier+1. ``compact=True`` instead merges
+    ALL live segments of a shard (any tier) into one — full compaction, used
+    before query-heavy phases."""
+    if compact:
+        by_shard: dict[int, list[dict]] = {}
+        for s in manifest.live_segments():
+            by_shard.setdefault(s["shard"], []).append(s)
+        return [
+            {
+                "shard": shard,
+                "tier": max(int(x.get("tier", 0)) for x in segs) + 1,
+                "segments": [x["name"] for x in segs],
+            }
+            for shard, segs in sorted(by_shard.items())
+            if len(segs) >= 2
+        ]
     by_shard_tier: dict[tuple[int, int], list[dict]] = {}
     for s in manifest.live_segments():
         by_shard_tier.setdefault((s["shard"], int(s.get("tier", 0))), []).append(s)
@@ -93,7 +108,8 @@ def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN) -> list[dict]:
     return plans
 
 
-def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | None = None) -> int:
+def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | None = None,
+              compact: bool = False) -> int:
     """Execute the tiered-merge policy once. Returns #merges performed.
 
     Ray-Data mapping: the merge work-list becomes a Dataset; each plan runs
@@ -104,7 +120,7 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
     import ray.data as rd
 
     manifest = Manifest(index_dir)
-    plans = plan_merges(manifest, fanin)
+    plans = plan_merges(manifest, fanin, compact=compact)
     if not plans:
         return 0
     merge_id = merge_id or ("m" + uuid.uuid4().hex[:7])

@@ -14,8 +14,42 @@ import pyarrow.parquet as pq
 from engine.index import codecs
 
 
+class PostingLRU:
+    """Value-count-budgeted LRU for decoded postings / weights. One per
+    SegmentServer actor, shared across its segments: Zipfian query streams
+    re-hit the same head terms constantly, and re-decoding a multi-million
+    posting list per query dominates query cost without it."""
+
+    def __init__(self, max_values: int):
+        from collections import OrderedDict
+
+        self.od: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self.nvals = 0
+        self.max = max_values
+
+    def get(self, key):
+        v = self.od.get(key)
+        if v is not None:
+            self.od.move_to_end(key)
+            return v[0]
+        return None
+
+    def put(self, key, value, nvals: int):
+        if key in self.od:
+            self.nvals -= self.od[key][1]
+        self.od[key] = (value, nvals)
+        self.nvals += nvals
+        while self.nvals > self.max and len(self.od) > 1:
+            _, (_, n) = self.od.popitem(last=False)
+            self.nvals -= n
+
+
 class Segment:
     def __init__(self, path: str, *, preload_skips: bool = False):
+        # caches are attached by the owning SegmentServer (shared, budgeted)
+        self.pcache: PostingLRU | None = None
+        self.wcache: PostingLRU | None = None
+        self._kth_cache: dict[tuple, float] = {}
         self.path = path
         d = pq.read_table(os.path.join(path, "dict.parquet"))
         # terms are written sorted ascending → binary search lookup
@@ -56,12 +90,62 @@ class Segment:
 
     def read_postings(self, idx: int):
         """Decode the full posting list for dict entry ``idx`` →
-        (doc_keys:int64, tfs:int32, dls:int32)."""
-        return codecs.decode_term_postings(self._term_blob(idx), int(self.df[idx]))
+        (doc_keys:int64, tfs:int32, dls:int32). LRU-cached when owned by a
+        server."""
+        if self.pcache is not None:
+            key = (self.path, idx)
+            hit = self.pcache.get(key)
+            if hit is not None:
+                return hit
+        out = codecs.decode_term_postings(self._term_blob(idx), int(self.df[idx]))
+        if self.pcache is not None:
+            self.pcache.put(key, out, 2 * out[0].size)  # ~16B/posting
+        return out
+
+    def weights(self, idx: int, idf: float, avgdl: float) -> np.ndarray:
+        """BM25 per-posting weights idf*tf_sat(tf, dl) — cached (idf and
+        avgdl are constants for a server's lifetime)."""
+        if self.wcache is not None:
+            key = (self.path, idx)
+            hit = self.wcache.get(key)
+            if hit is not None:
+                return hit
+        from engine.oracle.bm25 import tf_sat
+
+        _, tf, dl = self.read_postings(idx)
+        w = idf * tf_sat(tf, dl, avgdl)
+        if self.wcache is not None:
+            self.wcache.put(key, w, w.size)
+        return w
 
     def term_postings(self, idx: int) -> codecs.TermPostings:
-        """Lazy per-block reader (WAND path)."""
-        return codecs.TermPostings(self._term_blob(idx), int(self.df[idx]))
+        """Lazy per-block reader (WAND path). Cached so the stream-exception
+        tables decode once per (segment, term), not once per query."""
+        if self.pcache is not None:
+            key = (self.path, idx, "tp")
+            hit = self.pcache.get(key)
+            if hit is not None:
+                return hit
+        tp = codecs.TermPostings(self._term_blob(idx), int(self.df[idx]))
+        if self.pcache is not None:
+            # exceptions + header state only; frames stay in the mmap
+            self.pcache.put(key, tp, max(64, int(self.df[idx]) // 16))
+        return tp
+
+    def kth_weight(self, idx: int, k: int, idf: float, avgdl: float) -> float:
+        """k-th largest BM25 weight within this list — the sortless θ
+        bootstrap value (engine/query/wand.py). Cached: it is a constant of
+        (segment, term, k) for a server's lifetime."""
+        key = (idx, k)
+        hit = self._kth_cache.get(key)
+        if hit is None:
+            w = self.weights(idx, idf, avgdl)
+            if w.size < k or k <= 0:
+                hit = -np.inf
+            else:
+                hit = float(np.partition(w, w.size - k)[w.size - k])
+            self._kth_cache[key] = hit
+        return hit
 
     def term_skips(self, idx: int):
         """Skip rows (NumPy dict) for dict entry ``idx`` — block-max WAND

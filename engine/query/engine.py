@@ -47,8 +47,15 @@ class SegmentServer:
 
     def __init__(self, index_dir: str, k: int = 10, shards: list[int] | None = None,
                  mode: str = "exhaustive", score_micro: bool = False,
-                 bucket: int | None = None, df_overrides_ref=None):
+                 bucket: int | None = None, df_overrides_ref=None,
+                 cache_postings: int = 24_000_000):
         import os
+
+        from engine.index.segment import PostingLRU
+
+        # per-actor decoded-posting + weight caches (see PostingLRU)
+        self._plru = PostingLRU(cache_postings) if cache_postings else None
+        self._wlru = PostingLRU(cache_postings) if cache_postings else None
 
         self.manifest = Manifest(index_dir)
         self.k = k
@@ -96,6 +103,8 @@ class SegmentServer:
         seg = self._open.get(path)
         if seg is None:
             seg = Segment(path)
+            seg.pcache = self._plru
+            seg.wcache = self._wlru
             self._open[path] = seg
         return seg
 
@@ -125,23 +134,19 @@ class SegmentServer:
         (SURVEY.md §7 hard part 1; np.add.reduceat would differ in the last
         ulp because its SIMD accumulation order differs from sequential +=).
         """
+        from engine.query.topk import accumulate_sorted_lists
+
         terms = sorted(set(self.analyzer.tokens(text)))
-        parts = []  # (term_order, doc_keys, weights) per (term, segment)
+        parts = []  # (doc_keys, weights) per (term, segment), ORACLE order
         for t in terms:
             hits, df = self._term_hits(t)
             if not hits:
                 continue
             w_idf = float(bm25_idf(self.n_docs, df))
             for seg, idx in hits:
-                dk, tf, dl = seg.read_postings(idx)
-                parts.append((dk, w_idf * tf_sat(tf, dl, self.avgdl)))
-        if not parts:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        candidates = np.unique(np.concatenate([p[0] for p in parts]))
-        scores = np.zeros(candidates.size, dtype=np.float64)
-        for dk, w in parts:
-            scores[np.searchsorted(candidates, dk)] += w
-        return candidates, scores
+                dk = seg.read_postings(idx)[0]
+                parts.append((dk, seg.weights(idx, w_idf, self.avgdl)))
+        return accumulate_sorted_lists(parts)
 
     def _exclusion_keys(self, exclude_text: str) -> np.ndarray:
         """Sorted doc_keys matching any exclusion term (D4 NOT semantics)."""

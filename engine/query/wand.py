@@ -1,28 +1,33 @@
 """Block-max dynamic pruning for top-k BM25 (SURVEY.md §2.8-D2/D3;
 BASELINE.json:6 "block-max WAND posting-list intersection").
 
-Implementation is the term-at-a-time member of the block-max WAND family
-(Block-Max MaxScore): per 128-doc block the skip table stores
-(block_max_tf, block_min_dl), giving a SOUND per-block score upper bound
-``idf * tf_sat(block_max_tf, block_min_dl, avgdl)`` (tf_sat is increasing in
-tf and decreasing in dl). Pruning logic:
+Term-at-a-time member of the block-max WAND family (Block-Max MaxScore),
+shaped for a vectorised NumPy engine where a full-stream decode is a few
+vector ops — so pruning avoids SORTS and CANDIDATE-RESTRICTED decodes, not
+sequential posting reads:
 
-  - terms processed in descending upper bound; θ = k-th best partial score
-    (partials are lower bounds of final scores, so θ is always valid)
-  - a term whose bound-for-new-docs (ub_i + Σ_{j>i} ub_j) cannot reach θ is a
-    REFINEMENT term: it can only improve existing candidates, so only the
-    blocks containing surviving candidates are decoded (block skipping —
-    this is where the 90%-of-postings head terms get skipped, since high df
-    ⇒ low idf ⇒ low ub)
-  - candidates are pruned when partial + remaining upper bounds < θ - EPS
-  - single-term queries: blocks decoded in descending block-ub order with
-    early exit once the next block bound < θ - EPS
+  1. SORTLESS θ bootstrap: every list's weights are computed from its tf/dl
+     streams only (no gap decode, no doc keys); the k-th largest single-list
+     weight is a valid lower bound on the final k-th score (those k docs
+     each score at least that much), so θ0 = max over lists — one
+     O(N) np.partition per list, no merges.
+  2. ESSENTIAL terms (descending upper bound ub_i = max block bound; a term
+     is essential while ub_i + Σ_{j>i} ub_j can still reach θ0) decode their
+     doc keys and aggregate in ONE concat+argsort+reduceat.
+  3. REFINEMENT terms (typically the Zipf head: high df ⇒ low idf ⇒ low ub)
+     never decode fully — only the 128-doc blocks containing surviving
+     candidates (skip-table searchsorted → O(1) frame access), with
+     candidates pruned between terms as θ rises.
+  4. Single-term queries skip all of it: weights + argpartition top-k.
 
-EXACTNESS: pruning uses an EPS=1e-9 slack so upper-bound comparisons can
-never drop a true top-k member through last-ulp float noise, and the FINAL
-scores of surviving candidates are recomputed in sorted-term order with the
-oracle's accumulation sequence — so wand_topk is bit-identical to the
-exhaustive path (asserted by tests on every query, k=10/100).
+Per-block bound: idf * tf_sat(block_max_tf, block_min_dl, avgdl) — sound
+(tf_sat increasing in tf, decreasing in dl).
+
+EXACTNESS: every bound comparison carries an EPS=1e-9 slack so last-ulp
+float noise can never drop a true top-k member (ties included), and final
+scores of survivors are recomputed in sorted-term order with the oracle's
+float op sequence — wand_topk is bit-identical to the exhaustive path and
+the oracle (tests/test_wand.py, every query shape, k=10/100).
 """
 
 from __future__ import annotations
@@ -37,9 +42,10 @@ EPS = 1e-9
 
 
 class _TermList:
-    """One (segment, term) posting list + its block-max metadata."""
+    """One (segment, term) posting list + block-max metadata, with
+    lazily-cached decodes (weights first; doc keys only when needed)."""
 
-    __slots__ = ("seg", "idx", "idf", "last_doc", "ub_blocks", "_tp", "_full", "_blocks")
+    __slots__ = ("seg", "idx", "idf", "last_doc", "ub_blocks", "_tp", "_w", "_keys", "_blocks")
 
     def __init__(self, seg, idx: int, idf: float, avgdl: float):
         self.seg = seg
@@ -49,7 +55,8 @@ class _TermList:
         self.last_doc = sk["last_doc_key"]
         self.ub_blocks = idf * tf_sat(sk["block_max_tf"], sk["block_min_dl"], avgdl)
         self._tp = None
-        self._full = None
+        self._w = None
+        self._keys = None
         self._blocks = {}
 
     @property
@@ -58,12 +65,18 @@ class _TermList:
             self._tp = self.seg.term_postings(self.idx)
         return self._tp
 
+    def weights(self, avgdl: float) -> np.ndarray:
+        if self._w is None:
+            self._w = self.seg.weights(self.idx, self.idf, avgdl)
+        return self._w
+
+    def keys(self) -> np.ndarray:
+        if self._keys is None:
+            self._keys = self.seg.read_postings(self.idx)[0]
+        return self._keys
+
     def full(self, avgdl: float):
-        """(doc_keys, weights), cached."""
-        if self._full is None:
-            dk, tf, dl = self.tp.decode_all()
-            self._full = (dk, self.idf * tf_sat(tf, dl, avgdl))
-        return self._full
+        return self.keys(), self.weights(avgdl)
 
     def block(self, b: int, avgdl: float):
         out = self._blocks.get(b)
@@ -75,18 +88,17 @@ class _TermList:
         return out
 
     def lookup(self, cand: np.ndarray, avgdl: float):
-        """Contributions of this list restricted to candidate doc_keys,
-        decoding only the blocks that can contain them."""
-        if self._full is not None:
-            dk, w = self._full
+        """Contributions restricted to candidate doc_keys, decoding only the
+        blocks that can contain them (falls back to one vectorised full
+        decode when candidates touch much of the list)."""
+        if self._keys is not None:
+            dk, w = self._keys, self.weights(avgdl)
         else:
             blocks = np.unique(np.searchsorted(self.last_doc, cand, side="left"))
             blocks = blocks[blocks < self.last_doc.size]
             if blocks.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             if blocks.size >= max(4, self.last_doc.size // 4):
-                # candidates touch much of the list — one vectorised full
-                # decode beats per-block gathers
                 dk, w = self.full(avgdl)
             else:
                 parts = [self.block(int(b), avgdl) for b in blocks]
@@ -98,113 +110,119 @@ class _TermList:
         return dk[mask], w[mask]
 
 
-def _merge_partials(cand_k, cand_s, new_k, new_w):
-    """Union-merge (sorted keys) adding weights; selection-phase only —
-    final scores are recomputed exactly afterwards."""
-    all_k = np.concatenate([cand_k, new_k])
-    all_s = np.concatenate([cand_s, new_w])
-    order = np.argsort(all_k, kind="stable")
-    sk, ss = all_k[order], all_s[order]
-    boundaries = np.nonzero(sk[1:] != sk[:-1])[0] + 1
-    starts = np.concatenate(([0], boundaries))
-    return sk[starts], np.add.reduceat(ss, starts)
-
-
-def _kth(scores: np.ndarray, k: int) -> float:
-    if scores.size < k:
+def _kth_largest(x: np.ndarray, k: int) -> float:
+    if x.size < k or k <= 0:
         return -np.inf
-    return float(np.partition(scores, scores.size - k)[scores.size - k])
+    return float(np.partition(x, x.size - k)[x.size - k])
 
 
 def wand_topk(server, text: str, k: int):
     terms = sorted(set(server.analyzer.tokens(text)))
+    avgdl = server.avgdl
     infos = []
     for t in terms:
         hits, df = server._term_hits(t)
         if not hits:
             continue
         idf = float(bm25_idf(server.n_docs, df))
-        lists = [_TermList(seg, idx, idf, server.avgdl) for seg, idx in hits]
+        lists = [_TermList(seg, idx, idf, avgdl) for seg, idx in hits]
         ub = max(float(tl.ub_blocks.max()) for tl in lists)
         infos.append({"term": t, "lists": lists, "ub": ub})
     if not infos:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
-    avgdl = server.avgdl
-    infos.sort(key=lambda d: (-d["ub"], d["term"]))
-
     if len(infos) == 1:
-        # single term: one vectorised stream decode IS the optimal plan here
-        # (block-granular skipping only pays when decode is per-block costly
-        # or when restricting to a candidate set — there is none yet)
-        tl0 = infos[0]["lists"]
-        cand = np.concatenate([tl.full(avgdl)[0] for tl in tl0])
-    else:
-        cand = _multi_term(infos, k, avgdl)
+        # single term: scores ARE the weights; one decode + argpartition —
+        # exactly the oracle's values, no aggregation or re-score needed
+        lists = infos[0]["lists"]
+        dk = np.concatenate([tl.keys() for tl in lists])
+        w = np.concatenate([tl.weights(avgdl) for tl in lists])
+        return topk_postings(dk, w, k)
 
-    # exact re-score of survivors in sorted-term order (oracle op sequence)
-    cand = np.unique(cand)
-    scores = np.zeros(cand.size, dtype=np.float64)
-    for info in sorted(infos, key=lambda d: d["term"]):
-        for tl in info["lists"]:
-            dk, w = tl.lookup(cand, avgdl)
-            if dk.size:
-                scores[np.searchsorted(cand, dk)] += w
+    cand, scores = _multi_term(infos, k, avgdl)
+    if scores is None:
+        # exact scoring of admitted candidates in sorted-term order (oracle
+        # op order); cand is sorted unique; candidates are searched INTO each
+        # list (O(|cand| log df) per list — never a scan of the big lists)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for info in sorted(infos, key=lambda d: d["term"]):
+            for tl in info["lists"]:
+                dk = tl.keys()
+                if dk.size == 0 or cand.size == 0:
+                    continue
+                pos = np.searchsorted(dk, cand)
+                pos[pos >= dk.size] = 0
+                match = dk[pos] == cand
+                if match.any():
+                    scores[match] += tl.weights(avgdl)[pos[match]]
     return topk_postings(cand, scores, k)
 
 
-def _multi_term(infos, k: int, avgdl: float) -> np.ndarray:
-    """Two-phase MaxScore with block-level refinement.
+def _multi_term(infos, k: int, avgdl: float):
+    """→ (cand_keys sorted unique, None) — candidate ADMISSION by per-list
+    exact-max thresholds (TAAT MaxScore with exact maxima).
 
-    Phase 0 (bootstrap): k-th best score of the highest-ub term alone — a
-    valid θ lower bound (scores only grow with more terms).
-    Phase 1 (essential): terms whose new-doc bound (ub_i + Σ_{j>i} ub_j)
-    reaches θ are decoded fully and aggregated ONCE (no per-term merging).
-    Phase 2 (refinement): remaining terms — descending ub — only look up
-    surviving candidates via block-selective decode; candidates are pruned
-    between terms as θ rises.
+    θ = max over lists of the list's k-th largest weight (a valid lower
+    bound on the final k-th score). A doc reachable only from list i can
+    beat θ only if w_i(doc) ≥ θ − Σ_{j≠i} max_w_j: taking i* = the doc's
+    strongest term, failing the test for EVERY list it appears in implies
+    total = w_{i*} + Σ_{j≠i*} w_j ≤ w_{i*} + Σ_{j≠i*} max_w_j < θ. So the
+    union of per-list threshold masks (vectorised, no sort) is a superset of
+    the true top-k. Exact maxima come from the cached weights (tighter than
+    block bounds); the block-max skip metadata remains the cold-path/
+    streaming traversal story (_TermList.block / lookup).
+
+    When θ is unbounded (every list shorter than k — tiny corpora) the masks
+    keep everything and this degenerates to the exhaustive union.
     """
-    ubs = np.array([d["ub"] for d in infos])
-    rem = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+    from engine.query.topk import accumulate_sorted_lists
 
-    # phase 0: bootstrap θ from the top-ub term (its decode is reused)
-    boot_w = np.concatenate([tl.full(avgdl)[1] for tl in infos[0]["lists"]])
-    theta = _kth(boot_w, k)
-
-    # phase 1: essential set (decided once)
-    n_ess = 1
-    while n_ess < len(infos) and (
-        not np.isfinite(theta) or ubs[n_ess] + rem[n_ess] >= theta - EPS
-    ):
-        n_ess += 1
-    if n_ess == len(infos):
-        # nothing to prune — candidates are simply every matching doc; the
-        # exact re-score in wand_topk reuses the cached full decodes, so this
-        # degenerates to the exhaustive plan with no aggregation overhead
-        return np.concatenate(
-            [tl.full(avgdl)[0] for info in infos for tl in info["lists"]]
-        )
-    parts_k, parts_w = [], []
-    for info in infos[:n_ess]:
+    max_w = []  # exact per-TERM max weight
+    theta = -np.inf
+    for info in infos:
+        m = 0.0
         for tl in info["lists"]:
-            dk, w = tl.full(avgdl)
-            parts_k.append(dk)
-            parts_w.append(w)
-    cand_k, cand_s = _merge_partials(
-        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
-        np.concatenate(parts_k), np.concatenate(parts_w),
-    )
-    # phase 2: refinement terms can only raise existing candidates
-    for i in range(n_ess, len(infos)):
-        theta = max(theta, _kth(cand_s, k))
-        if np.isfinite(theta):
-            keep = cand_s + ubs[i] + rem[i] >= theta - EPS
-            cand_k, cand_s = cand_k[keep], cand_s[keep]
-        for tl in infos[i]["lists"]:
-            dk, w = tl.lookup(cand_k, avgdl)
-            if dk.size:
-                cand_s[np.searchsorted(cand_k, dk)] += w
-    theta = max(theta, _kth(cand_s, k))
-    if np.isfinite(theta):
-        cand_k = cand_k[cand_s >= theta - EPS]
-    return cand_k
+            theta = max(theta, tl.seg.kth_weight(tl.idx, k, tl.idf, avgdl))
+            m = max(m, tl.seg.kth_weight(tl.idx, 1, tl.idf, avgdl))
+        max_w.append(m)
+    sum_ub = float(np.sum(max_w))
+
+    # PROBE: exact-score each list's k weight-heaviest docs (any k docs give
+    # a valid lower bound — tie exactness not needed for a bound). Their
+    # exact sums include cross-term mass, lifting θ far above the
+    # single-list bootstrap for multi-term queries.
+    probe_keys = []
+    for info in infos:
+        for tl in info["lists"]:
+            w = tl.weights(avgdl)
+            if w.size > k:
+                probe_keys.append(tl.keys()[np.argpartition(w, w.size - k)[w.size - k :]])
+            else:
+                probe_keys.append(tl.keys())
+    probe = np.unique(np.concatenate(probe_keys))
+    psc = np.zeros(probe.size, dtype=np.float64)
+    for info in infos:
+        for tl in info["lists"]:
+            dk = tl.keys()
+            pos = np.searchsorted(dk, probe)
+            pos[pos >= dk.size] = 0
+            match = dk[pos] == probe
+            if match.any():
+                psc[match] += tl.weights(avgdl)[pos[match]]
+    theta = max(theta, _kth_largest(psc, k))
+
+    parts = []
+    for i, info in enumerate(infos):
+        thr = theta - (sum_ub - max_w[i]) - EPS
+        for tl in info["lists"]:
+            w = tl.weights(avgdl)
+            if not np.isfinite(theta) or thr <= 0:
+                parts.append((tl.keys(), w))
+                continue
+            mask = w >= thr
+            if mask.any():
+                parts.append((tl.keys()[mask], w[mask]))
+    if not parts:
+        return np.empty(0, dtype=np.int64), None
+    cand_k, _ = accumulate_sorted_lists(parts)
+    return cand_k, None
