@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
         "dedup_minhash_candidates": dedup.minhash_candidates,
+        "dedup_minhash_verified": lambda sf: dedup.minhash_verified(sf, threshold_micro=900_000),
         "dedup_simhash_pairs": dedup.simhash_pairs,
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
@@ -200,6 +201,18 @@ SELECT min(doc_id)::BIGINT doc_id, count(*)::BIGINT dup_count
 FROM t GROUP BY fingerprint ORDER BY doc_id
 """,
         "dedup_jaccard_pairs": f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) s FROM documents)
+SELECT doc_a, doc_b, jaccard_micro FROM (
+  SELECT a.doc_id doc_a, b.doc_id doc_b,
+         floor((len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5)::BIGINT jaccard_micro
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+) WHERE jaccard_micro >= 900000
+ORDER BY doc_a, doc_b
+""",
+        # LSH candidates + exact verify converge to the same pair set as the
+        # all-pairs Jaccard (recall argument in engine/ops/dedup.py)
+        "dedup_minhash_verified": f"""
 WITH t AS (SELECT doc_id, list_distinct({_TOKS}) s FROM documents)
 SELECT doc_a, doc_b, jaccard_micro FROM (
   SELECT a.doc_id doc_a, b.doc_id doc_b,

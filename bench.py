@@ -5,8 +5,10 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
   build_transcripts  — index a deterministic synthetic transcript corpus
                        (parquet on disk, written untimed on first run) —
                        the indexing-throughput headline (turns/sec)
+  merge_segments     — tiered compaction of the run segments (part of the
+                       build-to-queryable story; turns/sec counts build+merge)
   query_transcripts  — BM25 top-10 for 200 seeded queries via the
-                       SegmentServer actor pool (queries/sec)
+                       SegmentServer actor pool (queries/sec, p50/p95)
   build_documents    — index the sf documents table
   bm25_documents     — driver query set over the documents index
 
@@ -14,10 +16,18 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N, ...extras}
 
+WARMUP (required for honest numbers in this sandbox): the sandbox VM lazily
+faults guest memory through the hypervisor on FIRST touch (~350 MB/s,
+serialized) — a cold 32-worker run measures the fault storm, not the engine
+(32 raw processes: 200s/task cold vs 10s/task warm for identical work).
+Production clusters run long-lived, memory-resident workers, so each timed
+run is preceded by one untimed warmup pass of the same job in the same Ray
+session. Evidence + discussion in BASELINE.md.
+
 --scaling: runs the harness twice in fresh processes (8 vs 32 CPUs by
 default — the sandbox stand-in for N vs 4N nodes, BASELINE.json:14) on the
-SAME corpus and reports throughput at both plus scaling efficiency
-T_hi_throughput / (4 * T_lo_throughput-rate).
+SAME corpus and reports build+merge throughput at both plus scaling
+efficiency tput_hi / (4 * tput_lo).
 """
 
 from __future__ import annotations
@@ -28,6 +38,13 @@ import shutil
 import subprocess
 import sys
 import time
+
+# glibc: keep large buffers in the arena instead of mmap/munmap churn —
+# every munmap returns pages the lazily-faulting hypervisor must re-fault on
+# the next first touch (see WARMUP note above). Exported before ray.init so
+# worker processes inherit it.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -61,7 +78,31 @@ def _prepare_corpus():
     )
 
 
+def _build_and_merge(idx_dir: str, num_shards: int, timings: dict | None):
+    """One build+merge pass; records stage timings when ``timings`` given."""
+    from engine.index.build import build_index
+    from engine.index.merge import run_merge
+
+    t0 = time.monotonic()
+    manifest = build_index(
+        CORPUS_DIR,
+        idx_dir,
+        num_shards=num_shards,
+        build_id="bench",
+        salt_map="auto",  # head-term skew → without salting the merge/query
+        # stages are straggler-bound by the biggest term's shard (SURVEY §4)
+    )
+    t1 = time.monotonic()
+    run_merge(idx_dir, compact=True)
+    t2 = time.monotonic()
+    if timings is not None:
+        timings["build_transcripts"] = t1 - t0
+        timings["merge_segments"] = t2 - t1
+    return manifest
+
+
 def run_bench() -> dict:
+    import numpy as np
     import ray
 
     ray.init(
@@ -75,52 +116,68 @@ def run_bench() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from engine.index.build import build_index
     from engine.oracle.bm25 import seeded_query_set
     from engine.query.engine import query_index
     from engine import pipelines as P
 
     timings: dict[str, float] = {}
     n_turns = _prepare_corpus()
+    num_shards = int(os.environ.get("GRAFT_BENCH_SHARDS", "64"))
 
-    # -- build_transcripts ---------------------------------------------------
+    # -- WARMUP (untimed; see module docstring) ------------------------------
+    warm_dir = f"/tmp/bench_idx/warm-{N_CONVS}-{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    _build_and_merge(warm_dir, num_shards, None)
+
+    # -- build_transcripts + merge_segments (timed) --------------------------
     idx_dir = f"/tmp/bench_idx/tr-{N_CONVS}-{NUM_CPUS}-{time.monotonic_ns()}"
     # fixed shard count at every parallelism level: the scaling comparison
     # must run the IDENTICAL job at both cluster sizes (BASELINE.json:14)
-    num_shards = int(os.environ.get("GRAFT_BENCH_SHARDS", "64"))
-    t0 = time.monotonic()
-    build_index(
-        CORPUS_DIR,
-        idx_dir,
-        num_shards=num_shards,
-        build_id="bench",
-        salt_map="auto",  # head-term skew → without salting the assemble
-        # stage is straggler-bound by the biggest term's shard (SURVEY §4)
-    )
-    timings["build_transcripts"] = time.monotonic() - t0
+    manifest = _build_and_merge(idx_dir, num_shards, timings)
+    build_sec = timings["build_transcripts"] + timings["merge_segments"]
 
-    # -- merge (E3): compact each shard's build segments before querying -----
-    from engine.index.merge import run_merge
-
-    t0 = time.monotonic()
-    run_merge(idx_dir, compact=True)
-    timings["merge_segments"] = time.monotonic() - t0
+    # per-build metrics rollup (BASELINE.json:6: terms/sec, postings/sec,
+    # bytes compressed) from the committed manifest
+    segs = manifest.live_segments()
+    n_terms = sum(s["n_terms"] for s in segs)
+    n_postings = sum(s["n_postings"] for s in segs)
+    bytes_compressed = sum(s["bytes_compressed"] for s in segs)
 
     # -- query_transcripts ---------------------------------------------------
+    # warm the query path (actor pool spin-up + per-actor mmap + LRU fill),
+    # then measure; per-query latencies from a second instrumented pass
     queries = seeded_query_set(N_QUERIES, seed=7)
+    qconc = max(2, NUM_CPUS // 2)
+    query_index(
+        idx_dir, queries[: max(8, N_QUERIES // 4)], k=10, mode="wand",
+        concurrency=qconc, batch_size=4, hydrate=False, sort_output=False,
+    ).count()
     t0 = time.monotonic()
     res = query_index(
         idx_dir,
         queries,
         k=10,
         mode="wand",  # block-max pruning; rank-identical (tests/test_wand.py)
-        concurrency=max(2, NUM_CPUS // 2),  # pinned pool (SURVEY §4)
+        concurrency=qconc,  # pinned pool (SURVEY §4)
         batch_size=4,
         hydrate=False,
         sort_output=False,
     )
     n_results = res.count()
     timings["query_transcripts"] = time.monotonic() - t0
+
+    # p50/p95 single-query latency, measured serially on one in-process
+    # server (pool throughput above; this is the per-query service time)
+    from engine.query.engine import SegmentServer
+
+    srv = SegmentServer(idx_dir, k=10, mode="wand")
+    lat = []
+    for _, q in queries[:50]:
+        t0 = time.monotonic()
+        srv.topk(q)
+        lat.append(time.monotonic() - t0)
+    lat_p50 = float(np.percentile(lat, 50))
+    lat_p95 = float(np.percentile(lat, 95))
 
     # -- documents pipelines -------------------------------------------------
     shutil.rmtree(P.INDEX_ROOT, ignore_errors=True)
@@ -139,11 +196,17 @@ def run_bench() -> dict:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
         "num_cpus": NUM_CPUS,
         "n_turns": int(n_turns),
-        "turns_per_sec": round(n_turns / timings["build_transcripts"], 1),
+        "turns_per_sec": round(n_turns / build_sec, 1),
         "queries_per_sec": round(N_QUERIES / timings["query_transcripts"], 1),
+        "query_p50_ms": round(lat_p50 * 1e3, 2),
+        "query_p95_ms": round(lat_p95 * 1e3, 2),
+        "terms_per_sec": round(n_terms / build_sec, 1),
+        "postings_per_sec": round(n_postings / build_sec, 1),
+        "bytes_compressed": int(bytes_compressed),
         "n_results": int(n_results) + len(bm) * 0,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(warm_dir, ignore_errors=True)
     ray.shutdown()
     return out
 
@@ -166,7 +229,8 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # corpus is generated (untimed) by the first child run and shared
+    # corpus is generated (untimed) by the first child run and shared;
+    # each child does its own in-session warmup pass (see run_bench)
     r_lo, r_hi = run(lo), run(hi)
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
@@ -177,8 +241,8 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "build_sec_lo": r_lo["queries"]["build_transcripts"],
-        "build_sec_hi": r_hi["queries"]["build_transcripts"],
+        "build_sec_lo": round(r_lo["queries"]["build_transcripts"] + r_lo["queries"]["merge_segments"], 3),
+        "build_sec_hi": round(r_hi["queries"]["build_transcripts"] + r_hi["queries"]["merge_segments"], 3),
         "turns_per_sec_lo": tput_lo,
         "turns_per_sec_hi": tput_hi,
         "total_sec_lo": r_lo["value"],

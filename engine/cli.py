@@ -59,6 +59,9 @@ def main(argv=None):
     m.add_argument("--index", required=True)
     m.add_argument("--fanin", type=int, default=4)
 
+    g = sub.add_parser("gc")
+    g.add_argument("--index", required=True)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--convs", type=int, required=True)
@@ -100,6 +103,11 @@ def main(argv=None):
 
             n = run_merge(args.index, fanin=args.fanin)
             print(json.dumps({"merges": n}))
+        elif args.verb == "gc":
+            from engine.index.merge import gc_orphans, gc_tombstoned
+
+            n = gc_tombstoned(args.index) + gc_orphans(args.index)
+            print(json.dumps({"removed": n}))
         elif args.verb == "synth":
             from engine.io.synth import synth_transcripts
 

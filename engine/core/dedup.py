@@ -5,12 +5,61 @@ Scale shape: hash shuffle on the composite key via repartition(keys=...) —
 only needed when the input does NOT guarantee key uniqueness, so the build
 exposes it as an opt-in stage (``build_index(dedup_input=True)``): an
 avoidable all-to-all is off by default (SURVEY.md §4 'minimize shuffles').
+
+SCOPE: ``dedup_turns`` dedups within ONE build invocation's input. On a
+manifest-resumed build, keys that were already committed by a previous build
+survive in the new fragments — ``anti_join_committed`` (applied by
+build_index when dedup_input=True and prior builds exist) filters them
+against the committed docmap. Sandbox realization: committed doc_keys are
+broadcast as one sorted array; at 10^12-doc scale this becomes a per-part
+lookup against the part-partitioned docmap (same pruning layout hydration
+uses, engine/query/hydrate.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def anti_join_committed(ds, index_dir: str):
+    """Drop rows whose doc_key is already committed in the index's docmap.
+
+    Broadcast anti-join: committed keys are read once from the docmap
+    (column-pruned to doc_key), sorted, ``ray.put`` once, and each batch
+    filters via searchsorted — no shuffle."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from engine.core.dockey import doc_key_batch
+
+    docmap_root = os.path.join(index_dir, "docmap")
+    if not os.path.isdir(docmap_root):
+        return ds
+    files = []
+    for root, _d, fs in os.walk(docmap_root):
+        files.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+    if not files:
+        return ds
+    committed = np.unique(
+        rd.read_parquet(files, columns=["doc_key"]).to_pandas()["doc_key"].to_numpy()
+    )
+    ref = ray.put(committed)
+
+    def drop_committed(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        if "doc_key" in batch.column_names:
+            dk = batch["doc_key"].to_numpy()
+        else:
+            dk = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
+        pos = np.searchsorted(keys, dk)
+        pos[pos >= keys.size] = 0
+        dup = keys[pos] == dk if keys.size else np.zeros(dk.size, dtype=bool)
+        return batch.filter(pa.array(~dup))
+
+    return ds.map_batches(drop_committed, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_turns(ds):

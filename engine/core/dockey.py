@@ -8,11 +8,12 @@ docmap (T3) — it does NOT need to be arithmetically invertible.
 
 Layout: ``doc_key = (h43(conv_id) << TURN_BITS) | turn_idx`` where ``h43`` is
 the top 43 bits of blake2b-64 of the conv_id bytes. turn_idx gets 20 bits
-(max ~1M turns per conversation). Conversations colliding in h43 would
-interleave their postings — harmless for BM25 correctness only if keys stay
-unique, so `assign_doc_keys` exposes a `check_collisions` hook used in tests;
-at 10^12-turn scale the build pipeline runs a one-off distinct-count audit
-(n_distinct(doc_key) == n_rows) which is a cheap aggregate.
+(max ~1M turns per conversation). Conversations colliding in h43 silently
+merge two turns' keys — likely at large scale (birthday bound: ~3M
+conversations ⇒ ~40% chance of a collision in 2^43), so
+``engine.index.build.audit_doc_keys`` runs a shuffle-free distinct-count
+audit over the part-partitioned docmap (n_distinct(doc_key) == n_docs);
+result recorded in the manifest (tested in tests/test_build_query.py).
 """
 
 from __future__ import annotations

@@ -10,9 +10,12 @@ Pipeline (all streaming, no full materialisation):
       read → DocMapRows → write_parquet(docmap/build-<id>/)
       n_docs comes from the written parquet footers.
   pass B (the tokenise pass, runs exactly once over text):
-      read → EmitTriples (actor pool; analyzer + hash cache per actor)
-           → repartition(keys=["term_shard"])            ← THE all-to-all
-           → AssembleSegments (whole blocks; writes segments, returns metrics)
+      default exchange="runs" (log-structured, scale path):
+          read → EmitAssemble (fused tokenize+sort+encode per run of
+          ``run_rows`` turns; writes one segment per shard per run) —
+          NO object-store all-to-all; the tiered merge compacts per shard.
+      exchange="hash"/"sort": read → EmitTriples → hash repartition or
+          range sort on term_shard → AssembleSegments.
   commit: manifest.add_build(segments, n_docs, sum_dl=Σcf) atomically.
 
 avgdl = Σcf / n_docs — exact, with no doc-length shuffle and no second
@@ -31,6 +34,8 @@ from engine.index.triples import EmitTriples, docmap_rows, emit_triples_fn
 from engine.index.postings import assemble_batch
 from engine.io.manifest import Manifest
 
+DOCMAP_PARTS = 64  # hydration prunes docmap partitions by doc_key % this
+
 
 def _default_concurrency():
     """Autoscaling actor-pool bounds from the current cluster size."""
@@ -40,7 +45,7 @@ def _default_concurrency():
     return (1, max(2, cpus))
 
 
-def _as_dataset(source, columns: list[str] | None = None):
+def _as_dataset(source, columns: list[str] | None = None, override_num_blocks: int | None = None):
     """Column-pruned Dataset view of the source; keeps an externally supplied
     doc_key column when present (see triples.py)."""
     import ray.data as rd
@@ -52,7 +57,7 @@ def _as_dataset(source, columns: list[str] | None = None):
             if "doc_key" in names and "doc_key" not in columns:
                 columns = columns + ["doc_key"]
             columns = [c for c in columns if c in names]
-        return rd.read_parquet(source, columns=columns), frags
+        return rd.read_parquet(source, columns=columns, override_num_blocks=override_num_blocks), frags
     if columns:
         names = source.schema().names
         if "doc_key" in names and "doc_key" not in columns:
@@ -84,6 +89,8 @@ def build_index(
     build_id: str | None = None,
     concurrency=None,
     triple_batch_size: int = 8192,
+    exchange: str = "runs",
+    run_rows: int = 262_144,
     resume: bool = True,
     doc_buckets: int = 1,
     roles: list[str] | None = None,
@@ -140,84 +147,174 @@ def build_index(
     if ts_min is not None or ts_max is not None or dedup_input:
         extra_cols.append("ts")
 
+    had_prior_builds = bool(manifest.data["builds"])
+
     def _prepare(ds):
         from engine.text.filters import apply_input_filters
 
         ds = apply_input_filters(ds, roles=roles, ts_min=ts_min, ts_max=ts_max)
         if dedup_input:
-            from engine.core.dedup import dedup_turns
+            from engine.core.dedup import anti_join_committed, dedup_turns
 
+            if had_prior_builds:
+                # resumed build: keys already committed by earlier builds
+                # must not be re-indexed (engine/core/dedup.py SCOPE note)
+                ds = anti_join_committed(ds, index_dir)
             ds = dedup_turns(ds)
         return ds
 
     # -- pass A: docmap (no text column read) -------------------------------
-    ds_a, _ = _as_dataset(source, columns=["conv_id", "turn_idx"] + extra_cols)
-    _prepare(ds_a).map_batches(docmap_rows, batch_format="pyarrow", zero_copy_batch=True
-                               ).write_parquet(docmap_dir)
-    n_docs = sum(
-        pq.read_metadata(os.path.join(docmap_dir, f)).num_rows
-        for f in os.listdir(docmap_dir)
-        if f.endswith(".parquet")
-    )
+    # hive-partitioned by part = doc_key % DOCMAP_PARTS so hydration reads
+    # only the partitions holding candidate keys (engine/query/hydrate.py)
+    docmap_parts = int(manifest.data.get("docmap_parts") or DOCMAP_PARTS)
+    manifest.data["docmap_parts"] = docmap_parts
+    import functools as _ft
 
-    # -- pass B: triples → shuffle → segments -------------------------------
+    ds_a, _ = _as_dataset(source, columns=["conv_id", "turn_idx"] + extra_cols)
+    _prepare(ds_a).map_batches(
+        _ft.partial(docmap_rows, num_parts=docmap_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(docmap_dir, partition_cols=["part"])
+    n_docs = 0
+    for root, _dirs, files in os.walk(docmap_dir):
+        n_docs += sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    # -- pass B: triples → exchange → segments ------------------------------
+    from contextlib import nullcontext
+
     from engine.text.analyzer import analyzer_is_expensive
 
-    ds_b, _ = _as_dataset(source, columns=["conv_id", "turn_idx", "text"] + extra_cols)
+    if exchange == "hash":
+        # Datasets snapshot DataContext at creation: the HASH_SHUFFLE
+        # strategy must be active while the pass-B plan is constructed
+        from engine.core.context import hash_strategy
+
+        _exchange_ctx = hash_strategy()
+    else:
+        _exchange_ctx = nullcontext()
+    _exchange_ctx.__enter__()
+    # "runs": RUN SIZE controls both task parallelism (want ≈2 tasks/core)
+    # and segment count (one segment per shard PER RUN — merge cost scales
+    # with runs, so runs must not be tiny). Read blocks come out at parquet
+    # row-group granularity regardless of override_num_blocks, so the
+    # map_batches batch_size below does the real coalescing; it is set a
+    # hair under the target so a block that IS a full run never pairs up
+    # with the next one (which would halve parallelism).
+    run_eff = run_rows
+    onb = None
+    if exchange == "runs" and isinstance(source, list):
+        total_rows = sum(pq.read_metadata(f).num_rows for f in source)
+        cpus = _default_concurrency()[1]
+        run_eff = int(min(run_rows, max(32_768, total_rows // max(1, 2 * cpus))))
+        onb = max(1, total_rows // run_eff)
+    ds_b, _ = _as_dataset(
+        source, columns=["conv_id", "turn_idx", "text"] + extra_cols, override_num_blocks=onb
+    )
     ds_b = _prepare(ds_b)
     import functools
 
-    if analyzer_is_expensive(analyzer):
-        # heavy analyzer state → actor pool, capped to leave shuffle CPUs
-        triples = ds_b.map_batches(
-            EmitTriples,
-            fn_constructor_kwargs={
-                "num_shards": num_shards,
-                "analyzer": analyzer,
-                "salt_map": salt.to_json(),
-            },
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=triple_batch_size,
-            concurrency=concurrency,
-        )
-    else:
-        # stateless tasks: release CPUs to the pipelined shuffle as they
-        # finish (a pool pinned to the cluster starves the all-to-all)
-        triples = ds_b.map_batches(
-            functools.partial(
-                emit_triples_fn,
-                num_shards=num_shards,
-                analyzer=analyzer,
-                salt_map=salt.to_json(),
-                doc_buckets=doc_buckets,
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=triple_batch_size,
-        )
-    import functools
+    # ship the analyzer CLASS (not its registry name) to workers: the
+    # plugin registry is driver-process-local (engine/text/analyzer.py)
+    from engine.text.analyzer import analyzer_class
 
-    # THE all-to-all: a range-partitioning SORT on term_shard, not a hash
-    # repartition. Measured on this Ray version the sort shuffle moves the
-    # same triples ~9x faster than the hash-shuffle operator, its output
-    # blocks are ROW-balanced (a hot shard spans several blocks, so the
-    # assemble stage has no straggler by construction), and shards remain
-    # the logical partitioning: a shard (or term) split across blocks just
-    # yields multiple segments, which the query path already treats as
-    # tiers (df summed across segments; merge compacts later).
-    metrics_ds = triples.sort("term_shard").map_batches(
-        functools.partial(
+    emit_kwargs = {
+        "num_shards": num_shards,
+        "analyzer": analyzer if analyzer == "default" else analyzer_class(analyzer),
+        "salt_map": salt.to_json(),
+        "doc_buckets": doc_buckets,
+    }
+    # The exchange that co-locates a term's postings. Three strategies:
+    #
+    # "runs" (default — the log-structured scale path): NO object-store
+    #   all-to-all at all. ONE fused map stage (EmitAssemble) takes a RUN of
+    #   ``run_rows`` input turns, tokenizes, sorts the run's triples locally
+    #   by (term_shard, term, doc_key) and writes one SEGMENT PER SHARD PER
+    #   RUN; the tiered merge (engine/index/merge.py) then compacts each
+    #   shard's runs in an embarrassingly-parallel per-shard pass whose data
+    #   moves through storage, not the object store. Both passes scale
+    #   linearly with cores/nodes (measured: the sort/hash all-to-alls were
+    #   the scaling bottleneck — 32-CPU build was SLOWER than 8-CPU at 3M
+    #   turns). Correctness needs no merge: multi-segment shards are the
+    #   normal tiered state (df summed across segments at query time).
+    #
+    # "hash": hash-partition by term_shard (one segment per shard per
+    #   output block) — the classic groupby-shuffle realization.
+    #
+    # "sort": range-partitioning sort on term_shard — row-balanced output
+    #   blocks (best straggler behavior) but materializes the full triple
+    #   set through the object store; fastest at small scale only.
+    if exchange == "runs":
+        from engine.index.triples import EmitAssemble, emit_assemble_fn
+
+        fused_kwargs = dict(
+            emit_kwargs, segments_dir=segments_dir, build_id=build_id, lineage=lineage
+        )
+        run_batch = max(4096, int(run_eff * 0.9))
+        if analyzer_is_expensive(analyzer):
+            metrics_ds = ds_b.map_batches(
+                EmitAssemble,
+                fn_constructor_kwargs=fused_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=run_batch,
+                concurrency=concurrency,
+            )
+        else:
+            metrics_ds = ds_b.map_batches(
+                functools.partial(emit_assemble_fn, **fused_kwargs),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=run_batch,
+            )
+    else:
+        if analyzer_is_expensive(analyzer):
+            # heavy analyzer state → actor pool, capped to leave shuffle CPUs
+            triples = ds_b.map_batches(
+                EmitTriples,
+                fn_constructor_kwargs=emit_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=triple_batch_size,
+                concurrency=concurrency,
+            )
+        else:
+            # stateless tasks: release CPUs to the pipelined shuffle as they
+            # finish (a pool pinned to the cluster starves the all-to-all)
+            triples = ds_b.map_batches(
+                functools.partial(emit_triples_fn, **emit_kwargs),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=triple_batch_size,
+            )
+        assemble = functools.partial(
             assemble_batch,
             segments_dir=segments_dir,
             build_id=build_id,
             lineage=lineage,
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    )
-    metrics = metrics_ds.to_pandas()  # one row per segment — small
+        )
+        if exchange == "hash":
+            exchanged = triples.repartition(
+                num_blocks=salt.num_total_shards * max(1, doc_buckets),
+                keys=["term_shard"],
+            )
+            metrics_ds = exchanged.map_batches(
+                assemble, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        elif exchange == "sort":
+            metrics_ds = triples.sort("term_shard").map_batches(
+                assemble, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        else:
+            raise ValueError(f"unknown exchange strategy: {exchange!r}")
+    try:
+        metrics = metrics_ds.to_pandas()  # one row per segment — small
+    finally:
+        _exchange_ctx.__exit__(None, None, None)
 
     segments = [
         {
@@ -240,6 +337,79 @@ def build_index(
         # bucketed query servers broadcast (engine/query/bucketed.py)
         build_term_stats(index_dir)
     return manifest
+
+
+def audit_doc_keys(index_dir: str) -> dict:
+    """doc_key collision audit: n_distinct(doc_key) must equal n_docs.
+
+    43-bit conv-hash keys WILL collide at large corpus scale (birthday bound:
+    ~3M conversations ⇒ ~40% chance of one collision), which silently merges
+    two turns' postings — so the audit is mandatory before trusting a large
+    build. Shuffle-free: the docmap is hive-partitioned by doc_key %
+    docmap_parts, and the parts partition the key space, so per-part distinct
+    counts (one Ray task per part, np.unique inside) sum to the global
+    distinct count.
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    manifest = Manifest(index_dir)
+    docmap_root = os.path.join(index_dir, "docmap")
+    num_parts = int(manifest.data.get("docmap_parts") or 0)
+    by_part: dict[int, list[str]] = {}
+    legacy: list[str] = []
+    for d in sorted(os.listdir(docmap_root)):
+        build_dir = os.path.join(docmap_root, d)
+        if not os.path.isdir(build_dir):
+            continue
+        part_dirs = [e for e in sorted(os.listdir(build_dir)) if e.startswith("part=")]
+        if num_parts and part_dirs:
+            for e in part_dirs:
+                by_part.setdefault(int(e.split("=", 1)[1]), []).append(
+                    os.path.join(build_dir, e)
+                )
+        else:
+            legacy.append(build_dir)
+    if legacy and by_part:
+        # mixed legacy + partitioned layouts: per-part counting is no longer
+        # a partition of the key space — count everything in one task
+        all_dirs = legacy + [d for dirs in by_part.values() for d in dirs]
+        items = [{"dirs": _json.dumps(all_dirs)}]
+    else:
+        items = [{"dirs": _json.dumps(dirs)} for dirs in by_part.values()]
+        if legacy:
+            items.append({"dirs": _json.dumps(legacy)})
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        rows = 0
+        keys = []
+        for dirs_json in batch["dirs"].to_pylist():
+            for d in _json.loads(dirs_json):
+                t = _pq.read_table(d, columns=["doc_key"])
+                rows += t.num_rows
+                keys.append(t["doc_key"].to_numpy())
+        distinct = int(np.unique(np.concatenate(keys)).size) if keys else 0
+        return pa.table({"rows": pa.array([rows], type=pa.int64()),
+                         "distinct": pa.array([distinct], type=pa.int64())})
+
+    if not items:
+        return {"n_docs": 0, "n_distinct": 0, "collisions": 0}
+    res = (
+        rd.from_items(items, override_num_blocks=len(items))
+        .map_batches(count_part, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    n_docs = int(res["rows"].sum())
+    n_distinct = int(res["distinct"].sum())
+    out = {"n_docs": n_docs, "n_distinct": n_distinct, "collisions": n_docs - n_distinct}
+    manifest.data["doc_key_audit"] = out
+    manifest.commit()
+    return out
 
 
 def build_term_stats(index_dir: str) -> str:

@@ -38,17 +38,18 @@ BLOCK_SIZE = 128
 # varint (LEB128) — vectorised
 # ---------------------------------------------------------------------------
 
+# value-v needs ceil(bit_length(v)/7) LEB128 bytes; thresholds are 2^7k
+_VARINT_THRESH = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array. Vectorised: loops over byte slots (<=10),
     not over values."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.ones(v.size, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
+    # byte count per value in ONE searchsorted pass (not a 10-iteration loop)
+    nbytes = np.searchsorted(_VARINT_THRESH, v, side="right").astype(np.int64) + 1
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -137,15 +138,14 @@ def unpack_bits(buf: bytes | memoryview, n: int, width: int, offset: int = 0) ->
 # PForDelta stream codec
 # ---------------------------------------------------------------------------
 
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 def _bit_width(x: np.ndarray) -> np.ndarray:
-    """bits needed per value (0 for value 0)."""
-    w = np.zeros(x.size, dtype=np.int64)
-    tmp = np.asarray(x, dtype=np.uint64).copy()
-    while tmp.any():
-        nz = tmp > 0
-        w[nz] += 1
-        tmp >>= np.uint64(1)
-    return w
+    """bits needed per value (0 for value 0) — one searchsorted against the
+    64 powers of two (the former shift-until-zero loop was 64 full-array
+    passes and dominated encode time)."""
+    return np.searchsorted(_POW2, np.asarray(x, dtype=np.uint64), side="right").astype(np.int64)
 
 
 def pfor_encode(values: np.ndarray) -> bytes:
@@ -154,16 +154,12 @@ def pfor_encode(values: np.ndarray) -> bytes:
     n = v.size
     widths = _bit_width(v)
     max_w = int(widths.max()) if n else 0
-    # choose frame width minimising frame + exception cost
-    best_b, best_cost = max_w, n * max_w
+    # choose frame width minimising frame + exception cost (vectorised;
+    # argmin picks the first/smallest b at equal cost, matching the old loop)
     hist = np.bincount(widths, minlength=max_w + 1)
     n_above = n - np.cumsum(hist)  # n_above[b] = #values needing > b bits
-    for b in range(max_w + 1):
-        exc = int(n_above[b]) if b < len(n_above) else 0
-        cost = n * b + exc * 16  # ~2 bytes/exception (pos delta + high bits)
-        if cost < best_cost:
-            best_b, best_cost = b, cost
-    b = best_b
+    bs = np.arange(max_w + 1)
+    b = int(np.argmin(n * bs + n_above[bs] * 16))
     mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
     low = v & mask if b else np.zeros(n, dtype=np.uint64)
     exc_idx = np.nonzero(widths > b)[0]
@@ -209,15 +205,12 @@ def pfor_stream_encode(values: np.ndarray) -> bytes:
     n = v.size
     widths = _bit_width(v)
     max_w = int(widths.max()) if n else 0
+    # choose frame width minimising frame + exception cost (vectorised;
+    # argmin picks the first/smallest b at equal cost, matching the old loop)
     hist = np.bincount(widths, minlength=max_w + 1)
-    n_above = n - np.cumsum(hist)
-    best_b, best_cost = max_w, n * max_w
-    for b in range(max_w + 1):
-        exc = int(n_above[b]) if b < len(n_above) else 0
-        cost = n * b + exc * 16
-        if cost < best_cost:
-            best_b, best_cost = b, cost
-    b = best_b
+    n_above = n - np.cumsum(hist)  # n_above[b] = #values needing > b bits
+    bs = np.arange(max_w + 1)
+    b = int(np.argmin(n * bs + n_above[bs] * 16))
     mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
     low = v & mask if b else np.zeros(n, dtype=np.uint64)
     exc_idx = np.nonzero(widths > b)[0]
@@ -309,10 +302,23 @@ class StreamReader:
 # ---------------------------------------------------------------------------
 
 
+SKIP_DTYPE = np.dtype(
+    [
+        ("block_idx", "<i4"),
+        ("last_doc_key", "<i8"),
+        ("n_docs", "<i4"),
+        ("block_max_tf", "<i4"),
+        ("block_min_dl", "<i4"),
+    ]
+)
+
+
 def encode_term_postings(doc_keys: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int = -1):
-    """Whole-term encode → (bytes, skip rows). Skip row per BLOCK_SIZE docs:
-    (block_idx, last_doc_key, n_docs, max_tf, min_dl) — block-max metadata
-    for WAND; frame offsets are implicit (fixed width per stream)."""
+    """Whole-term encode → (bytes, skips). Skips: structured array, one row
+    per BLOCK_SIZE docs: (block_idx, last_doc_key, n_docs, max_tf, min_dl) —
+    block-max metadata for WAND; frame offsets are implicit (fixed width per
+    stream). Rows unpack like tuples. Built with reduceat, not a per-block
+    Python loop."""
     doc_keys = np.asarray(doc_keys, dtype=np.int64)
     n = doc_keys.size
     gaps = np.diff(doc_keys, prepend=base).astype(np.uint64)
@@ -321,20 +327,17 @@ def encode_term_postings(doc_keys: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         + pfor_stream_encode(np.asarray(tfs, dtype=np.uint64) - np.uint64(1))
         + pfor_stream_encode(np.asarray(dls, dtype=np.uint64))
     )
-    skips = []
     tfs = np.asarray(tfs)
     dls = np.asarray(dls)
-    for s in range(0, n, BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, n)
-        skips.append(
-            (
-                s // BLOCK_SIZE,
-                int(doc_keys[e - 1]),
-                e - s,
-                int(tfs[s:e].max()),
-                int(dls[s:e].min()),
-            )
-        )
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    starts = np.arange(n_blocks, dtype=np.int64) * BLOCK_SIZE
+    last_idx = np.minimum(starts + BLOCK_SIZE, n) - 1
+    skips = np.empty(n_blocks, dtype=SKIP_DTYPE)
+    skips["block_idx"] = np.arange(n_blocks, dtype=np.int32)
+    skips["last_doc_key"] = doc_keys[last_idx]
+    skips["n_docs"] = (last_idx - starts + 1).astype(np.int32)
+    skips["block_max_tf"] = np.maximum.reduceat(tfs, starts)
+    skips["block_min_dl"] = np.minimum.reduceat(dls, starts)
     return blob, skips
 
 

@@ -36,29 +36,38 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
     import time
 
     t0 = time.monotonic()
-    terms_parts, dk_parts, tf_parts, dl_parts = [], [], [], []
-    for name in sorted(seg_names):
-        seg = Segment(os.path.join(segments_dir, name))
+    # two passes over the (small) dictionaries to build a sorted vocab union,
+    # then all per-posting work is int64 ids — no per-posting Python strings
+    opened = [Segment(os.path.join(segments_dir, n)) for n in sorted(seg_names)]
+    vocab = np.unique(np.concatenate([s.terms for s in opened])) if opened else np.empty(0, object)
+    id_parts, dk_parts, tf_parts, dl_parts = [], [], [], []
+    for seg in opened:
+        seg_ids = np.searchsorted(vocab, seg.terms)  # exact: subset of union
         for idx in range(len(seg.terms)):
             dk, tf, dl = seg.read_postings(idx)
-            terms_parts.append(np.full(dk.size, seg.terms[idx], dtype=object))
+            id_parts.append(np.full(dk.size, seg_ids[idx], dtype=np.int64))
             dk_parts.append(dk)
             tf_parts.append(tf)
             dl_parts.append(dl)
         seg.close()
-    terms = np.concatenate(terms_parts)
+    ids = np.concatenate(id_parts)
     dks = np.concatenate(dk_parts)
     tfs = np.concatenate(tf_parts)
     dls = np.concatenate(dl_parts)
-    order = np.lexsort((dks, terms))
-    terms, dks, tfs, dls = terms[order], dks[order], tfs[order], dls[order]
-    dict_table, skips_table, blob = assemble_shard_tables(terms, dks, tfs, dls)
-    name = segment_name(merge_id, shard, dict_table, len(terms))
+    order = np.lexsort((dks, ids))
+    ids, dks, tfs, dls = ids[order], dks[order], tfs[order], dls[order]
+    dict_table, skips_table, blob = assemble_shard_tables(ids, dks, tfs, dls, vocab=vocab)
+    name = segment_name(
+        merge_id, shard, dict_table, len(ids),
+        doc_lo=int(dks.min()) if len(ids) else 0,
+        doc_hi=int(dks.max()) if len(ids) else 0,
+        sum_cf=int(tfs.sum()),
+    )
     meta = {
         "build_id": merge_id,
         "shard": shard,
         "n_terms": dict_table.num_rows,
-        "n_postings": int(len(terms)),
+        "n_postings": int(len(ids)),
         "sum_cf": int(tfs.sum()),
         "bytes_compressed": len(blob),
         "lineage": {"merged_from": sorted(seg_names)},
@@ -70,7 +79,7 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
         "segment": name,
         "shard": shard,
         "n_terms": dict_table.num_rows,
-        "n_postings": int(len(terms)),
+        "n_postings": int(len(ids)),
         "sum_cf": int(tfs.sum()),
         "bytes_compressed": len(blob),
         "encode_sec": time.monotonic() - t0,
@@ -143,7 +152,9 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
         return pa.Table.from_pylist(out, schema=schema)
 
     results = (
-        rd.from_items(plan_rows)
+        # one block per plan row → one Ray task per shard merge (from_items'
+        # default blocking would otherwise serialize merges inside one task)
+        rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
         .map_batches(do_merge, batch_format="pyarrow", batch_size=1)
         .to_pandas()
     )
@@ -177,20 +188,62 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
         }
     )
     manifest.commit()
-    gc_tombstoned(index_dir)
+    gc_tombstoned(index_dir, only=merged_names)
     return len(plans)
 
 
-def gc_tombstoned(index_dir: str) -> int:
-    """Remove segment directories no longer referenced as live."""
+def gc_orphans(index_dir: str) -> int:
+    """Remove artifacts left by CRASHED builds: segment dirs never committed
+    and docmap build-dirs whose build_id no manifest build references.
+
+    Explicit-only (an operator/cron verb, CLI ``gc``): a concurrently RUNNING
+    build's uncommitted artifacts are indistinguishable from crash orphans,
+    so this must not run automatically alongside builds (same reasoning as
+    gc_tombstoned's tombstone-only policy)."""
     import shutil
 
     manifest = Manifest(index_dir)
-    live = {s["name"] for s in manifest.live_segments()}
+    committed_segments = {
+        s["name"] for b in manifest.data["builds"] for s in b["segments"]
+    }
+    committed_builds = {b["build_id"] for b in manifest.data["builds"]}
+    n = 0
+    segments_dir = os.path.join(index_dir, "segments")
+    if os.path.isdir(segments_dir):
+        for d in os.listdir(segments_dir):
+            if d not in committed_segments:
+                shutil.rmtree(os.path.join(segments_dir, d), ignore_errors=True)
+                n += 1
+    docmap_root = os.path.join(index_dir, "docmap")
+    if os.path.isdir(docmap_root):
+        for d in os.listdir(docmap_root):
+            if d.startswith("build-") and d[len("build-"):] not in committed_builds:
+                shutil.rmtree(os.path.join(docmap_root, d), ignore_errors=True)
+                n += 1
+    return n
+
+
+def gc_tombstoned(index_dir: str, only: set[str] | None = None) -> int:
+    """Remove TOMBSTONED segment directories.
+
+    Deletes only names the manifest explicitly records as tombstoned
+    (optionally restricted to ``only``) — never "any directory that isn't
+    live": a build writes its segment directories BEFORE its manifest commit,
+    so a concurrent merge must not treat those uncommitted directories as
+    garbage."""
+    import shutil
+
+    manifest = Manifest(index_dir)
+    dead = set()
+    for b in manifest.data["builds"]:
+        dead.update(s["name"] for s in b["segments"] if s.get("tombstone"))
+    if only is not None:
+        dead &= set(only)
     segments_dir = os.path.join(index_dir, "segments")
     n = 0
-    for d in os.listdir(segments_dir):
-        if d not in live and not d.endswith(".tmp"):
-            shutil.rmtree(os.path.join(segments_dir, d), ignore_errors=True)
+    for d in dead:
+        p = os.path.join(segments_dir, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
             n += 1
     return n

@@ -58,30 +58,37 @@ def assemble_shard_tables(
     doc_keys: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
+    vocab: np.ndarray | None = None,
 ):
     """Rows of ONE shard, sorted by (term, doc_key) → (dict_table,
-    skips_table, postings_bytes). Pure function — shared by build and merge."""
+    skips_table, postings_bytes). Pure function — shared by build and merge.
+
+    ``terms`` is either an object ndarray of term strings, or (when
+    ``vocab`` is given) an int64 ndarray of indices into the SORTED vocab —
+    the fast path: run detection and dict building then never touch Python
+    strings per posting."""
     boundaries = np.nonzero(terms[1:] != terms[:-1])[0] + 1
     starts = np.concatenate(([0], boundaries))
     ends = np.concatenate((boundaries, [len(terms)]))
     blobs: list[bytes] = []
     d_term, d_df, d_cf, d_nblocks, d_off, d_nbytes, d_maxtf = [], [], [], [], [], [], []
-    sk_rows: list[tuple] = []
+    sk_parts: list[np.ndarray] = []
+    sk_terms: list[int] = []  # term_idx per skip part (np.repeat at the end)
     offset = 0
     for ti, (s, e) in enumerate(zip(starts, ends)):
         dk = doc_keys[s:e]
         tf = tfs[s:e]
         dl = dls[s:e]
         blob, skips = codecs.encode_term_postings(dk, tf, dl)
-        d_term.append(terms[s])
+        d_term.append(vocab[terms[s]] if vocab is not None else terms[s])
         d_df.append(e - s)
         d_cf.append(int(tf.sum()))
         d_nblocks.append(len(skips))
         d_off.append(offset)
         d_nbytes.append(len(blob))
         d_maxtf.append(int(tf.max()))
-        for blk_idx, last_doc, ndocs, max_tf, min_dl in skips:
-            sk_rows.append((ti, blk_idx, last_doc, ndocs, max_tf, min_dl))
+        sk_parts.append(skips)
+        sk_terms.append(ti)
         blobs.append(blob)
         offset += len(blob)
     dict_table = pa.table(
@@ -96,9 +103,25 @@ def assemble_shard_tables(
         },
         schema=SEGMENT_DICT,
     )
-    skips_table = pa.Table.from_pylist(
-        [dict(zip(SKIPS_SCHEMA.names, r)) for r in sk_rows], schema=SKIPS_SCHEMA
-    ) if sk_rows else SKIPS_SCHEMA.empty_table()
+    if sk_parts:
+        allsk = np.concatenate(sk_parts)
+        term_idx = np.repeat(
+            np.asarray(sk_terms, dtype=np.int32),
+            np.asarray([p.size for p in sk_parts], dtype=np.int64),
+        )
+        skips_table = pa.table(
+            {
+                "term_idx": pa.array(term_idx, type=pa.int32()),
+                "block_idx": pa.array(allsk["block_idx"], type=pa.int32()),
+                "last_doc_key": pa.array(allsk["last_doc_key"], type=pa.int64()),
+                "n_docs": pa.array(allsk["n_docs"], type=pa.int32()),
+                "block_max_tf": pa.array(allsk["block_max_tf"], type=pa.int32()),
+                "block_min_dl": pa.array(allsk["block_min_dl"], type=pa.int32()),
+            },
+            schema=SKIPS_SCHEMA,
+        )
+    else:
+        skips_table = SKIPS_SCHEMA.empty_table()
     return dict_table, skips_table, b"".join(blobs)
 
 
@@ -120,16 +143,28 @@ class _Assemble:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return METRICS_SCHEMA.empty_table()
-        order = pc.sort_indices(
-            batch,
-            sort_keys=[("term_shard", "ascending"), ("term", "ascending"), ("doc_key", "ascending")],
-        )
-        batch = batch.take(order)
-        shards = batch["term_shard"].to_numpy()
-        terms = np.asarray(batch["term"].to_pandas(), dtype=object)
-        doc_keys = batch["doc_key"].to_numpy()
-        tfs = batch["tf"].to_numpy()
-        dls = batch["dl"].to_numpy()
+        # integer lexsort instead of an Arrow (shard, term-string, doc_key)
+        # sort: dictionary-encode terms once, rank the (small) vocab with one
+        # string argsort, then all per-posting work is int64 — measured ~6x
+        # faster than pc.sort_indices on the string column at 6M rows
+        term_col = batch["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        enc = term_col.dictionary_encode()
+        vocab_np = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+        vorder = np.argsort(vocab_np)
+        rank = np.empty(vocab_np.size, dtype=np.int64)
+        rank[vorder] = np.arange(vocab_np.size)
+        vocab_sorted = vocab_np[vorder]
+        term_ids = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        shards0 = batch["term_shard"].to_numpy()
+        doc_keys0 = batch["doc_key"].to_numpy()
+        order = np.lexsort((doc_keys0, term_ids, shards0))
+        shards = shards0[order]
+        terms = term_ids[order]
+        doc_keys = doc_keys0[order]
+        tfs = batch["tf"].to_numpy()[order]
+        dls = batch["dl"].to_numpy()[order]
         out_rows = []
         sb = np.nonzero(shards[1:] != shards[:-1])[0] + 1
         sstarts = np.concatenate(([0], sb))
@@ -138,11 +173,15 @@ class _Assemble:
             t0 = time.monotonic()
             shard = int(shards[s])
             dict_table, skips_table, blob = assemble_shard_tables(
-                terms[s:e], doc_keys[s:e], tfs[s:e], dls[s:e]
+                terms[s:e], doc_keys[s:e], tfs[s:e], dls[s:e], vocab=vocab_sorted
             )
             n_postings = e - s
             sum_cf = int(tfs[s:e].sum())
-            name = segment_name(self.build_id, shard, dict_table, n_postings)
+            dk_s = doc_keys[s:e]
+            name = segment_name(
+                self.build_id, shard, dict_table, n_postings,
+                doc_lo=int(dk_s.min()), doc_hi=int(dk_s.max()), sum_cf=sum_cf,
+            )
             meta = {
                 "build_id": self.build_id,
                 "shard": shard,

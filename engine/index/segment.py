@@ -104,7 +104,12 @@ class Segment:
 
     def weights(self, idx: int, idf: float, avgdl: float) -> np.ndarray:
         """BM25 per-posting weights idf*tf_sat(tf, dl) — cached (idf and
-        avgdl are constants for a server's lifetime)."""
+        avgdl are constants for a server's lifetime).
+
+        Decodes ONLY the tf/dl streams (via decode_tfdl) unless the full
+        postings are already cached: the WAND θ-bootstrap and admission
+        masks need weights for every list but doc keys only for survivors,
+        so weights must never trigger the gap decode + cumsum."""
         if self.wcache is not None:
             key = (self.path, idx)
             hit = self.wcache.get(key)
@@ -112,7 +117,10 @@ class Segment:
                 return hit
         from engine.oracle.bm25 import tf_sat
 
-        _, tf, dl = self.read_postings(idx)
+        if self.pcache is not None and self.pcache.get((self.path, idx)) is not None:
+            _, tf, dl = self.read_postings(idx)
+        else:
+            tf, dl = self.term_postings(idx).decode_tfdl()
         w = idf * tf_sat(tf, dl, avgdl)
         if self.wcache is not None:
             self.wcache.put(key, w, w.size)

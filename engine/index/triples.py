@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from engine.core.dockey import doc_key_batch
 from engine.core.partitioning import SaltMap, TermHasher, assign_shards
-from engine.text.analyzer import get_analyzer
+from engine.text.analyzer import resolve_analyzer
 
 TRIPLES_SCHEMA = pa.schema(
     [
@@ -38,7 +38,7 @@ class EmitTriples:
 
     def __init__(self, num_shards: int, analyzer: str = "default", salt_map: dict | None = None,
                  doc_buckets: int = 1):
-        self.analyzer = get_analyzer(analyzer)
+        self.analyzer = resolve_analyzer(analyzer)
         self.hasher = TermHasher()
         self.salt = SaltMap.from_json(salt_map) if salt_map else SaltMap(num_shards)
         # doc-bucketed layout (scale path for per-shard heap-merge queries):
@@ -46,6 +46,8 @@ class EmitTriples:
         self.doc_buckets = doc_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = batch.num_rows
         if "doc_key" in batch.column_names:
             # caller supplied external int64 keys (e.g. documents.doc_id) —
@@ -53,17 +55,24 @@ class EmitTriples:
             doc_keys = batch["doc_key"].to_numpy()
         else:
             doc_keys = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
-        flat, dl = self.analyzer.tokenize_batch(batch["text"])
-        if flat.size == 0:
+        # Arrow-native tokenize: no per-token Python objects anywhere in this
+        # stage (the flat stream stays a large_string Array; the vocabulary is
+        # the only thing that ever becomes Python strings, for hashing)
+        flat, dl = self.analyzer.tokenize_arrow(batch["text"])
+        if len(flat) == 0:
             return TRIPLES_SCHEMA.empty_table()
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
-        uniq_terms, term_inv = np.unique(flat, return_inverse=True)
+        enc = pc.dictionary_encode(flat)
+        vocab = enc.dictionary
+        term_inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(vocab)
         # count (doc, term) pairs without Python loops: composite key → unique
-        key = doc_idx * len(uniq_terms) + term_inv
+        key = doc_idx * nv + term_inv
         uk, tf = np.unique(key, return_counts=True)
-        out_doc = (uk // len(uniq_terms)).astype(np.int64)
-        out_term = (uk % len(uniq_terms)).astype(np.int64)
-        shards = assign_shards(uniq_terms, out_term, doc_keys[out_doc], self.hasher, self.salt)
+        out_doc = (uk // nv).astype(np.int64)
+        out_term = (uk % nv).astype(np.int64)
+        uniq_np = np.asarray(vocab.to_pandas(), dtype=object)  # vocab-sized
+        shards = assign_shards(uniq_np, out_term, doc_keys[out_doc], self.hasher, self.salt)
         if self.doc_buckets > 1:
             shards = (
                 shards.astype(np.int64)
@@ -71,7 +80,7 @@ class EmitTriples:
             ).astype(np.int32)
         return pa.table(
             {
-                "term": pa.array(uniq_terms[out_term], type=pa.large_string()),
+                "term": vocab.take(pa.array(out_term)).cast(pa.large_string()),
                 "term_shard": pa.array(shards, type=pa.int32()),
                 "doc_key": pa.array(doc_keys[out_doc], type=pa.int64()),
                 "tf": pa.array(tf.astype(np.int32), type=pa.int32()),
@@ -102,21 +111,68 @@ def emit_triples_fn(batch: pa.Table, *, num_shards: int, analyzer: str = "defaul
     return em(batch)
 
 
-def docmap_rows(batch: pa.Table) -> pa.Table:
+class EmitAssemble:
+    """Fused tokenize→assemble stage for the "runs" exchange
+    (engine/index/build.py): one task takes a RUN of input turns, emits its
+    triples in-memory and writes one segment per term_shard directly —
+    triples never enter the object store and there is NO all-to-all.
+    Deliberately ONE map_batches stage (two chained stages would be fused by
+    Ray anyway, but with per-input-block flushes — thousands of tiny
+    segments; here batch_size counts INPUT rows, so run size is explicit)."""
+
+    def __init__(self, num_shards: int, analyzer: str, salt_map: dict | None,
+                 doc_buckets: int, segments_dir: str, build_id: str,
+                 lineage: dict | None = None):
+        from engine.index.postings import _Assemble
+
+        self.emit = EmitTriples(num_shards, analyzer, salt_map, doc_buckets)
+        self.assemble = _Assemble(segments_dir, build_id, lineage)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.assemble(self.emit(batch))
+
+
+_FUSED: dict[tuple, EmitAssemble] = {}
+
+
+def emit_assemble_fn(batch: pa.Table, **kw) -> pa.Table:
+    """Stateless-task wrapper with per-worker state cache (same pattern as
+    emit_triples_fn): tasks release CPUs on completion, no pool ramp-up."""
+    import json
+
+    key = (kw["num_shards"], kw["analyzer"],
+           json.dumps(kw.get("salt_map"), sort_keys=True), kw.get("doc_buckets", 1),
+           kw["segments_dir"], kw["build_id"])
+    em = _FUSED.get(key)
+    if em is None:
+        em = EmitAssemble(
+            kw["num_shards"], kw["analyzer"], kw.get("salt_map"),
+            kw.get("doc_buckets", 1), kw["segments_dir"], kw["build_id"],
+            kw.get("lineage"),
+        )
+        _FUSED[key] = em
+    return em(batch)
+
+
+def docmap_rows(batch: pa.Table, num_parts: int = 0) -> pa.Table:
     """Cheap stateless pass (NO tokenisation — column-pruned to
-    conv_id/turn_idx): docmap rows (doc_key, conv_id, turn_idx)."""
+    conv_id/turn_idx): docmap rows (doc_key, conv_id, turn_idx[, part]).
+    ``part = doc_key % num_parts`` is the hive partition column hydration
+    prunes on (engine/query/hydrate.py)."""
     import pyarrow.compute as pc
 
     if "doc_key" in batch.column_names:
-        doc_keys = pa.array(batch["doc_key"].to_numpy(), type=pa.int64())
+        keys_np = batch["doc_key"].to_numpy()
     else:
-        doc_keys = pa.array(
-            doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy()), type=pa.int64()
-        )
+        keys_np = doc_key_batch(batch["conv_id"], batch["turn_idx"].to_numpy())
+    doc_keys = pa.array(keys_np, type=pa.int64())
     if "conv_id" in batch.column_names:
         conv = batch["conv_id"].cast(pa.string())
         turn = batch["turn_idx"].cast(pa.int32())
     else:  # plain keyed corpus (e.g. documents.doc_id): docID == str(doc_key)
         conv = pc.cast(doc_keys, pa.string())
         turn = pa.array(np.zeros(batch.num_rows, dtype=np.int32), type=pa.int32())
-    return pa.table({"doc_key": doc_keys, "conv_id": conv, "turn_idx": turn})
+    cols = {"doc_key": doc_keys, "conv_id": conv, "turn_idx": turn}
+    if num_parts:
+        cols["part"] = pa.array((keys_np % num_parts).astype(np.int32), type=pa.int32())
+    return pa.table(cols)

@@ -28,12 +28,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def segment_name(build_id: str, shard: int, dict_table: pa.Table, n_postings: int) -> str:
-    h = hashlib.blake2b(digest_size=4)
+def segment_name(build_id: str, shard: int, dict_table: pa.Table, n_postings: int,
+                 doc_lo: int = 0, doc_hi: int = 0, sum_cf: int = 0) -> str:
+    """Deterministic content-derived name. MUST differ for different content:
+    two runs of the same build can share (shard, n_terms, first/last term,
+    n_postings) on uniform corpora, so the doc-key range and Σcf go into the
+    hash — distinct runs index disjoint doc sets, a retried task reproduces
+    the identical name."""
+    h = hashlib.blake2b(digest_size=6)
     h.update(build_id.encode())
     h.update(shard.to_bytes(4, "little"))
     h.update(dict_table.num_rows.to_bytes(8, "little"))
     h.update(int(n_postings).to_bytes(8, "little"))
+    h.update(int(doc_lo).to_bytes(8, "little", signed=True))
+    h.update(int(doc_hi).to_bytes(8, "little", signed=True))
+    h.update(int(sum_cf).to_bytes(8, "little"))
     if dict_table.num_rows:
         h.update(str(dict_table["term"][0].as_py()).encode())
         h.update(str(dict_table["term"][-1].as_py()).encode())
@@ -65,5 +74,13 @@ def write_segment(
         os.fsync(f.fileno())
     if os.path.exists(final):
         shutil.rmtree(final)  # identical content by construction
-    os.replace(tmp, final)
+    try:
+        os.replace(tmp, final)
+    except OSError:
+        # lost a race against a concurrent writer of the SAME name — names
+        # are content-derived, so the winner wrote identical bytes; adopt it
+        if os.path.isdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     return final

@@ -88,6 +88,7 @@ def query_bucketed(
                     "mode": mode,
                     "bucket": b,
                     "df_overrides_ref": dfs_ref,
+                    "analyzer_obj": None if analyzer == "default" else get_analyzer(analyzer),
                 },
                 batch_format="pyarrow",
                 zero_copy_batch=True,

@@ -48,7 +48,7 @@ class SegmentServer:
     def __init__(self, index_dir: str, k: int = 10, shards: list[int] | None = None,
                  mode: str = "exhaustive", score_micro: bool = False,
                  bucket: int | None = None, df_overrides_ref=None,
-                 cache_postings: int = 24_000_000):
+                 analyzer_obj=None, cache_postings: int = 24_000_000):
         import os
 
         from engine.index.segment import PostingLRU
@@ -77,7 +77,9 @@ class SegmentServer:
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
-        self.analyzer = get_analyzer(self.manifest.data["analyzer"])
+        # custom analyzers are resolved in the DRIVER and shipped in (the
+        # plugin registry is process-local — engine/text/analyzer.py)
+        self.analyzer = analyzer_obj or get_analyzer(self.manifest.data["analyzer"])
         sm = self.manifest.data.get("salt_map")
         self.salt = SaltMap.from_json(sm) if sm else SaltMap(self.manifest.data["num_base_shards"])
         self._shard_offset = 0
@@ -174,8 +176,11 @@ class SegmentServer:
                 keep = ex[pos] != dk
                 dk, sc = dk[keep], sc[keep]
         if self.score_micro:
-            # floor BEFORE top-k so selection order == the micro order
+            # floor BEFORE top-k so selection order == the micro order;
+            # keep micro==0 rows — they matched a term and the SQL oracle
+            # ranks them (engine/query/topk.py keep_zero)
             sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+            return topk_postings(dk, sc, k or self.k, keep_zero=True)
         return topk_postings(dk, sc, k or self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -212,6 +217,12 @@ class SegmentServer:
         )
 
 
+def _driver_analyzer(index_dir: str):
+    """Resolve a non-default analyzer in the driver (registry lives here)."""
+    name = Manifest(index_dir).data.get("analyzer", "default")
+    return None if name == "default" else get_analyzer(name)
+
+
 def query_index(
     index_dir: str,
     queries,
@@ -233,7 +244,8 @@ def query_index(
         queries = rd.from_items([{"qid": int(q), "text": t} for q, t in queries])
     partials = queries.map_batches(
         SegmentServer,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode,
+                               "analyzer_obj": _driver_analyzer(index_dir)},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

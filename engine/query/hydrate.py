@@ -5,9 +5,9 @@ The result set is tiny (queries × k rows) while the docmap is corpus-sized,
 so this is a broadcast-SEMI-join the other way round: collect the candidate
 doc_keys (small), broadcast them via ``ray.put``, stream the docmap through a
 vectorised isin-filter (no shuffle), and map the surviving rows — instead of
-a full docmap shuffle join. At 10^12-doc scale the docmap directory is
-additionally partitioned by ``doc_key % 256`` so the scan touches only the
-partitions holding candidates (see build.py docmap layout note)."""
+a full docmap shuffle join. The docmap is hive-partitioned by
+``part = doc_key % docmap_parts`` at build time (engine/index/build.py), so
+``docmap_paths`` touches only the partitions holding candidates."""
 
 from __future__ import annotations
 
@@ -18,18 +18,49 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def docmap_paths(index_dir: str, doc_keys: np.ndarray) -> list[str]:
+    """Pruned docmap read-list: only the part=<p> directories whose
+    ``doc_key % docmap_parts`` appears in the candidate set (falls back to
+    whole build dirs for legacy unpartitioned docmaps)."""
+    from engine.io.manifest import Manifest
+
+    docmap_root = os.path.join(index_dir, "docmap")
+    if not os.path.isdir(docmap_root):
+        return []
+    num_parts = int(Manifest(index_dir).data.get("docmap_parts") or 0)
+    parts = {int(p) for p in np.unique(doc_keys % num_parts)} if num_parts else None
+    paths: list[str] = []
+    for d in sorted(os.listdir(docmap_root)):
+        build_dir = os.path.join(docmap_root, d)
+        if not os.path.isdir(build_dir):
+            continue
+        part_dirs = [e for e in sorted(os.listdir(build_dir)) if e.startswith("part=")]
+        if parts is not None and part_dirs:
+            keep_dirs = [
+                os.path.join(build_dir, e)
+                for e in part_dirs
+                if int(e.split("=", 1)[1]) in parts
+            ]
+        else:
+            keep_dirs = [build_dir]
+        # expand to files: a mixed list of directories trips read_parquet's
+        # metadata provider on this Ray version
+        for kd in keep_dirs:
+            for root, _d, files in os.walk(kd):
+                paths.extend(
+                    os.path.join(root, f) for f in sorted(files) if f.endswith(".parquet")
+                )
+    return paths
+
+
 def load_docmap_for_keys(index_dir: str, doc_keys: np.ndarray) -> dict[int, str]:
-    """Stream the docmap, keep only candidate keys → {doc_key: 'conv:turn'}."""
+    """Stream the (pruned) docmap, keep only candidate keys →
+    {doc_key: 'conv:turn'}."""
     import ray
     import ray.data as rd
 
-    docmap_root = os.path.join(index_dir, "docmap")
-    paths = [
-        os.path.join(docmap_root, d)
-        for d in sorted(os.listdir(docmap_root))
-        if os.path.isdir(os.path.join(docmap_root, d))
-    ]
     wanted = np.unique(doc_keys)
+    paths = docmap_paths(index_dir, wanted)
     if wanted.size == 0 or not paths:
         return {}
     wanted_ref = ray.put(wanted)
@@ -43,7 +74,7 @@ def load_docmap_for_keys(index_dir: str, doc_keys: np.ndarray) -> dict[int, str]
         return batch.filter(pa.array(mask))
 
     hits = (
-        rd.read_parquet(paths)
+        rd.read_parquet(paths, columns=["doc_key", "conv_id", "turn_idx"])
         .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )

@@ -8,17 +8,20 @@ from __future__ import annotations
 import numpy as np
 
 
-def topk_postings(doc_keys: np.ndarray, scores: np.ndarray, k: int):
-    """Return (doc_keys, scores) of the top-k. Excludes zero scores.
+def topk_postings(doc_keys: np.ndarray, scores: np.ndarray, k: int, keep_zero: bool = False):
+    """Return (doc_keys, scores) of the top-k. Excludes zero scores unless
+    ``keep_zero`` (score_micro mode: a matched doc whose positive BM25 score
+    floors to micro==0 must stay rankable, matching the SQL oracle's
+    row_number over ALL matched docs).
 
     One O(N) partition + tie-safe threshold mask before the exact (small)
     lexsort — no negation/nonzero copies of the full array."""
     n = scores.size
     if k > 0 and n > 4 * k:
         kth = np.partition(scores, n - k)[n - k]  # k-th largest
-        mask = scores >= kth if kth > 0 else scores > 0
+        mask = scores >= kth if (kth > 0 or keep_zero) else scores > 0
         doc_keys, scores = doc_keys[mask], scores[mask]
-    else:
+    elif not keep_zero:
         mask = scores > 0
         if not mask.all():
             doc_keys, scores = doc_keys[mask], scores[mask]

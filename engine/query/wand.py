@@ -3,22 +3,25 @@ BASELINE.json:6 "block-max WAND posting-list intersection").
 
 Term-at-a-time member of the block-max WAND family (Block-Max MaxScore),
 shaped for a vectorised NumPy engine where a full-stream decode is a few
-vector ops — so pruning avoids SORTS and CANDIDATE-RESTRICTED decodes, not
-sequential posting reads:
+vector ops — pruning is about WHICH STREAMS and WHICH BLOCKS decode:
 
-  1. SORTLESS θ bootstrap: every list's weights are computed from its tf/dl
-     streams only (no gap decode, no doc keys); the k-th largest single-list
-     weight is a valid lower bound on the final k-th score (those k docs
-     each score at least that much), so θ0 = max over lists — one
-     O(N) np.partition per list, no merges.
-  2. ESSENTIAL terms (descending upper bound ub_i = max block bound; a term
-     is essential while ub_i + Σ_{j>i} ub_j can still reach θ0) decode their
-     doc keys and aggregate in ONE concat+argsort+reduceat.
-  3. REFINEMENT terms (typically the Zipf head: high df ⇒ low idf ⇒ low ub)
-     never decode fully — only the 128-doc blocks containing surviving
-     candidates (skip-table searchsorted → O(1) frame access), with
-     candidates pruned between terms as θ rises.
-  4. Single-term queries skip all of it: weights + argpartition top-k.
+  1. WEIGHTS WITHOUT KEYS: every list's per-posting BM25 weights come from
+     its tf/dl streams only (Segment.weights → decode_tfdl) — the gap
+     stream (doc keys) of a list is NEVER fully decoded on this path.
+  2. θ bootstrap: the k-th largest single-list weight is a valid lower
+     bound on the final k-th score; a PROBE then exact-scores each list's k
+     weight-heaviest docs (their keys block-decoded via positions_keys, the
+     cross-list lookups candidate-restricted) to lift θ with cross-term
+     mass.
+  3. ADMISSION: list i can contribute a top-k doc only where
+     w_i ≥ θ − Σ_{j≠i} max_w_j; only the admitted positions' doc keys are
+     decoded — for the Zipf head (high df ⇒ low idf ⇒ low weights) that is
+     typically nothing or a handful of 128-doc blocks.
+  4. RE-SCORE: admitted candidates are exact-scored with per-list
+     candidate-restricted lookups (skip-table searchsorted → O(1) block
+     frame access), in sorted-term order (the oracle's float op sequence).
+  5. Single-term queries: weights + per-list top-k positions (ties kept),
+     block-decode only those keys.
 
 Per-block bound: idf * tf_sat(block_max_tf, block_min_dl, avgdl) — sound
 (tf_sat increasing in tf, decreasing in dl).
@@ -78,6 +81,28 @@ class _TermList:
     def full(self, avgdl: float):
         return self.keys(), self.weights(avgdl)
 
+    def positions_keys(self, pos: np.ndarray, avgdl: float) -> np.ndarray:
+        """Doc keys at ascending posting positions — decodes ONLY the
+        128-doc blocks containing them (skip-table base per block), falling
+        back to one full decode when the positions are dense enough that
+        block-at-a-time would touch most of the list anyway."""
+        if pos.size == 0:
+            return np.empty(0, np.int64)
+        if self._keys is not None:
+            return self._keys[pos]
+        from engine.index.codecs import BLOCK_SIZE
+
+        blocks = pos // BLOCK_SIZE
+        ub = np.unique(blocks)
+        if ub.size >= max(4, self.last_doc.size // 4):
+            return self.keys()[pos]
+        out = np.empty(pos.size, np.int64)
+        for b in ub:
+            dk, _ = self.block(int(b), avgdl)
+            sel = blocks == b
+            out[sel] = dk[pos[sel] - int(b) * BLOCK_SIZE]
+        return out
+
     def block(self, b: int, avgdl: float):
         out = self._blocks.get(b)
         if out is None:
@@ -132,29 +157,36 @@ def wand_topk(server, text: str, k: int):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
     if len(infos) == 1:
-        # single term: scores ARE the weights; one decode + argpartition —
-        # exactly the oracle's values, no aggregation or re-score needed
-        lists = infos[0]["lists"]
-        dk = np.concatenate([tl.keys() for tl in lists])
-        w = np.concatenate([tl.weights(avgdl) for tl in lists])
-        return topk_postings(dk, w, k)
+        # single term: scores ARE the weights (tf/dl streams only — no gap
+        # decode); per-list top-k positions (ties at the k-th weight kept)
+        # are a superset of the global top-k, and only THEIR doc keys are
+        # block-decoded
+        parts_k, parts_w = [], []
+        for tl in infos[0]["lists"]:
+            w = tl.weights(avgdl)
+            if w.size > k:
+                kth = np.partition(w, w.size - k)[w.size - k]
+                pos = np.nonzero(w >= kth)[0]
+            else:
+                pos = np.arange(w.size)
+            parts_k.append(tl.positions_keys(pos, avgdl))
+            parts_w.append(w[pos])
+        return topk_postings(np.concatenate(parts_k), np.concatenate(parts_w), k)
 
     cand, scores = _multi_term(infos, k, avgdl)
     if scores is None:
         # exact scoring of admitted candidates in sorted-term order (oracle
-        # op order); cand is sorted unique; candidates are searched INTO each
-        # list (O(|cand| log df) per list — never a scan of the big lists)
+        # op order); cand is sorted unique; each list contributes via a
+        # candidate-restricted lookup (block decode), never a full gap scan
         scores = np.zeros(cand.size, dtype=np.float64)
         for info in sorted(infos, key=lambda d: d["term"]):
             for tl in info["lists"]:
-                dk = tl.keys()
-                if dk.size == 0 or cand.size == 0:
+                if cand.size == 0:
                     continue
-                pos = np.searchsorted(dk, cand)
-                pos[pos >= dk.size] = 0
-                match = dk[pos] == cand
-                if match.any():
-                    scores[match] += tl.weights(avgdl)[pos[match]]
+                dk_m, w_m = tl.lookup(cand, avgdl)
+                if dk_m.size:
+                    pos = np.searchsorted(cand, dk_m)
+                    scores[pos] += w_m
     return topk_postings(cand, scores, k)
 
 
@@ -190,25 +222,26 @@ def _multi_term(infos, k: int, avgdl: float):
     # PROBE: exact-score each list's k weight-heaviest docs (any k docs give
     # a valid lower bound — tie exactness not needed for a bound). Their
     # exact sums include cross-term mass, lifting θ far above the
-    # single-list bootstrap for multi-term queries.
+    # single-list bootstrap for multi-term queries. Only the probe docs'
+    # blocks are gap-decoded (positions_keys / lookup) — head lists never
+    # decode their full doc-key stream here.
     probe_keys = []
     for info in infos:
         for tl in info["lists"]:
             w = tl.weights(avgdl)
             if w.size > k:
-                probe_keys.append(tl.keys()[np.argpartition(w, w.size - k)[w.size - k :]])
+                pos = np.sort(np.argpartition(w, w.size - k)[w.size - k :])
             else:
-                probe_keys.append(tl.keys())
+                pos = np.arange(w.size)
+            probe_keys.append(tl.positions_keys(pos, avgdl))
     probe = np.unique(np.concatenate(probe_keys))
     psc = np.zeros(probe.size, dtype=np.float64)
     for info in infos:
         for tl in info["lists"]:
-            dk = tl.keys()
-            pos = np.searchsorted(dk, probe)
-            pos[pos >= dk.size] = 0
-            match = dk[pos] == probe
-            if match.any():
-                psc[match] += tl.weights(avgdl)[pos[match]]
+            dk_m, w_m = tl.lookup(probe, avgdl)
+            if dk_m.size:
+                pos = np.searchsorted(probe, dk_m)
+                psc[pos] += w_m
     theta = max(theta, _kth_largest(psc, k))
 
     parts = []
@@ -221,7 +254,8 @@ def _multi_term(infos, k: int, avgdl: float):
                 continue
             mask = w >= thr
             if mask.any():
-                parts.append((tl.keys()[mask], w[mask]))
+                pos = np.nonzero(mask)[0]
+                parts.append((tl.positions_keys(pos, avgdl), w[pos]))
     if not parts:
         return np.empty(0, dtype=np.int64), None
     cand_k, _ = accumulate_sorted_lists(parts)

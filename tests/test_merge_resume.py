@@ -130,3 +130,83 @@ class TestResume:
             gk, gs = srv.topk(q, 10)
             np.testing.assert_array_equal(gk, wk)
             np.testing.assert_array_equal(gs, ws)
+
+
+class TestCrashResume:
+    """SURVEY §5.4: crash AFTER segments are written but BEFORE the manifest
+    commit → re-run → same query results as an uninterrupted build; orphan
+    segments stay invisible (VERDICT r01 missing #4)."""
+
+    def test_crash_before_commit_then_rerun(self, tmp_path, ray_session, monkeypatch):
+        frag_dir, t = _write_fragments(tmp_path, n_convs=40, seed=11)
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+
+        crash_dir = str(tmp_path / "crash_idx")
+        orig_commit = Manifest.commit
+
+        def exploding_commit(self):
+            raise RuntimeError("simulated crash before manifest commit")
+
+        monkeypatch.setattr(Manifest, "commit", exploding_commit)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            build_index(frag_dir, crash_dir, num_shards=4, build_id="crash1")
+        monkeypatch.setattr(Manifest, "commit", orig_commit)
+
+        # crashed attempt: segments on disk, but NOTHING committed
+        seg_dir = os.path.join(crash_dir, "segments")
+        orphans = set(os.listdir(seg_dir))
+        assert orphans, "crash simulation must happen after segment writes"
+        assert not os.path.exists(os.path.join(crash_dir, "manifest.json"))
+
+        # re-run from scratch state → full build (nothing was committed)
+        m = build_index(frag_dir, crash_dir, num_shards=4, build_id="crash2")
+        assert m.stats["n_docs"] == t.num_rows
+        live = {s["name"] for s in m.live_segments()}
+        assert live.isdisjoint(orphans - live), "orphans must not be referenced"
+
+        # results identical to a clean, uninterrupted build
+        clean_dir = str(tmp_path / "clean_idx")
+        build_index(frag_dir, clean_dir, num_shards=4, build_id="clean")
+        # explicit orphan GC removes the crashed attempt's artifacts and
+        # leaves the committed index intact
+        from engine.index.merge import gc_orphans
+
+        removed = gc_orphans(crash_dir)
+        assert removed > 0
+        assert {s["name"] for s in Manifest(crash_dir).live_segments()} <= set(
+            os.listdir(seg_dir)
+        )
+
+        a = SegmentServer(crash_dir, k=10)
+        b = SegmentServer(clean_dir, k=10)
+        for qid, q in seeded_query_set(20, seed=9):
+            ka, sa = a.topk(q)
+            kb, sb = b.topk(q)
+            np.testing.assert_array_equal(ka, kb, err_msg=q)
+            np.testing.assert_array_equal(sa, sb, err_msg=q)
+            ok, os_ = oracle.topk(q, 10)
+            np.testing.assert_array_equal(ka, ok, err_msg=f"vs oracle: {q}")
+
+    def test_resumed_build_antijoins_committed_keys(self, tmp_path, ray_session):
+        """dedup_input=True on a resumed build must not re-index keys that an
+        earlier build committed, even when new fragments repeat them
+        (ADVICE r01: cross-build duplicate survival)."""
+        frag_dir, t = _write_fragments(tmp_path, n_convs=30, n_frags=2, seed=13)
+        idx = str(tmp_path / "aj_idx")
+        frags = sorted(
+            os.path.join(frag_dir, f) for f in os.listdir(frag_dir) if f.endswith(".parquet")
+        )
+        build_index([frags[0]], idx, num_shards=4, build_id="b1", dedup_input=True)
+        n1 = Manifest(idx).stats["n_docs"]
+        # second build sees BOTH fragments: frag 0's rows are already
+        # committed and must be dropped by the anti-join
+        build_index(frags, idx, num_shards=4, build_id="b2", dedup_input=True, resume=False)
+        m = Manifest(idx)
+        t1 = pq.read_table(frags[0]).num_rows
+        t2 = pq.read_table(frags[1]).num_rows
+        assert n1 == t1
+        assert m.stats["n_docs"] == t1 + t2  # no double count
+        from engine.index.build import audit_doc_keys
+
+        assert audit_doc_keys(idx)["collisions"] == 0

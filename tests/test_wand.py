@@ -64,18 +64,29 @@ def test_wand_prunes_head_term_blocks(setup):
             rare = cand
             break
     assert rare is not None
-    calls = {"full": 0}
-    orig = W._TermList.full
+    # instrument the REAL decode seams (VERDICT r01 "what's wrong" #2): a
+    # full gap decode happens in Segment.read_postings (decode_all of all 3
+    # streams) — counting _TermList.full alone misses decodes reached via
+    # seg.weights / tl.keys()
+    from engine.index.segment import Segment
 
-    def counting_full(self, avgdl):
-        calls["full"] += 1
-        return orig(self, avgdl)
+    head_idxs = set()
+    for seg, idx in srv._term_hits(head)[0]:
+        head_idxs.add((seg.path, idx))
+    calls = {"full_head": 0, "full_any": 0}
+    orig_rp = Segment.read_postings
 
-    W._TermList.full = counting_full
+    def counting_rp(self, idx):
+        calls["full_any"] += 1
+        if (self.path, idx) in head_idxs:
+            calls["full_head"] += 1
+        return orig_rp(self, idx)
+
+    Segment.read_postings = counting_rp
     try:
         srv.topk(f"{rare} {head}")
     finally:
-        W._TermList.full = orig
-    # the head term list must not be fully decoded (refinement via blocks)
-    # full() may be called for the rare term's lists only
-    assert calls["full"] <= 2, f"head list fully decoded ({calls} full decodes)"
+        Segment.read_postings = orig_rp
+    # the head term's gap stream must never be fully decoded: weights come
+    # from decode_tfdl, candidate keys from per-block decode_range
+    assert calls["full_head"] == 0, f"head list fully decoded ({calls})"
