@@ -200,11 +200,12 @@ def build_index(
     _exchange_ctx.__enter__()
     # "runs": RUN SIZE controls both task parallelism (want ≈2 tasks/core)
     # and segment count (one segment per shard PER RUN — merge cost scales
-    # with runs, so runs must not be tiny). Read blocks come out at parquet
-    # row-group granularity regardless of override_num_blocks, so the
-    # map_batches batch_size below does the real coalescing; it is set a
-    # hair under the target so a block that IS a full run never pairs up
-    # with the next one (which would halve parallelism).
+    # with runs, so runs must not be tiny). batch_size must be EXPLICIT:
+    # with batch_size=None each parquet row-group-sized read block becomes
+    # its own run (measured: 640 runs → 58k segment dirs → 4x slower e2e).
+    # Each map task handles one ≥run-sized bundle of blocks, emitting a full
+    # run plus a small remainder run; remainder segments are exactly what
+    # the tiered merge compacts (engine/index/merge.py).
     run_eff = run_rows
     onb = None
     if exchange == "runs" and isinstance(source, list):
@@ -254,14 +255,13 @@ def build_index(
         fused_kwargs = dict(
             emit_kwargs, segments_dir=segments_dir, build_id=build_id, lineage=lineage
         )
-        run_batch = max(4096, int(run_eff * 0.9))
         if analyzer_is_expensive(analyzer):
             metrics_ds = ds_b.map_batches(
                 EmitAssemble,
                 fn_constructor_kwargs=fused_kwargs,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                batch_size=run_batch,
+                batch_size=run_eff,
                 concurrency=concurrency,
             )
         else:
@@ -269,7 +269,7 @@ def build_index(
                 functools.partial(emit_assemble_fn, **fused_kwargs),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                batch_size=run_batch,
+                batch_size=run_eff,
             )
     else:
         if analyzer_is_expensive(analyzer):

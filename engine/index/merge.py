@@ -31,8 +31,15 @@ DEFAULT_FANIN = 4
 
 
 def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
-                         merge_id: str, tier: int) -> dict:
-    """Merge the given segments of one shard into a single segment."""
+                         merge_id: str, tier: int, *, doc_buckets: int = 1,
+                         s_total: int = 0) -> list[dict]:
+    """Merge the given segments of one shard → one segment, or — when
+    ``doc_buckets=D > 1`` — D doc-bucketed segments (bucket b gets the
+    postings with ``doc_key % D == b``, under shard id
+    ``shard + s_total * b``). Bucketing at compaction is free of any extra
+    shuffle: the task already holds the shard's sorted postings, and a
+    mask-split preserves (term, doc_key) order. Returns one metrics row per
+    written segment."""
     import time
 
     t0 = time.monotonic()
@@ -43,12 +50,12 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
     id_parts, dk_parts, tf_parts, dl_parts = [], [], [], []
     for seg in opened:
         seg_ids = np.searchsorted(vocab, seg.terms)  # exact: subset of union
-        for idx in range(len(seg.terms)):
-            dk, tf, dl = seg.read_postings(idx)
-            id_parts.append(np.full(dk.size, seg_ids[idx], dtype=np.int64))
-            dk_parts.append(dk)
-            tf_parts.append(tf)
-            dl_parts.append(dl)
+        # ONE vectorised decode of the whole segment (all terms, all streams)
+        dk, tf, dl = seg.read_all_postings()
+        id_parts.append(np.repeat(seg_ids, seg.df))
+        dk_parts.append(dk)
+        tf_parts.append(tf)
+        dl_parts.append(dl)
         seg.close()
     ids = np.concatenate(id_parts)
     dks = np.concatenate(dk_parts)
@@ -56,41 +63,60 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
     dls = np.concatenate(dl_parts)
     order = np.lexsort((dks, ids))
     ids, dks, tfs, dls = ids[order], dks[order], tfs[order], dls[order]
-    dict_table, skips_table, blob = assemble_shard_tables(ids, dks, tfs, dls, vocab=vocab)
-    name = segment_name(
-        merge_id, shard, dict_table, len(ids),
-        doc_lo=int(dks.min()) if len(ids) else 0,
-        doc_hi=int(dks.max()) if len(ids) else 0,
-        sum_cf=int(tfs.sum()),
+
+    out = []
+    buckets = (
+        [(shard, slice(None))]
+        if doc_buckets <= 1
+        else [(shard + s_total * b, dks % doc_buckets == b) for b in range(doc_buckets)]
     )
-    meta = {
-        "build_id": merge_id,
-        "shard": shard,
-        "n_terms": dict_table.num_rows,
-        "n_postings": int(len(ids)),
-        "sum_cf": int(tfs.sum()),
-        "bytes_compressed": len(blob),
-        "lineage": {"merged_from": sorted(seg_names)},
-        "tier": tier,
-        "format_version": 1,
-    }
-    write_segment(segments_dir, name, dict_table, skips_table, blob, meta)
-    return {
-        "segment": name,
-        "shard": shard,
-        "n_terms": dict_table.num_rows,
-        "n_postings": int(len(ids)),
-        "sum_cf": int(tfs.sum()),
-        "bytes_compressed": len(blob),
-        "encode_sec": time.monotonic() - t0,
-    }
+    for out_shard, sel in buckets:
+        b_ids, b_dks, b_tfs, b_dls = ids[sel], dks[sel], tfs[sel], dls[sel]
+        if b_ids.size == 0 and doc_buckets > 1:
+            continue
+        dict_table, skips_table, blob = assemble_shard_tables(
+            b_ids, b_dks, b_tfs, b_dls, vocab=vocab
+        )
+        name = segment_name(
+            merge_id, out_shard, dict_table, len(b_ids),
+            doc_lo=int(b_dks.min()) if len(b_ids) else 0,
+            doc_hi=int(b_dks.max()) if len(b_ids) else 0,
+            sum_cf=int(b_tfs.sum()),
+        )
+        meta = {
+            "build_id": merge_id,
+            "shard": out_shard,
+            "n_terms": dict_table.num_rows,
+            "n_postings": int(len(b_ids)),
+            "sum_cf": int(b_tfs.sum()),
+            "bytes_compressed": len(blob),
+            "lineage": {"merged_from": sorted(seg_names)},
+            "tier": tier,
+            "format_version": 1,
+        }
+        write_segment(segments_dir, name, dict_table, skips_table, blob, meta)
+        out.append(
+            {
+                "segment": name,
+                "shard": out_shard,
+                "n_terms": dict_table.num_rows,
+                "n_postings": int(len(b_ids)),
+                "sum_cf": int(b_tfs.sum()),
+                "bytes_compressed": len(blob),
+                "encode_sec": time.monotonic() - t0,
+            }
+        )
+    return out
 
 
-def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN, *, compact: bool = False) -> list[dict]:
+def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN, *, compact: bool = False,
+                rebucket: bool = False) -> list[dict]:
     """Log-structured policy: per (shard, tier) with >= fanin live segments,
     merge the oldest ``fanin`` into tier+1. ``compact=True`` instead merges
     ALL live segments of a shard (any tier) into one — full compaction, used
-    before query-heavy phases."""
+    before query-heavy phases. ``rebucket=True`` (with compact) includes
+    single-segment shards too: every shard must be rewritten into the new
+    doc-bucketed layout."""
     if compact:
         by_shard: dict[int, list[dict]] = {}
         for s in manifest.live_segments():
@@ -102,7 +128,7 @@ def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN, *, compact: bool
                 "segments": [x["name"] for x in segs],
             }
             for shard, segs in sorted(by_shard.items())
-            if len(segs) >= 2
+            if len(segs) >= (1 if rebucket else 2)
         ]
     by_shard_tier: dict[tuple[int, int], list[dict]] = {}
     for s in manifest.live_segments():
@@ -118,8 +144,13 @@ def plan_merges(manifest: Manifest, fanin: int = DEFAULT_FANIN, *, compact: bool
 
 
 def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | None = None,
-              compact: bool = False) -> int:
+              compact: bool = False, doc_buckets: int | None = None) -> int:
     """Execute the tiered-merge policy once. Returns #merges performed.
+
+    ``doc_buckets=D`` (implies compact): rewrite every shard into the
+    doc-bucketed layout (engine/query/bucketed.py) — the log-structured
+    build stays cheap and unbucketed; compaction produces the per-server
+    1/D partitioning, with no extra shuffle.
 
     Ray-Data mapping: the merge work-list becomes a Dataset; each plan runs
     as one task (map_batches with batch_size=1 over plan rows)."""
@@ -129,7 +160,17 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
     import ray.data as rd
 
     manifest = Manifest(index_dir)
-    plans = plan_merges(manifest, fanin, compact=compact)
+    rebucket = doc_buckets is not None and doc_buckets > 1
+    if rebucket:
+        compact = True
+        from engine.core.partitioning import SaltMap
+
+        sm = manifest.data.get("salt_map")
+        s_total = (SaltMap.from_json(sm) if sm else SaltMap(manifest.data["num_base_shards"])).num_total_shards
+    else:
+        doc_buckets = 1
+        s_total = 0
+    plans = plan_merges(manifest, fanin, compact=compact, rebucket=rebucket)
     if not plans:
         return 0
     merge_id = merge_id or ("m" + uuid.uuid4().hex[:7])
@@ -145,9 +186,13 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
         for shard, tier, seg_json in zip(
             batch["shard"].to_pylist(), batch["tier"].to_pylist(), batch["segments"].to_pylist()
         ):
-            m = merge_shard_segments(segments_dir, json.loads(seg_json), int(shard), merge_id, int(tier))
-            m["tier"] = int(tier)
-            out.append(m)
+            rows = merge_shard_segments(
+                segments_dir, json.loads(seg_json), int(shard), merge_id, int(tier),
+                doc_buckets=doc_buckets, s_total=s_total,
+            )
+            for m in rows:
+                m["tier"] = int(tier)
+                out.append(m)
         schema = METRICS_SCHEMA.append(pa.field("tier", pa.int64()))
         return pa.Table.from_pylist(out, schema=schema)
 
@@ -160,21 +205,19 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
     )
 
     # atomic manifest swap: add merged segments, tombstone inputs
-    merged_names: set[str] = set()
-    new_segments = []
-    for p, r in zip(plans, results.itertuples()):
-        merged_names.update(p["segments"])
-        new_segments.append(
-            {
-                "name": r.segment,
-                "shard": int(r.shard),
-                "tier": int(r.tier),
-                "n_terms": int(r.n_terms),
-                "n_postings": int(r.n_postings),
-                "sum_cf": int(r.sum_cf),
-                "bytes_compressed": int(r.bytes_compressed),
-            }
-        )
+    merged_names: set[str] = set().union(*(p["segments"] for p in plans))
+    new_segments = [
+        {
+            "name": r.segment,
+            "shard": int(r.shard),
+            "tier": int(r.tier),
+            "n_terms": int(r.n_terms),
+            "n_postings": int(r.n_postings),
+            "sum_cf": int(r.sum_cf),
+            "bytes_compressed": int(r.bytes_compressed),
+        }
+        for r in results.itertuples()
+    ]
     manifest.tombstone_segments(merged_names)
     # n_docs/sum_dl unchanged: merge rewrites postings, moves no documents
     manifest.data["builds"].append(
@@ -187,8 +230,16 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
             "sum_dl": 0,
         }
     )
+    if rebucket:
+        manifest.data["doc_buckets"] = int(doc_buckets)
     manifest.commit()
     gc_tombstoned(index_dir, only=merged_names)
+    if rebucket:
+        # bucketed queries need GLOBAL per-term df (a bucket's dict df only
+        # counts its own docs) — refresh the term_stats artifact
+        from engine.index.build import build_term_stats
+
+        build_term_stats(index_dir)
     return len(plans)
 
 

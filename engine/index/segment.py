@@ -126,6 +126,13 @@ class Segment:
             self.wcache.put(key, w, w.size)
         return w
 
+    def read_all_postings(self):
+        """Bulk-decode EVERY term's postings in one vectorised pass →
+        (doc_keys, tfs, dls) concatenated in dict order; term t owns rows
+        [cumsum(df)[t-1] : cumsum(df)[t]]. The merge path: per-term decode
+        overhead dominated shard compaction (engine/index/merge.py)."""
+        return codecs.decode_segment_postings(self._mm, self.offsets, self.df)
+
     def term_postings(self, idx: int) -> codecs.TermPostings:
         """Lazy per-block reader (WAND path). Cached so the stream-exception
         tables decode once per (segment, term), not once per query."""

@@ -82,15 +82,24 @@ class SegmentServer:
         self.analyzer = analyzer_obj or get_analyzer(self.manifest.data["analyzer"])
         sm = self.manifest.data.get("salt_map")
         self.salt = SaltMap.from_json(sm) if sm else SaltMap(self.manifest.data["num_base_shards"])
-        self._shard_offset = 0
+        d_buckets = int(self.manifest.data.get("doc_buckets", 1))
         if self.bucket is not None:
-            self._shard_offset = self.salt.num_total_shards * self.bucket
+            # bucketed pool member: serve exactly one bucket's shard range
+            self._offsets = [self.salt.num_total_shards * self.bucket]
+        else:
+            # full view: on a bucketed index a term's postings live under
+            # EVERY bucket's offset of its shard (a plain 0-offset view would
+            # silently score only bucket 0's docs)
+            self._offsets = [self.salt.num_total_shards * b for b in range(d_buckets)]
+        self._shard_offset = self._offsets[0]
         self._by_shard: dict[int, list[str]] = {}
         seg_root = os.path.join(index_dir, "segments")
         shard_filter = set(shards) if shards is not None else None
         if self.bucket is not None:
             own = set(range(self._shard_offset, self._shard_offset + self.salt.num_total_shards))
             shard_filter = own if shard_filter is None else (shard_filter & own)
+        elif len(self._offsets) > 1 and shard_filter is not None:
+            shard_filter = {s + off for s in shard_filter for off in self._offsets}
         for s in self.manifest.live_segments():
             if shard_filter is not None and s["shard"] not in shard_filter:
                 continue
@@ -116,12 +125,13 @@ class SegmentServer:
         hits = []
         df = 0
         for shard in self.salt.shards_for_term(term):
-            for path in self._by_shard.get(shard + self._shard_offset, ()):
-                seg = self._segment(path)
-                idx = seg.lookup(term)
-                if idx >= 0:
-                    hits.append((seg, idx))
-                    df += int(seg.df[idx])
+            for off in self._offsets:
+                for path in self._by_shard.get(shard + off, ()):
+                    seg = self._segment(path)
+                    idx = seg.lookup(term)
+                    if idx >= 0:
+                        hits.append((seg, idx))
+                        df += int(seg.df[idx])
         if self.df_overrides is not None:
             df = int(self.df_overrides.get(term, 0))
         return hits, df

@@ -82,26 +82,28 @@ class _TermList:
         return self.keys(), self.weights(avgdl)
 
     def positions_keys(self, pos: np.ndarray, avgdl: float) -> np.ndarray:
-        """Doc keys at ascending posting positions — decodes ONLY the
-        128-doc blocks containing them (skip-table base per block), falling
-        back to one full decode when the positions are dense enough that
-        block-at-a-time would touch most of the list anyway."""
+        """Doc keys at ascending posting positions — bulk-decodes ONLY the
+        128-doc blocks containing them (one vectorised gather for ALL
+        blocks), falling back to one full decode when the positions are
+        dense enough that block decode would touch most of the list anyway."""
         if pos.size == 0:
             return np.empty(0, np.int64)
         if self._keys is not None:
             return self._keys[pos]
         from engine.index.codecs import BLOCK_SIZE
 
-        blocks = pos // BLOCK_SIZE
-        ub = np.unique(blocks)
-        if ub.size >= max(4, self.last_doc.size // 4):
+        blocks = np.unique(pos // BLOCK_SIZE)
+        if blocks.size >= max(4, self.last_doc.size // 2):
             return self.keys()[pos]
-        out = np.empty(pos.size, np.int64)
-        for b in ub:
-            dk, _ = self.block(int(b), avgdl)
-            sel = blocks == b
-            out[sel] = dk[pos[sel] - int(b) * BLOCK_SIZE]
-        return out
+        dk, _w, flat_pos = self._decode_blocks(blocks, avgdl)
+        return dk[np.searchsorted(flat_pos, pos)]
+
+    def _decode_blocks(self, blocks: np.ndarray, avgdl: float):
+        """(doc_keys, weights, flat posting positions) for the given sorted
+        block indices — ONE vectorised multi-block decode."""
+        bases = np.where(blocks > 0, self.last_doc[blocks - 1], -1)
+        dk, tf, dl, flat_pos = self.tp.decode_blocks(blocks, bases)
+        return dk, self.idf * tf_sat(tf, dl, avgdl), flat_pos
 
     def block(self, b: int, avgdl: float):
         out = self._blocks.get(b)
@@ -123,12 +125,10 @@ class _TermList:
             blocks = blocks[blocks < self.last_doc.size]
             if blocks.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            if blocks.size >= max(4, self.last_doc.size // 4):
+            if blocks.size >= max(4, self.last_doc.size // 2):
                 dk, w = self.full(avgdl)
             else:
-                parts = [self.block(int(b), avgdl) for b in blocks]
-                dk = np.concatenate([p[0] for p in parts])
-                w = np.concatenate([p[1] for p in parts])
+                dk, w, _ = self._decode_blocks(blocks, avgdl)
         pos = np.searchsorted(cand, dk)
         pos[pos >= cand.size] = 0
         mask = cand[pos] == dk
@@ -207,8 +207,6 @@ def _multi_term(infos, k: int, avgdl: float):
     When θ is unbounded (every list shorter than k — tiny corpora) the masks
     keep everything and this degenerates to the exhaustive union.
     """
-    from engine.query.topk import accumulate_sorted_lists
-
     max_w = []  # exact per-TERM max weight
     theta = -np.inf
     for info in infos:
@@ -250,13 +248,14 @@ def _multi_term(infos, k: int, avgdl: float):
         for tl in info["lists"]:
             w = tl.weights(avgdl)
             if not np.isfinite(theta) or thr <= 0:
-                parts.append((tl.keys(), w))
+                parts.append(tl.keys())
                 continue
             mask = w >= thr
             if mask.any():
-                pos = np.nonzero(mask)[0]
-                parts.append((tl.positions_keys(pos, avgdl), w[pos]))
+                parts.append(tl.positions_keys(np.nonzero(mask)[0], avgdl))
     if not parts:
         return np.empty(0, dtype=np.int64), None
-    cand_k, _ = accumulate_sorted_lists(parts)
-    return cand_k, None
+    # candidate set only — scores are recomputed exactly (oracle op order) by
+    # the caller, so a plain sorted-unique union suffices; the weight-merging
+    # accumulate_sorted_lists here was 1/3 of query wall time
+    return np.unique(np.concatenate(parts)), None

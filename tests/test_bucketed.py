@@ -111,3 +111,47 @@ def test_expensive_analyzer_bucketed_build(tmp_path_factory, ray_session):
         want_k, want_s = oracle.topk(q, 10)
         got = res[res.qid == qid].sort_values("rank")
         np.testing.assert_array_equal(got["doc_key"].to_numpy(), want_k, err_msg=q)
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_rebucket_at_compaction_rank_identical(tmp_path_factory, ray_session, mode):
+    """Unbucketed runs build → run_merge(doc_buckets=D) rewrites every shard
+    into the doc-bucketed layout with NO extra shuffle; bucketed queries are
+    then rank/score-identical to the oracle."""
+    import os
+
+    import ray.data as rd
+
+    from engine.index.merge import run_merge
+
+    t = synth_transcripts_table(60, seed=23)
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+    idx = str(tmp_path_factory.mktemp(f"rbidx_{mode}"))
+    build_index(rd.from_arrow(t), idx, num_shards=4, build_id="rb")  # unbucketed
+    assert Manifest(idx).data["doc_buckets"] == 1
+    run_merge(idx, doc_buckets=3)
+    m = Manifest(idx)
+    assert m.data["doc_buckets"] == 3
+    assert os.path.isdir(os.path.join(idx, "term_stats"))
+    # every live segment belongs to a bucketed shard id and holds only its docs
+    from engine.core.partitioning import SaltMap
+
+    s_total = SaltMap.from_json(m.data["salt_map"]).num_total_shards
+    for s in m.live_segments():
+        assert 0 <= s["shard"] < 3 * s_total
+    queries = seeded_query_set(25, seed=11)
+    res = query_bucketed(idx, queries, k=10, mode=mode).to_pandas()
+    for qid, q in queries:
+        want_k, want_s = oracle.topk(q, 10)
+        sub = res[res.qid == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub["doc_key"].to_numpy(), want_k, err_msg=f"{mode}:{q}")
+        np.testing.assert_array_equal(sub["score"].to_numpy(), want_s, err_msg=f"{mode}:{q}")
+    # a FULL-VIEW server on the bucketed index must see every bucket (not
+    # silently only bucket 0) and stay oracle-identical
+    srv = SegmentServer(idx, k=10, mode=mode)
+    for qid, q in queries[:8]:
+        want_k, want_s = oracle.topk(q, 10)
+        got_k, got_s = srv.topk(q)
+        np.testing.assert_array_equal(got_k, want_k, err_msg=f"fullview {mode}:{q}")
+        np.testing.assert_array_equal(got_s, want_s, err_msg=f"fullview {mode}:{q}")

@@ -159,3 +159,39 @@ class TestPostingList:
         np.testing.assert_array_equal(k, doc_keys[blk * 128 : blk * 128 + ndocs])
         assert k[-1] == last_doc
         assert max_tf == 1 and min_dl == 7
+
+
+class TestSegmentBulkDecode:
+    @given(st.integers(min_value=1, max_value=60), st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=25, deadline=None)
+    def test_bulk_matches_per_term(self, n_terms, seed):
+        """decode_segment_postings ≡ per-term decode_term_postings, for a
+        concatenated blob of many terms with mixed widths/exceptions."""
+        rng = np.random.default_rng(seed)
+        blobs, offsets, dfs, expected = [], [], [], []
+        off = 0
+        for _ in range(n_terms):
+            n = int(rng.integers(1, 400))
+            doc_keys = np.cumsum(rng.integers(1, 1 << int(rng.integers(1, 40)), size=n)).astype(np.int64)
+            tfs = rng.integers(1, 50, size=n).astype(np.int32)
+            dls = rng.integers(1, 3000, size=n).astype(np.int32)
+            if rng.random() < 0.3:
+                tfs[:: max(1, n // 5)] = 2**20  # force tf exceptions
+            blob, _ = codecs.encode_term_postings(doc_keys, tfs, dls)
+            blobs.append(blob)
+            offsets.append(off)
+            dfs.append(n)
+            expected.append((doc_keys, tfs, dls))
+            off += len(blob)
+        buf = b"".join(blobs)
+        dk, tf, dl = codecs.decode_segment_postings(buf, np.array(offsets), np.array(dfs))
+        e_dk = np.concatenate([e[0] for e in expected])
+        e_tf = np.concatenate([e[1] for e in expected])
+        e_dl = np.concatenate([e[2] for e in expected])
+        np.testing.assert_array_equal(dk, e_dk)
+        np.testing.assert_array_equal(tf, e_tf)
+        np.testing.assert_array_equal(dl, e_dl)
+
+    def test_zero_df_terms_skipped(self):
+        dk, tf, dl = codecs.decode_segment_postings(b"", np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        assert dk.size == tf.size == dl.size == 0
