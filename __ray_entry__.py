@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_minhash_verified": lambda sf: dedup.minhash_verified(sf, threshold_micro=900_000),
         "dedup_simhash_pairs": dedup.simhash_pairs,
+        "dedup_embedding_pairs": lambda sf: dedup.embedding_pairs(sf, threshold_micro=400_000),
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
@@ -221,6 +222,14 @@ SELECT doc_a, doc_b, jaccard_micro FROM (
   FROM t a JOIN t b ON a.doc_id < b.doc_id
 ) WHERE jaccard_micro >= 900000
 ORDER BY doc_a, doc_b
+""",
+        "dedup_embedding_pairs": """
+SELECT vec_a, vec_b, sim_micro FROM (
+  SELECT a.vec_id::BIGINT vec_a, b.vec_id::BIGINT vec_b,
+         floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE sim_micro >= 400000
+ORDER BY vec_a, vec_b
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),

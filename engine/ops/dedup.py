@@ -515,3 +515,194 @@ def jaccard_pairs(sf_dir: str, threshold_micro: int = 500_000):
 
     out = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_pairs(sf_dir: str, threshold_micro: int = 400_000):
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, sim_micro) for every
+    a<b with cosine ≥ threshold. EXACT all-pairs via block-broadcast matmul —
+    each batch of rows is scored against the broadcast corpus matrix, so the
+    comparison work distributes over batches while only pairs ≥ τ leave a
+    task.
+
+    Like ``jaccard_pairs`` this is the SMALL-SCALE ORACLE of the family
+    (broadcasting the full matrix is O(n·dim) memory per worker — fine for
+    the fixture corpus, never the 100-TB path). The scale path is
+    ``embedding_lsh_pairs``: sign-random-projection buckets + exact verify.
+
+    Default τ=0.4: the fixture embeddings are near-orthogonal random vectors
+    (max off-diagonal cosine ≈ 0.51 at sf0.01), so a 0.9-style near-dup
+    threshold would select the empty set; the near-dup notion is
+    data-relative and τ is a parameter.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    full = ds.to_pandas().sort_values("vec_id")
+    ids = full["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, mat))
+
+    def block(batch: pa.Table) -> pa.Table:
+        bids, bmat = ray.get(ref)
+        my = batch["vec_id"].to_numpy()
+        rows = np.searchsorted(bids, my)
+        sims = bmat[rows] @ bmat.T
+        sm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        a_idx, b_idx = np.nonzero((sm >= threshold_micro) & (my[:, None] < bids[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(my[a_idx], type=pa.int64()),
+                "vec_b": pa.array(bids[b_idx], type=pa.int64()),
+                "sim_micro": pa.array(sm[a_idx, b_idx], type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "sim_micro": pd.Series([], dtype="int64")})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True).astype("int64")
+
+
+class _SignProjection:
+    """Per-actor state: seeded Gaussian hyperplanes, loaded once. A batch of
+    embeddings becomes 64-bit sign signatures in one matmul (no per-row
+    Python)."""
+
+    def __init__(self, dim: int, n_planes: int = 64, seed: int = 29, bands: int = 8):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.bands = bands
+        self.bits_per_band = n_planes // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(ids), -1)
+        bits = (mat @ self.planes) > 0  # (n, n_planes)
+        # pack each band's bits into one integer bucket key
+        weights = (1 << np.arange(self.bits_per_band, dtype=np.int64))
+        out_id, out_band, out_hash = [], [], []
+        for b in range(self.bands):
+            seg = bits[:, b * self.bits_per_band : (b + 1) * self.bits_per_band]
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int64))
+            out_hash.append(seg @ weights)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "band": pa.array(np.concatenate(out_band), type=pa.int64()),
+                "band_hash": pa.array(np.concatenate(out_hash), type=pa.int64()),
+            }
+        )
+
+
+def embedding_lsh_pairs(
+    sf_dir: str,
+    threshold_micro: int = 900_000,
+    *,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 29,
+):
+    """Scale path for embedding near-dup: sign-random-projection LSH
+    (Charikar SimHash over hyperplanes) buckets candidates, then EXACT cosine
+    verifies each candidate pair — only bucketed pairs are ever scored, no
+    O(n²) all-pairs.
+
+    Recall is threshold-dependent physics: p(bit agrees) = 1 − θ/π; with
+    8 bands × 8 bits a cos≥0.95 pair is missed with prob ≈1.2%, while
+    low-similarity pairs (cos≈0.4) are mostly missed — random-hyperplane
+    LSH is a HIGH-similarity near-dup tool. Tests verify recall on planted
+    near-duplicates; ``embedding_pairs`` is the exact small-scale oracle.
+    """
+    import ray
+    import ray.data as rd
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                          "vec_b": pd.Series([], dtype="int64"),
+                          "sim_micro": pd.Series([], dtype="int64")})
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    if not first:
+        return empty
+    dim = len(first[0]["embedding"])
+    sigs = ds.map_batches(
+        _SignProjection,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed, "bands": bands},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["vec_id"].to_numpy())
+        if ids.size < 2 or ids.size > 2000:  # degenerate-bucket guard
+            return pd.DataFrame({"vec_a": [], "vec_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"vec_a": ids[a], "vec_b": ids[b]})
+
+    pairs = (
+        sigs.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return empty
+    pairs = pairs.drop_duplicates(["vec_a", "vec_b"]).astype("int64")
+
+    # exact verify: gather involved vectors once, broadcast, score pairs
+    involved = np.unique(np.concatenate([pairs["vec_a"].to_numpy(), pairs["vec_b"].to_numpy()]))
+    inv_ref = ray.put(involved)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        ids = batch["vec_id"].to_numpy()
+        pos = np.searchsorted(inv, ids)
+        pos[pos >= inv.size] = 0
+        mask = inv[pos] == ids
+        return batch.filter(pa.array(mask))
+
+    sub = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    sids = sub["vec_id"].to_numpy()
+    smat = np.stack([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(sids)
+    sids, smat = sids[order], smat[order]
+    vec_ref = ray.put((sids, smat))
+
+    pairs_ds = rd.from_pandas(pairs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        vids, vmat = ray.get(vec_ref)
+        a = np.searchsorted(vids, batch["vec_a"].to_numpy())
+        b = np.searchsorted(vids, batch["vec_b"].to_numpy())
+        sims = np.einsum("ij,ij->i", vmat[a], vmat[b])
+        sm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        keep = sm >= threshold_micro
+        return pa.table(
+            {
+                "vec_a": batch["vec_a"].filter(pa.array(keep)),
+                "vec_b": batch["vec_b"].filter(pa.array(keep)),
+                "sim_micro": pa.array(sm[keep], type=pa.int64()),
+            }
+        )
+
+    out = pairs_ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True).astype("int64")

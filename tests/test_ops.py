@@ -77,6 +77,52 @@ class TestDedupRecall:
         out = simhash_pairs(dup_dir, max_hamming=3)
         assert len(out) >= 10  # exact dups have hamming 0
 
+    def test_embedding_pairs_exact_matches_numpy(self, ray_session):
+        """Block-broadcast exact embedding near-dup equals the plain NumPy
+        all-pairs computation (pair set AND micro-rounded sims)."""
+        from engine.ops.dedup import embedding_pairs
+
+        sf = "/root/testdata/sf0.001"
+        out = embedding_pairs(sf, threshold_micro=400_000)
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist())
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sm = np.floor((m @ m.T) * 1e6 + 0.5).astype(np.int64)
+        a, b = np.nonzero((sm >= 400_000) & (ids[:, None] < ids[None, :]))
+        ref = sorted(zip(ids[a], ids[b], sm[a, b]))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == [(int(x), int(y), int(s)) for x, y, s in ref]
+        assert len(got) > 0  # threshold chosen so the fixture has real pairs
+
+    def test_embedding_lsh_finds_planted_near_dups(self, tmp_path_factory, ray_session):
+        """Sign-projection LSH + exact verify finds planted high-cosine
+        near-duplicates, and every reported sim equals the exact value."""
+        from engine.ops.dedup import embedding_lsh_pairs, embedding_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((60, 32))
+        planted = base[:12] + 0.05 * rng.standard_normal((12, 32))  # cos ≈ 0.999
+        mat = np.vstack([base, planted]).astype(np.float32)
+        ids = np.arange(len(mat), dtype=np.int64)
+        d = tmp_path_factory.mktemp("emb")
+        pq.write_table(
+            pa.table({"vec_id": ids, "embedding": pa.array([list(r) for r in mat],
+                                                           type=pa.list_(pa.float32()))}),
+            str(d / "embeddings.parquet"),
+        )
+        exact = embedding_pairs(str(d), threshold_micro=950_000)
+        lsh = embedding_lsh_pairs(str(d), threshold_micro=950_000)
+        exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+        lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+        assert len(exact_pairs) >= 12
+        # high-cosine recall: 8 bands x 8 bits misses a cos>=0.99 pair with
+        # prob (1 - p^8)^8, p = 1 - theta/pi ~ 0.986 -> ~1e-7 per pair
+        assert lsh_pairs == exact_pairs
+        # verified sims are exact, not approximate
+        merged = lsh.merge(exact, on=["vec_a", "vec_b"], suffixes=("_lsh", "_exact"))
+        assert (merged["sim_micro_lsh"] == merged["sim_micro_exact"]).all()
+
 
 class TestANNRecall:
     def test_ivf_recall_vs_bruteforce(self, ray_session):
@@ -91,6 +137,49 @@ class TestANNRecall:
             a = set(approx[approx.qid == qid]["vec_id"])
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+
+    def test_ivf_persisted_index_and_partition_pruning(self, ray_session, tmp_path):
+        """The IVF artifact is built ONCE (centroids + hive-partitioned
+        assignments) and queries read only the probed partitions."""
+        import os
+
+        import numpy as np
+
+        from engine.ops.ann import build_ivf_index, ivf_query, probe_paths
+
+        sf = "/root/testdata/sf0.001"
+        idx = str(tmp_path / "ivf_idx")
+        meta = build_ivf_index(sf, idx, n_lists=8, seed=13)
+        assert meta["n_lists"] == 8 and meta["n_vectors"] > 0
+        assert os.path.exists(f"{idx}/centroids.npy")
+        parts = [d for d in os.listdir(f"{idx}/lists") if d.startswith("list_id=")]
+        assert 1 < len(parts) <= 8
+        # idempotent: second build is a no-op returning the same meta
+        assert build_ivf_index(sf, idx, n_lists=8, seed=13) == meta
+
+        # a query's read set is exactly its probed partitions — a strict
+        # subset of the corpus (the 100-TB point of the artifact)
+        centroids = np.load(f"{idx}/centroids.npy")
+        qm = centroids[:1] + 0.01  # a query near centroid 0
+        probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :2]
+        paths = probe_paths(idx, probe.ravel())
+        assert 0 < len(paths) <= 2 < len(parts)
+
+        res = ivf_query(idx, np.array([10**9]), qm, k=5, nprobe=2)
+        assert len(res) == 5
+        assert list(res.columns) == ["qid", "rank", "vec_id", "sim_micro"]
+        # results only come from probed lists
+        probed = {int(p.rsplit("=", 1)[1]) for p in paths}
+        import pyarrow.parquet as pq
+
+        allowed = set()
+        for p in paths:
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    allowed.update(
+                        pq.read_table(os.path.join(p, f), columns=["vec_id"])["vec_id"].to_pylist()
+                    )
+        assert set(res["vec_id"]).issubset(allowed), (probed, set(res["vec_id"]) - allowed)
 
 
 class TestMultimodal:
