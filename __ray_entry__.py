@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_nation_revenue": relational.nation_revenue,
         "rel_top_orders": relational.top_orders,
         "ev_hourly": relational.events_hourly,
+        "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
         "ev_json_stats": relational.events_json_stats,
     }
 
@@ -271,6 +272,21 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT hour_epoch, event_type,
        count(*)::BIGINT n_events,
        sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT sum_value_micro
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "ev_sliding": """
+WITH hourly AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT hour_epoch, event_type,
+         count(*)::BIGINT n_events,
+         sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT sum_value_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_epoch,
+       SUM(n_events) OVER w::BIGINT w_events,
+       SUM(sum_value_micro) OVER w::BIGINT w_value_micro
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hour_epoch
 """,
         "ev_json_stats": """
 SELECT event_type, count(*)::BIGINT n,

@@ -243,3 +243,48 @@ def events_json_stats(sf_dir: str):
     for c in ["n", "sum_k", "max_k"]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_sliding(sf_dir: str, window_hours: int = 24):
+    """SLIDING-window aggregate (SURVEY §2.9 follow-up): per event_type, the
+    trailing ``window_hours`` sum of event count and value over the hourly
+    series — SQL's RANGE BETWEEN (w-1)h PRECEDING AND CURRENT ROW.
+
+    Scale shape: the heavy reduction is the tumbling hourly aggregate
+    (events_hourly — per-batch partial then groupby-sum, linear); the window
+    pass then runs over the ALREADY-AGGREGATED series, partitioned by
+    event_type via groupby.map_groups with a vectorized two-pointer range
+    window inside each group. Hours×types rows move, never raw events."""
+    import ray.data as rd
+
+    hourly = events_hourly(sf_dir)  # small: |hours| x |types|
+    window_sec = (window_hours - 1) * 3600
+
+    def window_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_epoch").reset_index(drop=True)
+        ep = g["hour_epoch"].to_numpy()
+        cn = np.concatenate(([0], np.cumsum(g["n_events"].to_numpy())))
+        cv = np.concatenate(([0], np.cumsum(g["sum_value_micro"].to_numpy())))
+        # rows with hour_epoch in [ep[i] - window_sec, ep[i]]
+        left = np.searchsorted(ep, ep - window_sec, side="left")
+        idx = np.arange(len(ep)) + 1
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "hour_epoch": ep,
+                "w_events": cn[idx] - cn[left],
+                "w_value_micro": cv[idx] - cv[left],
+            }
+        )
+
+    out = (
+        rd.from_pandas(hourly)
+        .groupby("event_type")
+        .map_groups(window_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour_epoch"])
+        .reset_index(drop=True)
+    )
+    for c in ["hour_epoch", "w_events", "w_value_micro"]:
+        out[c] = out[c].astype("int64")
+    return out

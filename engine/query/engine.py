@@ -73,7 +73,14 @@ class SegmentServer:
         if df_overrides_ref is not None:
             import ray
 
-            self.df_overrides = ray.get(df_overrides_ref)
+            # map_batches fn_constructor_kwargs pass ObjectRefs through
+            # verbatim; DIRECT ray.remote actor construction auto-resolves
+            # them to the value — accept both
+            self.df_overrides = (
+                ray.get(df_overrides_ref)
+                if isinstance(df_overrides_ref, ray.ObjectRef)
+                else df_overrides_ref
+            )
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])

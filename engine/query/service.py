@@ -1,0 +1,135 @@
+"""Persistent query service — the interactive serving surface.
+
+``query_index`` (engine/query/engine.py) is the BATCH path: it spins an
+actor pool per call, which is right for one-shot bulk query sets but pays
+cold posting-LRU decode on every call. A long-lived deployment keeps its
+servers resident — the reference's essence includes a persistent query
+service over the indexed result (SURVEY.md §0.1) — so ``QueryService``
+holds a pinned pool of ``SegmentServer`` actors across calls: repeated
+(Zipf-head) terms stay decoded in each actor's LRU and queries route
+round-robin.
+
+Scale story: one service per index view; ``n_servers`` sized to the node
+(or spread across nodes — Ray schedules the actors wherever resources
+are). For indexes too large for a full view per actor, construct with
+``doc_bucket_mode=True`` to give each actor one doc bucket of a bucketed
+index (engine/query/bucketed.py layout) and merge per-bucket heaps here —
+exact because buckets partition the doc space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class QueryService:
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        n_servers: int = 8,
+        k: int = 10,
+        mode: str = "wand",
+        doc_bucket_mode: bool = False,
+        num_cpus: float = 1.0,
+    ):
+        import ray
+
+        from engine.query.engine import SegmentServer, _driver_analyzer
+
+        self.k = k
+        self._rr = 0
+        Actor = ray.remote(num_cpus=num_cpus)(SegmentServer)
+        analyzer_obj = _driver_analyzer(index_dir)
+        if doc_bucket_mode:
+            import os
+
+            import pyarrow.dataset as pads
+
+            from engine.io.manifest import Manifest
+
+            d_buckets = int(Manifest(index_dir).data.get("doc_buckets", 1))
+            if d_buckets <= 1:
+                raise ValueError("doc_bucket_mode needs an index built/compacted with doc_buckets > 1")
+            # resident service: broadcast the WHOLE term→global-df map once
+            # (per-bucket local df would undercount idf; the batch path
+            # restricts this per query set, a long-lived service amortizes
+            # the full map — ~16 bytes/term)
+            tbl = pads.dataset(
+                os.path.join(index_dir, "term_stats"), format="parquet"
+            ).to_table(columns=["term", "df"])
+            ref = ray.put(dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())))
+            self._actors = [
+                Actor.remote(index_dir, k=k, mode="exhaustive", bucket=b,
+                             df_overrides_ref=ref, analyzer_obj=analyzer_obj)
+                for b in range(d_buckets)
+            ]
+            self._bucketed = True
+        else:
+            self._actors = [
+                Actor.remote(index_dir, k=k, mode=mode, analyzer_obj=analyzer_obj)
+                for _ in range(n_servers)
+            ]
+            self._bucketed = False
+
+    # ------------------------------------------------------------------
+    def topk_batch(self, queries) -> pa.Table:
+        """queries: list[(qid, text)] → Table(qid, rank, doc_key, score).
+
+        Full-view mode: queries split round-robin across resident actors
+        (one actor scores a query completely — rank-exact). Bucketed mode:
+        every actor scores every query over ITS doc bucket; per-bucket
+        heaps merge here (doc-disjoint ⇒ exact)."""
+        import ray
+
+        table = pa.table(
+            {
+                "qid": pa.array([int(q) for q, _ in queries], type=pa.int64()),
+                "text": pa.array([t for _, t in queries], type=pa.string()),
+            }
+        )
+        if self._bucketed:
+            parts = ray.get([a.__call__.remote(table) for a in self._actors])
+            merged = pa.concat_tables(parts)
+            return self._merge_heaps(merged)
+        n = len(self._actors)
+        futs = []
+        for i in range(n):
+            rows = [j for j in range(table.num_rows) if (j + self._rr) % n == i]
+            if rows:
+                futs.append(self._actors[i].__call__.remote(table.take(pa.array(rows))))
+        self._rr = (self._rr + table.num_rows) % n
+        out = pa.concat_tables(ray.get(futs))
+        return out.sort_by([("qid", "ascending"), ("rank", "ascending")])
+
+    def _merge_heaps(self, partials: pa.Table) -> pa.Table:
+        """Exact top-k from doc-disjoint per-bucket partials (F9 tie-break)."""
+        qid = partials["qid"].to_numpy()
+        dk = partials["doc_key"].to_numpy()
+        sc = partials["score"].to_numpy()
+        # sort by (qid asc, score desc, doc_key asc), then keep first k/qid
+        order = np.lexsort((dk, -sc, qid))
+        qid, dk, sc = qid[order], dk[order], sc[order]
+        if len(qid):
+            first = np.concatenate(([0], np.nonzero(qid[1:] != qid[:-1])[0] + 1))
+            starts = np.repeat(first, np.diff(np.concatenate((first, [len(qid)]))))
+            rank = (np.arange(len(qid)) - starts + 1).astype(np.int32)
+        else:
+            rank = np.empty(0, dtype=np.int32)
+        keep = rank <= self.k
+        return pa.table(
+            {
+                "qid": pa.array(qid[keep], type=pa.int64()),
+                "rank": pa.array(rank[keep], type=pa.int32()),
+                "doc_key": pa.array(dk[keep], type=pa.int64()),
+                "score": pa.array(sc[keep], type=pa.float64()),
+            }
+        )
+
+    def close(self):
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

@@ -124,6 +124,35 @@ class TestDedupRecall:
         assert (merged["sim_micro_lsh"] == merged["sim_micro_exact"]).all()
 
 
+class TestEventsSliding:
+    def test_sliding_window_with_hour_gaps(self, tmp_path_factory, ray_session):
+        """Range-window semantics over a SPARSE hour series: hours separated
+        by more than the window must not leak into each other's sums."""
+        from engine.ops.relational import events_sliding
+
+        hours = [0, 1, 2, 30, 31, 100]  # gaps > 24h between groups
+        rows = []
+        for h in hours:
+            for i in range(h % 3 + 1):
+                rows.append((np.datetime64("2024-01-01", "us") + np.timedelta64(h, "h"), "click", 1.0))
+        ts, et, val = zip(*rows)
+        d = tmp_path_factory.mktemp("ev")
+        pq.write_table(
+            pa.table({"event_id": pa.array(range(len(rows)), type=pa.int64()),
+                      "ts": pa.array(list(ts), type=pa.timestamp("us")),
+                      "event_type": list(et),
+                      "value": pa.array(list(val), type=pa.float64()),
+                      "props": ['{"k": 1}'] * len(rows)}),
+            str(d / "events.parquet"),
+        )
+        out = events_sliding(str(d), window_hours=24)
+        got = dict(zip(out["hour_epoch"], out["w_events"]))
+        base = int(np.datetime64("2024-01-01", "s").astype("int64"))
+        # per-hour counts: h%3+1 -> h0:1, h1:2, h2:3, h30:1, h31:2, h100:2
+        expect = {0: 1, 1: 3, 2: 6, 30: 1, 31: 3, 100: 2}  # trailing-24h sums
+        assert got == {base + h * 3600: v for h, v in expect.items()}
+
+
 class TestANNRecall:
     def test_ivf_recall_vs_bruteforce(self, ray_session):
         from engine.ops.ann import cosine_topk, ivf_topk

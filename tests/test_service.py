@@ -1,0 +1,71 @@
+"""Persistent QueryService (engine/query/service.py): resident actor pool,
+rank/score-identical to the oracle in both full-view and doc-bucketed modes,
+and warm across calls (the LRU survives between batches)."""
+
+import numpy as np
+import pytest
+
+from engine.core.dockey import doc_key_batch
+from engine.index.build import build_index
+from engine.io.synth import synth_transcripts_table
+from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    t = synth_transcripts_table(60, seed=23)
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+    full_idx = str(tmp_path_factory.mktemp("svc_full"))
+    build_index(rd.from_arrow(t), full_idx, num_shards=4, build_id="sv")
+    bkt_idx = str(tmp_path_factory.mktemp("svc_bkt"))
+    build_index(rd.from_arrow(t), bkt_idx, num_shards=4, build_id="sb", doc_buckets=3)
+    return full_idx, bkt_idx, oracle
+
+
+def _assert_oracle_identical(res, oracle, queries, k=10):
+    df = res.to_pandas()
+    for qid, q in queries:
+        want_k, want_s = oracle.topk(q, k)
+        sub = df[df.qid == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub["doc_key"].to_numpy(), want_k, err_msg=q)
+        np.testing.assert_array_equal(sub["score"].to_numpy(), want_s, err_msg=q)
+
+
+def test_service_full_view_rank_identical(env):
+    from engine.query.service import QueryService
+
+    full_idx, _, oracle = env
+    svc = QueryService(full_idx, n_servers=3, k=10, mode="wand")
+    try:
+        queries = seeded_query_set(20, seed=3)
+        _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+        # second call on the SAME resident pool (warm LRUs), different
+        # round-robin offset — still exact
+        queries2 = seeded_query_set(20, seed=4)
+        _assert_oracle_identical(svc.topk_batch(queries2), oracle, queries2)
+    finally:
+        svc.close()
+
+
+def test_service_bucketed_rank_identical(env):
+    from engine.query.service import QueryService
+
+    _, bkt_idx, oracle = env
+    svc = QueryService(bkt_idx, k=10, doc_bucket_mode=True)
+    try:
+        assert len(svc._actors) == 3  # one per doc bucket
+        queries = seeded_query_set(20, seed=5)
+        _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+    finally:
+        svc.close()
+
+
+def test_service_bucketed_requires_bucketed_index(env):
+    from engine.query.service import QueryService
+
+    full_idx, _, _ = env
+    with pytest.raises(ValueError, match="doc_buckets"):
+        QueryService(full_idx, doc_bucket_mode=True)
