@@ -10,6 +10,9 @@ Verbs:
   query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand]
   merge  --index DIR [--fanin 4]
   synth  --out DIR --convs N [--seed 42]
+  serve  --index DIR [--servers N] — interactive: one query per stdin line,
+         one JSON result line per rank on stdout (resident actor pool, warm
+         across queries; engine/query/service.py)
 """
 
 from __future__ import annotations
@@ -67,6 +70,12 @@ def main(argv=None):
     s.add_argument("--convs", type=int, required=True)
     s.add_argument("--seed", type=int, default=42)
 
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--servers", type=int, default=4)
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+
     args = p.parse_args(argv)
     ray, owned = _init_ray(args.num_cpus)
     try:
@@ -108,6 +117,24 @@ def main(argv=None):
 
             n = gc_tombstoned(args.index) + gc_orphans(args.index)
             print(json.dumps({"removed": n}))
+        elif args.verb == "serve":
+            from engine.query.hydrate import hydrate_table
+            from engine.query.service import QueryService
+
+            svc = QueryService(args.index, n_servers=args.servers, k=args.k, mode=args.mode)
+            try:
+                qid = 0
+                for line in sys.stdin:
+                    text = line.strip()
+                    if not text:
+                        continue
+                    res = hydrate_table(args.index, svc.topk_batch([(qid, text)]))
+                    for row in res.to_pylist():
+                        print(json.dumps({k: (v.item() if hasattr(v, "item") else v)
+                                          for k, v in row.items()}), flush=True)
+                    qid += 1
+            finally:
+                svc.close()
         elif args.verb == "synth":
             from engine.io.synth import synth_transcripts
 

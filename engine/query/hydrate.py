@@ -102,3 +102,12 @@ def hydrate_results(index_dir: str, partials):
         return batch.append_column("doc_id", ids)
 
     return partials.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hydrate_table(index_dir: str, table: pa.Table) -> pa.Table:
+    """Hydrate an in-hand partials Table (the resident-service path —
+    engine/query/service.py): same pruned-docmap semi-join, driver-side."""
+    keys = table["doc_key"].to_numpy()
+    mapping = load_docmap_for_keys(index_dir, keys)
+    doc_id = pa.array([mapping.get(int(k)) for k in keys], type=pa.string())
+    return table.append_column("doc_id", doc_id)

@@ -256,3 +256,20 @@ class TestCLI:
         assert rows and all(r["rank"] >= 1 for r in rows)
         main(["merge", "--index", idx])
         assert "merges" in capsys.readouterr().out
+
+        # serve verb: one stdin line per query, hydrated JSON rows out,
+        # identical ranking to the query verb
+        import io
+        import sys
+
+        old_stdin = sys.stdin
+        try:
+            sys.stdin = io.StringIO(qterm + "\n")
+            main(["serve", "--index", idx, "--servers", "2", "--k", "5"])
+        finally:
+            sys.stdin = old_stdin
+        srows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert [(r["doc_key"], r["score"]) for r in srows] == [
+            (r["doc_key"], r["score"]) for r in rows
+        ]
+        assert all(":" in r["doc_id"] for r in srows)
