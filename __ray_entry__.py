@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
         # text analysis
         "ta_lang_id": textstats.lang_id,
+        "ta_quality": textstats.quality,
         # relational operator layer
         "rel_pricing_summary": relational.q1_pricing_summary,
         "rel_nation_revenue": relational.nation_revenue,
@@ -196,6 +197,20 @@ SELECT doc_id,
        coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT sum_token_len,
        md5(array_to_string(toks, ' ')) fingerprint
 FROM t ORDER BY doc_id
+""",
+        "ta_quality": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+s AS (SELECT doc_id,
+             len(toks)::BIGINT n_tokens,
+             len(list_distinct(toks))::BIGINT n_uniq,
+             len(list_filter(toks, x -> x IN ('a','the','of','and','to','in')))::BIGINT stop_count,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT sum_len
+      FROM t)
+SELECT doc_id, n_tokens,
+       floor(stop_count / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT stop_ratio_micro,
+       floor(n_uniq / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT uniq_ratio_micro,
+       floor(sum_len / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT mean_token_len_micro
+FROM s ORDER BY doc_id
 """,
         "dedup_exact": f"""
 WITH t AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) fingerprint FROM documents)

@@ -143,3 +143,23 @@ def lang_id(sf_dir: str, sample_per_lang: int = 20):
         concurrency=(1, 4),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality(sf_dir: str):
+    """Per-doc quality signals (the ratios a training-data filter thresholds
+    on): stopword ratio, unique-token ratio, mean token length — micro-fixed
+    ints so the SQL oracle reproduces them bit-exactly. Derived from the
+    same single DocStats pass as doc_stats (no second tokenize)."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(DocStats, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4)).to_pandas()
+    n = out["n_tokens"].to_numpy().astype(np.float64)
+    safe = np.maximum(n, 1.0)
+    out["stop_ratio_micro"] = np.floor(out["stop_count"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
+    out["uniq_ratio_micro"] = np.floor(out["n_uniq_tokens"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
+    out["mean_token_len_micro"] = np.floor(out["sum_token_len"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
+    cols = ["doc_id", "n_tokens", "stop_ratio_micro", "uniq_ratio_micro", "mean_token_len_micro"]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
