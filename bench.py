@@ -252,6 +252,15 @@ def run_bench() -> dict:
         lat.append(time.monotonic() - t0)
     lat_p50 = float(np.percentile(lat, 50))
     lat_p95 = float(np.percentile(lat, 95))
+    # same queries on the now-warm server: the resident-service latency
+    # (cold percentiles above are first-touch decode + LRU fill)
+    lat_w = []
+    for _, q in queries[:50]:
+        t0 = time.monotonic()
+        srv.topk(q)
+        lat_w.append(time.monotonic() - t0)
+    lat_p50_warm = float(np.percentile(lat_w, 50))
+    lat_p95_warm = float(np.percentile(lat_w, 95))
 
     # -- documents pipelines -------------------------------------------------
     shutil.rmtree(P.INDEX_ROOT, ignore_errors=True)
@@ -274,6 +283,8 @@ def run_bench() -> dict:
         "queries_per_sec": round(N_QUERIES / timings["query_transcripts"], 1),
         "query_p50_ms": round(lat_p50 * 1e3, 2),
         "query_p95_ms": round(lat_p95 * 1e3, 2),
+        "query_p50_warm_ms": round(lat_p50_warm * 1e3, 2),
+        "query_p95_warm_ms": round(lat_p95_warm * 1e3, 2),
         "resume_overhead_sec": round(resume_sec, 3),
         "terms_per_sec": round(n_terms / build_sec, 1),
         "postings_per_sec": round(n_postings / build_sec, 1),
