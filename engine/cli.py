@@ -65,6 +65,9 @@ def main(argv=None):
     g = sub.add_parser("gc")
     g.add_argument("--index", required=True)
 
+    a = sub.add_parser("audit")
+    a.add_argument("--index", required=True)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--convs", type=int, required=True)
@@ -117,6 +120,13 @@ def main(argv=None):
 
             n = gc_tombstoned(args.index) + gc_orphans(args.index)
             print(json.dumps({"removed": n}))
+        elif args.verb == "audit":
+            from engine.index.build import audit_doc_keys
+
+            res = audit_doc_keys(args.index)
+            print(json.dumps(res))
+            if res["collisions"]:
+                sys.exit(2)
         elif args.verb == "serve":
             from engine.query.hydrate import hydrate_table
             from engine.query.service import QueryService

@@ -40,7 +40,9 @@ class QueryService:
 
         self.k = k
         self._rr = 0
-        Actor = ray.remote(num_cpus=num_cpus)(SegmentServer)
+        # scoring is read-only and idempotent → transparent actor restart
+        # (mmaps/LRUs rebuild in __init__) + task retry are safe
+        Actor = ray.remote(num_cpus=num_cpus, max_restarts=2, max_task_retries=2)(SegmentServer)
         analyzer_obj = _driver_analyzer(index_dir)
         if doc_bucket_mode:
             import os

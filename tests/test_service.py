@@ -63,6 +63,24 @@ def test_service_bucketed_rank_identical(env):
         svc.close()
 
 
+def test_service_survives_actor_death(env):
+    """Scoring is idempotent → a killed actor restarts transparently
+    (max_restarts) and the next batch still returns oracle-exact results."""
+    import ray
+
+    from engine.query.service import QueryService
+
+    full_idx, _, oracle = env
+    svc = QueryService(full_idx, n_servers=2, k=10, mode="wand")
+    try:
+        queries = seeded_query_set(10, seed=6)
+        _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+        ray.kill(svc._actors[0], no_restart=False)
+        _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+    finally:
+        svc.close()
+
+
 def test_service_bucketed_requires_bucketed_index(env):
     from engine.query.service import QueryService
 
