@@ -33,7 +33,15 @@ class QueryService:
         mode: str = "wand",
         doc_bucket_mode: bool = False,
         num_cpus: float = 1.0,
+        cache_postings: int | None = None,
     ):
+        """``cache_postings`` caps each actor's decoded-posting LRU (entries,
+        ~16 B each decoded). Default 24M (~400 MB/actor). At 10M+ turn
+        corpora the Zipf-head working set of a broad query workload can
+        exceed it — decode thrash then dominates query time (measured: the
+        200-query bench working set at 9.7M turns is ~25M postings, just
+        over the default; see BASELINE.md scale-frontier note). Size it to
+        node_mem / n_servers when the corpus is large."""
         import ray
 
         from engine.query.engine import SegmentServer, _driver_analyzer
@@ -64,13 +72,15 @@ class QueryService:
             ref = ray.put(dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())))
             self._actors = [
                 Actor.remote(index_dir, k=k, mode="exhaustive", bucket=b,
-                             df_overrides_ref=ref, analyzer_obj=analyzer_obj)
+                             df_overrides_ref=ref, analyzer_obj=analyzer_obj,
+                             **({"cache_postings": cache_postings} if cache_postings else {}))
                 for b in range(d_buckets)
             ]
             self._bucketed = True
         else:
             self._actors = [
-                Actor.remote(index_dir, k=k, mode=mode, analyzer_obj=analyzer_obj)
+                Actor.remote(index_dir, k=k, mode=mode, analyzer_obj=analyzer_obj,
+                             **({"cache_postings": cache_postings} if cache_postings else {}))
                 for _ in range(n_servers)
             ]
             self._bucketed = False
