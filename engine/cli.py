@@ -55,7 +55,7 @@ def main(argv=None):
     q.add_argument("--queries", default=None, help="parquet with (qid, text)")
     q.add_argument("--text", default=None, help="single ad-hoc query")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    q.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "dense"])
     q.add_argument("--out", default=None, help="write results parquet here")
 
     m = sub.add_parser("merge")
@@ -77,7 +77,7 @@ def main(argv=None):
     sv.add_argument("--index", required=True)
     sv.add_argument("--servers", type=int, default=4)
     sv.add_argument("--k", type=int, default=10)
-    sv.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    sv.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "dense"])
 
     args = p.parse_args(argv)
     ray, owned = _init_ray(args.num_cpus)

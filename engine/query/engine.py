@@ -167,6 +167,82 @@ class SegmentServer:
                 parts.append((dk, seg.weights(idx, w_idf, self.avgdl)))
         return accumulate_sorted_lists(parts)
 
+    # ------------------------------------------------------------------
+    def _ensure_dense(self):
+        """Dense-mode state, built once per actor: this server's doc_key
+        space as ONE sorted array + a reusable float64 score buffer.
+
+        Term-at-a-time accumulation is then ``scores[pos] += w`` — the
+        ORACLE's own op sequence (engine/oracle/bm25.py) distributed — with
+        no candidate-union np.unique/merge at all. That union was ~30% of
+        per-query time on head-term-heavy workloads at the 10M-turn scale
+        (BASELINE.md scale-frontier note); positions are LRU-cached per
+        (segment, term) so warm queries reduce to fancy-index adds.
+        Memory: 16 B × n_docs_served per actor (160 MB at 10M docs)."""
+        if getattr(self, "_dense_keys", None) is not None:
+            return
+        import os
+
+        import pyarrow.dataset as pads
+
+        root = os.path.join(self.manifest.index_dir, "docmap")
+        files = []
+        for r, _d, fs in os.walk(root):
+            files.extend(os.path.join(r, f) for f in sorted(fs) if f.endswith(".parquet"))
+        keys = (
+            pads.dataset(files, format="parquet").to_table(columns=["doc_key"])["doc_key"]
+            .to_numpy()
+            if files
+            else np.empty(0, dtype=np.int64)
+        )
+        d_buckets = int(self.manifest.data.get("doc_buckets", 1))
+        if self.bucket is not None and d_buckets > 1:
+            keys = keys[keys % d_buckets == self.bucket]
+        self._dense_keys = np.sort(keys)
+        self._dense_scores = np.zeros(self._dense_keys.size, dtype=np.float64)
+
+    def _dense_positions(self, seg, idx: int, dk: np.ndarray) -> np.ndarray:
+        key = (seg.path, idx, "dpos")
+        if self._plru is not None:
+            hit = self._plru.get(key)
+            if hit is not None:
+                return hit
+        pos = np.searchsorted(self._dense_keys, dk)
+        if dk.size and not (
+            pos.size
+            and (pos < self._dense_keys.size).all()
+            and (self._dense_keys[pos] == dk).all()
+        ):
+            raise RuntimeError("segment doc_keys missing from docmap (stale index?)")
+        if self._plru is not None:
+            self._plru.put(key, pos, pos.size)
+        return pos
+
+    def score_query_dense(self, text: str):
+        """Exhaustive scoring via dense accumulation — bit-identical to
+        score_query (same per-term sorted op sequence, same IEEE adds),
+        O(postings) with no union merge."""
+        self._ensure_dense()
+        scores = self._dense_scores
+        touched = []
+        try:
+            for t in sorted(set(self.analyzer.tokens(text))):
+                hits, df = self._term_hits(t)
+                if not hits:
+                    continue
+                w_idf = float(bm25_idf(self.n_docs, df))
+                for seg, idx in hits:
+                    dk = seg.read_postings(idx)[0]
+                    w = seg.weights(idx, w_idf, self.avgdl)
+                    pos = self._dense_positions(seg, idx, dk)
+                    scores[pos] += w
+                    touched.append(pos)
+            return self._dense_keys, scores, touched
+        except Exception:
+            for pos in touched:
+                scores[pos] = 0.0
+            raise
+
     def _exclusion_keys(self, exclude_text: str) -> np.ndarray:
         """Sorted doc_keys matching any exclusion term (D4 NOT semantics)."""
         parts = []
@@ -182,6 +258,17 @@ class SegmentServer:
 
             assert not self.score_micro, "score_micro requires exhaustive mode"
             return wand_topk(self, text, k or self.k)
+        if self.mode == "dense" and not exclude:
+            # dense buffers make "matched with micro-floored score 0" and
+            # "never matched" indistinguishable — keep_zero semantics need
+            # the sparse path
+            assert not self.score_micro, "score_micro requires exhaustive mode"
+            dk, sc, touched = self.score_query_dense(text)
+            try:
+                return topk_postings(dk, sc, k or self.k)
+            finally:
+                for pos in touched:
+                    sc[pos] = 0.0
         dk, sc = self.score_query(text)
         if exclude:
             # NOT queries: sorted-set difference before top-k (block-max

@@ -70,8 +70,9 @@ class QueryService:
                 os.path.join(index_dir, "term_stats"), format="parquet"
             ).to_table(columns=["term", "df"])
             ref = ray.put(dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())))
+            bucket_mode = mode if mode == "dense" else "exhaustive"
             self._actors = [
-                Actor.remote(index_dir, k=k, mode="exhaustive", bucket=b,
+                Actor.remote(index_dir, k=k, mode=bucket_mode, bucket=b,
                              df_overrides_ref=ref, analyzer_obj=analyzer_obj,
                              **({"cache_postings": cache_postings} if cache_postings else {}))
                 for b in range(d_buckets)

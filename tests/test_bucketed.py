@@ -63,7 +63,7 @@ def test_bucket_server_local_view(env):
     assert total_local == want_df
 
 
-@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+@pytest.mark.parametrize("mode", ["exhaustive", "wand", "dense"])
 def test_bucketed_rank_identical(env, mode):
     idx, oracle = env
     queries = seeded_query_set(25, seed=9)
@@ -113,7 +113,7 @@ def test_expensive_analyzer_bucketed_build(tmp_path_factory, ray_session):
         np.testing.assert_array_equal(got["doc_key"].to_numpy(), want_k, err_msg=q)
 
 
-@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+@pytest.mark.parametrize("mode", ["exhaustive", "wand", "dense"])
 def test_rebucket_at_compaction_rank_identical(tmp_path_factory, ray_session, mode):
     """Unbucketed runs build → run_merge(doc_buckets=D) rewrites every shard
     into the doc-bucketed layout with NO extra shuffle; bucketed queries are

@@ -105,6 +105,24 @@ class TestRankIdentity:
             got_keys, got_scores = srv.topk(qtext, 10)
             np.testing.assert_array_equal(got_scores, want_scores)
 
+    def test_dense_mode_bit_identical(self, index_dir, oracle):
+        """mode='dense' (term-at-a-time scores[pos]+=w, no union merge) is
+        the oracle's own accumulation → bit-identical, and the reusable
+        score buffer resets cleanly BETWEEN queries."""
+        srv = SegmentServer(index_dir, k=10, mode="dense")
+        for qid, qtext in seeded_query_set(25, seed=7):
+            want_keys, want_scores = oracle.topk(qtext, 10)
+            got_keys, got_scores = srv.topk(qtext, 10)
+            np.testing.assert_array_equal(got_keys, want_keys, err_msg=qtext)
+            np.testing.assert_array_equal(got_scores, want_scores, err_msg=qtext)
+        # buffer fully reset after the query stream
+        assert srv._dense_scores.any() == False  # noqa: E712
+        # exclude falls back to the sparse exhaustive path, still exact
+        wk, ws = oracle.topk("sa ro", 10, exclude_text="mi")
+        gk, gs = srv.topk("sa ro", exclude="mi")
+        np.testing.assert_array_equal(gk, wk)
+        np.testing.assert_array_equal(gs, ws)
+
 
 class TestDistributedQuery:
     def test_query_pipeline(self, index_dir, oracle, corpus, ray_session):
