@@ -68,6 +68,9 @@ def main(argv=None):
     a = sub.add_parser("audit")
     a.add_argument("--index", required=True)
 
+    dn = sub.add_parser("densify")
+    dn.add_argument("--index", required=True)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--convs", type=int, required=True)
@@ -127,6 +130,10 @@ def main(argv=None):
             print(json.dumps(res))
             if res["collisions"]:
                 sys.exit(2)
+        elif args.verb == "densify":
+            from engine.query.densify import densify_index
+
+            print(json.dumps(densify_index(args.index)))
         elif args.verb == "serve":
             from engine.query.hydrate import hydrate_table
             from engine.query.service import QueryService

@@ -107,12 +107,13 @@ class SegmentServer:
             shard_filter = own if shard_filter is None else (shard_filter & own)
         elif len(self._offsets) > 1 and shard_filter is not None:
             shard_filter = {s + off for s in shard_filter for off in self._offsets}
+        self._shard_of_path: dict[str, int] = {}
         for s in self.manifest.live_segments():
             if shard_filter is not None and s["shard"] not in shard_filter:
                 continue
-            self._by_shard.setdefault(s["shard"], []).append(
-                os.path.join(seg_root, s["name"])
-            )
+            p = os.path.join(seg_root, s["name"])
+            self._by_shard.setdefault(s["shard"], []).append(p)
+            self._shard_of_path[p] = int(s["shard"])
         for paths in self._by_shard.values():
             paths.sort()  # deterministic contribution order within a term
         self._open: dict[str, Segment] = {}
@@ -169,17 +170,18 @@ class SegmentServer:
 
     # ------------------------------------------------------------------
     def _ensure_dense(self):
-        """Dense-mode state, built once per actor: this server's doc_key
-        space as ONE sorted array + a reusable float64 score buffer.
+        """Dense-mode state, built once per actor: a sorted doc_key array +
+        reusable float64 score buffer PER DOC BUCKET this server serves
+        (one buffer covering everything when the index is unbucketed).
 
         Term-at-a-time accumulation is then ``scores[pos] += w`` — the
-        ORACLE's own op sequence (engine/oracle/bm25.py) distributed — with
-        no candidate-union np.unique/merge at all. That union was ~30% of
-        per-query time on head-term-heavy workloads at the 10M-turn scale
-        (BASELINE.md scale-frontier note); positions are LRU-cached per
-        (segment, term) so warm queries reduce to fancy-index adds.
-        Memory: 16 B × n_docs_served per actor (160 MB at 10M docs)."""
-        if getattr(self, "_dense_keys", None) is not None:
+        ORACLE's own op sequence (engine/oracle/bm25.py) distributed, exact
+        because buckets partition the doc space — with no candidate-union
+        np.unique/merge at all. Positions/weights come from the mmap'd
+        ``densify_index`` sidecars when present (engine/query/densify.py:
+        page-cache-resident, reclaim-friendly) and are computed + LRU-cached
+        otherwise. Memory: 16 B × n_docs_served per actor."""
+        if getattr(self, "_dense", None) is not None:
             return
         import os
 
@@ -196,22 +198,55 @@ class SegmentServer:
             else np.empty(0, dtype=np.int64)
         )
         d_buckets = int(self.manifest.data.get("doc_buckets", 1))
-        if self.bucket is not None and d_buckets > 1:
-            keys = keys[keys % d_buckets == self.bucket]
-        self._dense_keys = np.sort(keys)
-        self._dense_scores = np.zeros(self._dense_keys.size, dtype=np.float64)
+        self._dense: dict[int, list] = {}
+        if d_buckets <= 1:
+            buckets = [0]
+        elif self.bucket is not None:
+            buckets = [self.bucket]
+        else:
+            buckets = list(range(d_buckets))
+        for b in buckets:
+            bk = np.sort(keys[keys % d_buckets == b]) if d_buckets > 1 else np.sort(keys)
+            self._dense[b] = [bk, np.zeros(bk.size, dtype=np.float64)]
+        self._d_buckets = d_buckets
+        self._sidecars: dict[str, tuple | None] = {}
 
-    def _dense_positions(self, seg, idx: int, dk: np.ndarray) -> np.ndarray:
+    def _seg_bucket(self, seg) -> int:
+        if self._d_buckets <= 1:
+            return 0
+        return self._shard_of_path[seg.path] // self.salt.num_total_shards
+
+    def _sidecar(self, seg):
+        """(pos_mmap, w_mmap, cum_df) for a densified segment, else None."""
+        hit = self._sidecars.get(seg.path)
+        if hit is not None or seg.path in self._sidecars:
+            return hit
+        import os
+
+        name = os.path.basename(seg.path)
+        d = os.path.join(self.manifest.index_dir, "dense", name)
+        out = None
+        if os.path.isdir(d):
+            pos = np.load(os.path.join(d, "pos.npy"), mmap_mode="r")
+            w = np.load(os.path.join(d, "w.npy"), mmap_mode="r")
+            cum = np.concatenate(([0], np.cumsum(seg.df.astype(np.int64))))
+            if pos.size == cum[-1] and w.size == cum[-1]:
+                out = (pos, w, cum)
+        self._sidecars[seg.path] = out
+        return out
+
+    def _dense_positions(self, seg, idx: int, keys: np.ndarray) -> np.ndarray:
         key = (seg.path, idx, "dpos")
         if self._plru is not None:
             hit = self._plru.get(key)
             if hit is not None:
                 return hit
-        pos = np.searchsorted(self._dense_keys, dk)
+        dk = seg.read_postings(idx)[0]
+        pos = np.searchsorted(keys, dk)
         if dk.size and not (
             pos.size
-            and (pos < self._dense_keys.size).all()
-            and (self._dense_keys[pos] == dk).all()
+            and (pos < keys.size).all()
+            and (keys[pos] == dk).all()
         ):
             raise RuntimeError("segment doc_keys missing from docmap (stale index?)")
         if self._plru is not None:
@@ -221,10 +256,10 @@ class SegmentServer:
     def score_query_dense(self, text: str):
         """Exhaustive scoring via dense accumulation — bit-identical to
         score_query (same per-term sorted op sequence, same IEEE adds),
-        O(postings) with no union merge."""
+        O(postings) with no union merge. Returns per-bucket
+        (keys, scores, touched) triples."""
         self._ensure_dense()
-        scores = self._dense_scores
-        touched = []
+        touched: dict[int, list] = {b: [] for b in self._dense}
         try:
             for t in sorted(set(self.analyzer.tokens(text))):
                 hits, df = self._term_hits(t)
@@ -232,15 +267,23 @@ class SegmentServer:
                     continue
                 w_idf = float(bm25_idf(self.n_docs, df))
                 for seg, idx in hits:
-                    dk = seg.read_postings(idx)[0]
-                    w = seg.weights(idx, w_idf, self.avgdl)
-                    pos = self._dense_positions(seg, idx, dk)
+                    b = self._seg_bucket(seg)
+                    keys, scores = self._dense[b]
+                    sc = self._sidecar(seg)
+                    if sc is not None:
+                        pos_mm, w_mm, cum = sc
+                        lo, hi = int(cum[idx]), int(cum[idx + 1])
+                        pos, w = pos_mm[lo:hi], w_mm[lo:hi]
+                    else:
+                        pos = self._dense_positions(seg, idx, keys)
+                        w = seg.weights(idx, w_idf, self.avgdl)
                     scores[pos] += w
-                    touched.append(pos)
-            return self._dense_keys, scores, touched
+                    touched[b].append(pos)
+            return [(self._dense[b][0], self._dense[b][1], touched[b]) for b in self._dense]
         except Exception:
-            for pos in touched:
-                scores[pos] = 0.0
+            for b, plist in touched.items():
+                for pos in plist:
+                    self._dense[b][1][pos] = 0.0
             raise
 
     def _exclusion_keys(self, exclude_text: str) -> np.ndarray:
@@ -263,12 +306,19 @@ class SegmentServer:
             # "never matched" indistinguishable — keep_zero semantics need
             # the sparse path
             assert not self.score_micro, "score_micro requires exhaustive mode"
-            dk, sc, touched = self.score_query_dense(text)
+            kk = k or self.k
+            parts = self.score_query_dense(text)
             try:
-                return topk_postings(dk, sc, k or self.k)
+                cand_k = [topk_postings(keys, scores, kk) for keys, scores, _ in parts]
+                dk = np.concatenate([c[0] for c in cand_k])
+                sc = np.concatenate([c[1] for c in cand_k])
+                # exact global top-k from per-bucket top-ks (doc-disjoint)
+                order = np.lexsort((dk, -sc))[:kk]
+                return dk[order], sc[order]
             finally:
-                for pos in touched:
-                    sc[pos] = 0.0
+                for _keys, scores, touched in parts:
+                    for pos in touched:
+                        scores[pos] = 0.0
         dk, sc = self.score_query(text)
         if exclude:
             # NOT queries: sorted-set difference before top-k (block-max

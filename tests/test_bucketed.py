@@ -140,6 +140,11 @@ def test_rebucket_at_compaction_rank_identical(tmp_path_factory, ray_session, mo
     s_total = SaltMap.from_json(m.data["salt_map"]).num_total_shards
     for s in m.live_segments():
         assert 0 <= s["shard"] < 3 * s_total
+    if mode == "dense":
+        # bucketed + persisted sidecars: positions are bucket-relative
+        from engine.query.densify import densify_index
+
+        assert densify_index(idx)["densified"] > 0
     queries = seeded_query_set(25, seed=11)
     res = query_bucketed(idx, queries, k=10, mode=mode).to_pandas()
     for qid, q in queries:

@@ -115,13 +115,43 @@ class TestRankIdentity:
             got_keys, got_scores = srv.topk(qtext, 10)
             np.testing.assert_array_equal(got_keys, want_keys, err_msg=qtext)
             np.testing.assert_array_equal(got_scores, want_scores, err_msg=qtext)
-        # buffer fully reset after the query stream
-        assert srv._dense_scores.any() == False  # noqa: E712
+        # buffers fully reset after the query stream
+        assert all(not scores.any() for _k, scores in srv._dense.values())
         # exclude falls back to the sparse exhaustive path, still exact
         wk, ws = oracle.topk("sa ro", 10, exclude_text="mi")
         gk, gs = srv.topk("sa ro", exclude="mi")
         np.testing.assert_array_equal(gk, wk)
         np.testing.assert_array_equal(gs, ws)
+
+    def test_densify_sidecars_bit_identical_and_used(self, index_dir, oracle,
+                                                     ray_session, monkeypatch):
+        """densify_index writes per-segment pos/w sidecars; dense scoring
+        then reads ONLY the mmap'd sidecars (postings decode + weights
+        poisoned to prove it) and stays bit-identical to the oracle."""
+        from engine.index.segment import Segment
+        from engine.query.densify import densify_index
+
+        res = densify_index(index_dir)
+        assert res["densified"] > 0 or res["skipped"] > 0
+        # second call is a no-op (idempotent)
+        res2 = densify_index(index_dir)
+        assert res2["densified"] == 0
+
+        srv = SegmentServer(index_dir, k=10, mode="dense")
+        srv._ensure_dense()
+        assert all(srv._sidecar(srv._segment(p)) is not None
+                   for paths in srv._by_shard.values() for p in paths)
+
+        def boom(*a, **k):
+            raise AssertionError("dense path touched postings/weights despite sidecar")
+
+        monkeypatch.setattr(Segment, "read_postings", boom)
+        monkeypatch.setattr(Segment, "weights", boom)
+        for qid, qtext in seeded_query_set(25, seed=7):
+            want_keys, want_scores = oracle.topk(qtext, 10)
+            got_keys, got_scores = srv.topk(qtext, 10)
+            np.testing.assert_array_equal(got_keys, want_keys, err_msg=qtext)
+            np.testing.assert_array_equal(got_scores, want_scores, err_msg=qtext)
 
 
 class TestDistributedQuery:
