@@ -7,8 +7,10 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
                        the indexing-throughput headline (turns/sec)
   merge_segments     — tiered compaction of the run segments (part of the
                        build-to-queryable story; turns/sec counts build+merge)
-  query_transcripts  — BM25 top-10 for 200 seeded queries via the
-                       SegmentServer actor pool (queries/sec, p50/p95)
+  densify_segments   — persisted dense query sidecars (engine/query/densify.py)
+  query_transcripts  — BM25 top-10 for 200 seeded queries via the resident
+                       QueryService actor pool in dense-sidecar mode
+                       (queries/sec, p50/p95; WAND mode as secondary)
   build_documents    — index the sf documents table
   bm25_documents     — driver query set over the documents index
 
@@ -214,6 +216,16 @@ def run_bench() -> dict:
     build_index(CORPUS_DIR, idx_dir, num_shards=num_shards, build_id="bench-resume")
     resume_sec = time.monotonic() - t0
 
+    # -- densify (dense query sidecars; engine/query/densify.py) -------------
+    # one Ray task per segment, writes the mmap-able pos/w arrays the dense
+    # query mode serves from — part of build-to-queryable for the production
+    # query path, timed as its own stage (turns/sec stays build+merge)
+    from engine.query.densify import densify_index
+
+    t0 = time.monotonic()
+    densify_index(idx_dir)
+    timings["densify_segments"] = time.monotonic() - t0
+
     # -- query_transcripts ---------------------------------------------------
     # full-view actor pool, one actor per CPU, small batches for balance.
     # (Measured vs the doc-bucketed pool at this scale: bucketing the 200
@@ -229,22 +241,29 @@ def run_bench() -> dict:
     # deployment), then min over 3 steady-state batch passes
     from engine.query.service import QueryService
 
-    svc = QueryService(idx_dir, n_servers=NUM_CPUS, k=10, mode="wand")
-    svc.topk_batch(queries)  # warmup: fault mmaps + fill LRUs
-    n_results, best = 0, float("inf")
-    for _rep in range(3):
-        t0 = time.monotonic()
-        res = svc.topk_batch(queries)
-        best = min(best, time.monotonic() - t0)
-        n_results = res.num_rows
-    svc.close()
-    timings["query_transcripts"] = best
+    def _svc_qps(mode: str) -> tuple[float, int]:
+        svc = QueryService(idx_dir, n_servers=NUM_CPUS, k=10, mode=mode)
+        svc.topk_batch(queries)  # warmup: fault mmaps + fill LRUs
+        n, best = 0, float("inf")
+        for _rep in range(3):
+            t0 = time.monotonic()
+            res = svc.topk_batch(queries)
+            best = min(best, time.monotonic() - t0)
+            n = res.num_rows
+        svc.close()
+        return best, n
+
+    # headline = dense mode over the persisted sidecars (the production query
+    # path: 55 q/s vs 3.1 WAND at 10M turns — BASELINE.md scale frontier);
+    # WAND kept as the secondary number (needed for NOT / score_micro)
+    timings["query_transcripts"], n_results = _svc_qps("dense")
+    wand_best, _ = _svc_qps("wand")
 
     # p50/p95 single-query latency, measured serially on one in-process
     # server (pool throughput above; this is the per-query service time)
     from engine.query.engine import SegmentServer
 
-    srv = SegmentServer(idx_dir, k=10, mode="wand")
+    srv = SegmentServer(idx_dir, k=10, mode="dense")
     lat = []
     for _, q in queries[:50]:
         t0 = time.monotonic()
@@ -281,6 +300,7 @@ def run_bench() -> dict:
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / build_sec, 1),
         "queries_per_sec": round(N_QUERIES / timings["query_transcripts"], 1),
+        "queries_per_sec_wand": round(N_QUERIES / wand_best, 1),
         "query_p50_ms": round(lat_p50 * 1e3, 2),
         "query_p95_ms": round(lat_p95 * 1e3, 2),
         "query_p50_warm_ms": round(lat_p50_warm * 1e3, 2),
