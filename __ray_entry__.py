@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
+        # full probe (nprobe = n_lists) is EXACT: proves the persisted-IVF
+        # read path (partition routing, per-list scan, merge) against the
+        # same SQL oracle as brute force
+        "ann_ivf_full_probe": lambda sf: ann.ivf_topk(
+            sf, n_queries=5, k=10, n_lists=16, nprobe=16
+        ),
         # text analysis
         "ta_lang_id": textstats.lang_id,
         "ta_quality": textstats.quality,
@@ -175,7 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "ft_bm25_topk10": _bm25_sql(10),
         "ft_bm25_topk100": _bm25_sql(100),
         "ft_bm25_not": _bm25_not_sql(10),
@@ -310,3 +316,6 @@ SELECT event_type, count(*)::BIGINT n,
 FROM events GROUP BY 1 ORDER BY 1
 """,
     }
+    # full-probe IVF is exact — same result set as brute-force cosine
+    sql["ann_ivf_full_probe"] = sql["ann_cosine_topk"]
+    return sql

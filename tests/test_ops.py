@@ -167,6 +167,20 @@ class TestANNRecall:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
 
+    def test_ivf_full_probe_exact(self, ray_session, tmp_path):
+        """nprobe = n_lists probes every partition, so the persisted-IVF
+        read path must reproduce brute-force cosine top-k EXACTLY — the
+        basis for ann_ivf_full_probe sharing ann_cosine_topk's SQL oracle."""
+        from engine.ops.ann import cosine_topk, ivf_topk
+
+        sf = "/root/testdata/sf0.001"
+        exact = cosine_topk(sf, n_queries=5, k=10)
+        full = ivf_topk(sf, n_queries=5, k=10, n_lists=8, nprobe=8,
+                        index_dir=str(tmp_path / "ivf_full"))
+        pd.testing.assert_frame_equal(
+            exact.reset_index(drop=True), full.reset_index(drop=True)
+        )
+
     def test_ivf_persisted_index_and_partition_pruning(self, ray_session, tmp_path):
         """The IVF artifact is built ONCE (centroids + hive-partitioned
         assignments) and queries read only the probed partitions."""
