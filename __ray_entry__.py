@@ -92,6 +92,57 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_filtered_sql(k: int) -> str:
+    """Oracle for ft_bm25_filtered: the engine builds over a documents-derived
+    transcripts corpus (engine/pipelines.py::documents_as_transcripts) with
+    roles=['user'] (⇔ doc_id%2==0) and a ts window (⇔ 100 <= doc_id < 4000);
+    docID hydrates to 'd<doc_id>:<doc_id%4>'; tie-break = external doc_key
+    (= doc_id) asc."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id >= 100 AND doc_id < 4000
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM docs)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM docs) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank,
+       'd' || doc_id::VARCHAR || ':' || (doc_id % 4)::VARCHAR AS doc_id,
+       score_micro
+FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_sql(k: int) -> str:
     return f"""
 WITH {_TOK_CTE},
@@ -146,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk10": lambda sf: P.ft_bm25_topk(sf, k=10),
         "ft_bm25_topk100": lambda sf: P.ft_bm25_topk(sf, k=100),
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
+        # transcript-schema path (role/ts input filters + docID hydration)
+        "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
         "ft_stats": P.ft_stats,
         "ft_doc_stats": textstats.doc_stats,
@@ -185,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk10": _bm25_sql(10),
         "ft_bm25_topk100": _bm25_sql(100),
         "ft_bm25_not": _bm25_not_sql(10),
+        "ft_bm25_filtered": _bm25_filtered_sql(10),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

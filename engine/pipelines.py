@@ -167,3 +167,89 @@ def tr_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     idx = transcripts_index()
     res = query_index(idx, seeded_query_set(20, seed=7), k=k, concurrency=2).to_pandas()
     return res[["qid", "rank", "doc_id", "doc_key", "score"]].reset_index(drop=True)
+
+
+def documents_as_transcripts(sf_dir: str):
+    """documents → a DETERMINISTIC transcripts-shaped corpus that SQL can
+    reproduce: conv_id 'd<doc_id>', turn_idx doc_id%4, role user/assistant by
+    doc_id parity, ts = 2024-01-01 + doc_id seconds, external doc_key=doc_id
+    (so the engine tie-break doc_key asc == SQL's numeric doc_id asc)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def adapt(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        conv = pc.binary_join_element_wise(
+            pa.array(np.full(len(did), "d"), type=pa.string()),
+            pc.cast(pa.array(did, type=pa.int64()), pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": pa.array((did % 4).astype(np.int32), type=pa.int32()),
+                "role": pa.array(
+                    np.where(did % 2 == 0, "user", "assistant"), type=pa.string()
+                ),
+                "text": b["text"],
+                "tool": pa.array(np.full(len(did), ""), type=pa.string()),
+                "ts": pa.array(
+                    ((1704067200 + did) * 1_000_000).astype("datetime64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "doc_key": pa.array(did.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ft_bm25_filtered's build predicates — mirrored literally in the oracle SQL
+# (role='user' ⇔ doc_id%2==0; the ts window ⇔ 100 <= doc_id < 4000)
+FILTERED_TS_MIN = "2024-01-01T00:01:40"
+FILTERED_TS_MAX = "2024-01-01T01:06:40"
+
+
+def filtered_transcripts_index(sf_dir: str, num_shards: int = 8) -> str:
+    """Build (cached) the role+time-FILTERED transcript-schema index: the
+    driver-visible exercise of the M6 input-filter path + docID hydration."""
+    key = hashlib.md5(f"ftf|{sf_dir}|{num_shards}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"ftf-{key}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            documents_as_transcripts(sf_dir),
+            idx,
+            num_shards=num_shards,
+            build_id="ftf",
+            roles=["user"],
+            ts_min=FILTERED_TS_MIN,
+            ts_max=FILTERED_TS_MAX,
+        )
+    return idx
+
+
+def ft_bm25_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k over the filtered transcript-schema index, hydrated to
+    string docIDs ('d<doc_id>:<doc_id%4>'). Columns: qid, rank, doc_id
+    (string), score_micro."""
+    import ray.data as rd
+
+    from engine.query.hydrate import hydrate_table
+
+    idx = filtered_transcripts_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    res = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    tbl = hydrate_table(idx, pa.Table.from_pandas(res))
+    out = tbl.to_pandas().rename(columns={"score": "score_micro"})
+    out = out[["qid", "rank", "doc_id", "score_micro"]]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({"qid": "int64", "rank": "int64", "score_micro": "int64"})
