@@ -8,7 +8,7 @@ contract).
 Verbs:
   build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto]
   query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand]
-  merge  --index DIR [--fanin 4]
+  merge  --index DIR [--fanin 4] [--densify]
   synth  --out DIR --convs N [--seed 42]
   serve  --index DIR [--servers N] — interactive: one query per stdin line,
          one JSON result line per rank on stdout (resident actor pool, warm
@@ -61,6 +61,8 @@ def main(argv=None):
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
     m.add_argument("--fanin", type=int, default=4)
+    m.add_argument("--densify", action="store_true",
+                   help="refresh dense query sidecars for the new segments")
 
     g = sub.add_parser("gc")
     g.add_argument("--index", required=True)
@@ -117,7 +119,12 @@ def main(argv=None):
             from engine.index.merge import run_merge
 
             n = run_merge(args.index, fanin=args.fanin)
-            print(json.dumps({"merges": n}))
+            out = {"merges": n}
+            if args.densify:
+                from engine.query.densify import densify_index
+
+                out["densify"] = densify_index(args.index)
+            print(json.dumps(out))
         elif args.verb == "gc":
             from engine.index.merge import gc_orphans, gc_tombstoned
 

@@ -265,6 +265,16 @@ def gc_orphans(index_dir: str) -> int:
             if d not in committed_segments:
                 shutil.rmtree(os.path.join(segments_dir, d), ignore_errors=True)
                 n += 1
+    # dense sidecars (engine/query/densify.py) whose segment is no longer
+    # LIVE are unreachable (content-named) — safe to drop here even for
+    # tombstoned-but-not-yet-GC'd segments
+    live = {s["name"] for s in manifest.live_segments()}
+    dense_root = os.path.join(index_dir, "dense")
+    if os.path.isdir(dense_root):
+        for d in os.listdir(dense_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(dense_root, d), ignore_errors=True)
+                n += 1
     docmap_root = os.path.join(index_dir, "docmap")
     if os.path.isdir(docmap_root):
         for d in os.listdir(docmap_root):
@@ -292,9 +302,13 @@ def gc_tombstoned(index_dir: str, only: set[str] | None = None) -> int:
         dead &= set(only)
     segments_dir = os.path.join(index_dir, "segments")
     n = 0
+    dense_root = os.path.join(index_dir, "dense")
     for d in dead:
         p = os.path.join(segments_dir, d)
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
             n += 1
+        dp = os.path.join(dense_root, d)
+        if os.path.isdir(dp):  # the segment's dense sidecar dies with it
+            shutil.rmtree(dp, ignore_errors=True)
     return n

@@ -75,6 +75,36 @@ class TestIncrementalAndMerge:
         on_disk = set(os.listdir(os.path.join(idx, "segments")))
         assert on_disk == {s["name"] for s in live}
 
+    def test_sidecar_lifecycle_across_merge(self, env, tmp_path):
+        """Dense sidecars die with their segment at merge-time GC; a
+        re-densify covers the new segments; dense queries stay
+        rank-identical through the whole cycle."""
+        from engine.index.merge import gc_orphans
+        from engine.query.densify import densify_index
+
+        tmp, frag_dir, oracle = env
+        idx = str(tmp_path / "idx_sc")
+        for i, f in enumerate(sorted(os.listdir(frag_dir))):
+            build_index(os.path.join(frag_dir, f), idx, num_shards=4, build_id=f"s{i}")
+        assert densify_index(idx)["densified"] > 0
+        pre = set(os.listdir(os.path.join(idx, "dense")))
+        assert run_merge(idx, fanin=4) >= 1
+        # merged-away segments' sidecars were removed with their segments
+        live = {s["name"] for s in Manifest(idx).live_segments()}
+        assert set(os.listdir(os.path.join(idx, "dense"))) == (pre & live)
+        # refresh (the CLI `merge --densify` path) covers the new segments
+        res = densify_index(idx)
+        assert res["densified"] > 0
+        assert set(os.listdir(os.path.join(idx, "dense"))) == live
+        gc_orphans(idx)  # no live sidecar may be GC'd
+        assert set(os.listdir(os.path.join(idx, "dense"))) == live
+        srv = SegmentServer(idx, k=10, mode="dense")
+        for qid, q in seeded_query_set(10, seed=3):
+            wk, ws = oracle.topk(q, 10)
+            gk, gs = srv.topk(q, 10)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
+
     def test_merge_deterministic_any_order(self, env, tmp_path):
         """Merging [A,B] then with [C,D] == one merge of [A,B,C,D] contents:
         dict tables and postings bytes identical (associative fold)."""
