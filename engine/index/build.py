@@ -435,6 +435,15 @@ def build_term_stats(index_dir: str) -> str:
     tmp = out_dir + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     stats.write_parquet(tmp)
+    # fingerprint of the corpus state these global df/cf were computed under
+    # (any build that adds documents changes n_docs/sum_dl) — consumers that
+    # bake term_stats into derived artifacts (engine/query/densify.py) use it
+    # to detect staleness
+    import json
+
+    st = Manifest(index_dir).stats
+    with open(os.path.join(tmp, "_STATS.json"), "w") as f:
+        json.dump({"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}, f)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     return out_dir

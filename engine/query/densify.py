@@ -21,10 +21,19 @@ Artifacts, per live segment, under ``<index>/dense/<segment_name>/``:
                     bit-identical to what SegmentServer computes at query
                     time, so dense scoring stays oracle-bit-identical
 
+  meta.json        {"n_docs", "sum_dl"} — the GLOBAL-stats fingerprint the
+                   weights were computed under
+
 Segment names are content-derived (engine/io/segment_sink.py), so a sidecar
 can never silently describe different postings: after any merge/compaction
 the new segments simply have no sidecar until ``densify_index`` runs again,
 and the query path falls back to computing positions/weights on the fly.
+Global stats are a different staleness axis: an INCREMENTAL build changes
+n_docs/avgdl/df, which are baked into every existing sidecar's weights (and
+into pos when new docs land in a bucket). The meta.json fingerprint catches
+this — any build that adds documents changes (n_docs, sum_dl), the loader
+(engine/query/engine.py::_sidecar) rejects mismatched sidecars, and
+``densify_index`` rewrites them instead of skipping.
 
 At 10^12-doc scale both the docmap key arrays and the term_stats dictionary
 are themselves sharded; this implementation broadcasts them whole, which is
@@ -68,9 +77,12 @@ def densify_index(index_dir: str) -> dict:
     from engine.index.build import build_term_stats
     from engine.io.manifest import Manifest
 
+    import json as _json
+
     manifest = Manifest(index_dir)
     st = manifest.stats
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    fingerprint = {"n_docs": n_docs, "sum_dl": int(st["sum_dl"])}
     d_buckets = int(manifest.data.get("doc_buckets", 1))
     from engine.core.partitioning import SaltMap
 
@@ -82,7 +94,17 @@ def densify_index(index_dir: str) -> dict:
     )
 
     stats_dir = os.path.join(index_dir, "term_stats")
-    if not os.path.isdir(stats_dir):
+
+    def _stats_fresh() -> bool:
+        try:
+            with open(os.path.join(stats_dir, "_STATS.json")) as f:
+                return _json.load(f) == fingerprint
+        except (OSError, ValueError):
+            return False
+
+    # global df must reflect the CURRENT corpus — a term_stats artifact
+    # built before the latest build would bake stale idf into every weight
+    if not _stats_fresh():
         build_term_stats(index_dir)
     t = pads.dataset(stats_dir, format="parquet").to_table(columns=["term", "df"])
     df_global = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
@@ -92,10 +114,18 @@ def densify_index(index_dir: str) -> dict:
     dense_root = os.path.join(index_dir, "dense")
     os.makedirs(dense_root, exist_ok=True)
 
+    def _fresh(name: str) -> bool:
+        meta_p = os.path.join(dense_root, name, "meta.json")
+        try:
+            with open(meta_p) as f:
+                return _json.load(f) == fingerprint
+        except (OSError, ValueError):
+            return False
+
     todo = [
         {"name": s["name"], "shard": int(s["shard"])}
         for s in manifest.live_segments()
-        if not os.path.isdir(os.path.join(dense_root, s["name"]))
+        if not _fresh(s["name"])
     ]
     if not todo:
         return {"densified": 0, "skipped": len(manifest.live_segments())}
@@ -130,13 +160,19 @@ def densify_index(index_dir: str) -> dict:
             os.makedirs(tmp, exist_ok=True)
             np.save(os.path.join(tmp, "pos.npy"), pos.astype(np.int32))
             np.save(os.path.join(tmp, "w.npy"), w.astype(np.float64))
-            final = os.path.join(dense_root, name)
-            if os.path.isdir(final):
-                import shutil
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                import json
 
-                shutil.rmtree(tmp)  # lost a race; content is identical
-            else:
+                json.dump(fingerprint, f)
+            final = os.path.join(dense_root, name)
+            import shutil
+
+            if os.path.isdir(final):  # stale (or racing same-content) sidecar
+                shutil.rmtree(final, ignore_errors=True)
+            try:
                 os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost a same-content race
             out_names.append(name)
             out_postings.append(int(dk.size))
         return pa.table({"name": pa.array(out_names, type=pa.string()),

@@ -226,7 +226,7 @@ class SegmentServer:
         name = os.path.basename(seg.path)
         d = os.path.join(self.manifest.index_dir, "dense", name)
         out = None
-        if os.path.isdir(d):
+        if os.path.isdir(d) and self._sidecar_fresh(d):
             pos = np.load(os.path.join(d, "pos.npy"), mmap_mode="r")
             w = np.load(os.path.join(d, "w.npy"), mmap_mode="r")
             cum = np.concatenate(([0], np.cumsum(seg.df.astype(np.int64))))
@@ -234,6 +234,21 @@ class SegmentServer:
                 out = (pos, w, cum)
         self._sidecars[seg.path] = out
         return out
+
+    def _sidecar_fresh(self, d: str) -> bool:
+        """Weights/positions bake in the GLOBAL stats at densify time; an
+        incremental build changes them (engine/query/densify.py header) —
+        reject fingerprint mismatches and fall back to live computation."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(d, "meta.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        st = self.manifest.stats
+        return meta == {"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}
 
     def _dense_positions(self, seg, idx: int, keys: np.ndarray) -> np.ndarray:
         key = (seg.path, idx, "dpos")

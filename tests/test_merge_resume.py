@@ -105,6 +105,51 @@ class TestIncrementalAndMerge:
             np.testing.assert_array_equal(gk, wk)
             np.testing.assert_array_equal(gs, ws)
 
+    def test_sidecar_stale_after_incremental_build(self, env, tmp_path):
+        """Sidecar weights bake in global stats (n_docs/avgdl/df); an
+        incremental build changes them. The loader must REJECT the stale
+        sidecars (fingerprint mismatch) and fall back to live computation —
+        still oracle-exact — and densify_index must rewrite, not skip."""
+        from engine.query.densify import densify_index
+
+        tmp, frag_dir, oracle = env
+        idx = str(tmp_path / "idx_stale")
+        frags = sorted(os.listdir(frag_dir))
+        for i, f in enumerate(frags[:-1]):
+            build_index(os.path.join(frag_dir, f), idx, num_shards=4, build_id=f"p{i}")
+        first = densify_index(idx)
+        assert first["densified"] > 0
+        # incremental build: global n_docs/sum_dl change under the sidecars
+        build_index(os.path.join(frag_dir, frags[-1]), idx, num_shards=4,
+                    build_id="plast")
+        srv = SegmentServer(idx, k=10, mode="dense")
+        srv._ensure_dense()
+        assert all(
+            srv._sidecar(srv._segment(p)) is None
+            for paths in srv._by_shard.values()
+            for p in paths
+        ), "stale sidecar accepted despite changed global stats"
+        for qid, q in seeded_query_set(10, seed=4):
+            wk, ws = oracle.topk(q, 10)
+            gk, gs = srv.topk(q, 10)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
+        # re-densify REWRITES every live sidecar under the new stats
+        res = densify_index(idx)
+        assert res["densified"] == len(Manifest(idx).live_segments())
+        srv2 = SegmentServer(idx, k=10, mode="dense")
+        srv2._ensure_dense()
+        assert all(
+            srv2._sidecar(srv2._segment(p)) is not None
+            for paths in srv2._by_shard.values()
+            for p in paths
+        )
+        for qid, q in seeded_query_set(10, seed=4):
+            wk, ws = oracle.topk(q, 10)
+            gk, gs = srv2.topk(q, 10)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
+
     def test_merge_deterministic_any_order(self, env, tmp_path):
         """Merging [A,B] then with [C,D] == one merge of [A,B,C,D] contents:
         dict tables and postings bytes identical (associative fold)."""
