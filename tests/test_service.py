@@ -50,6 +50,24 @@ def test_service_full_view_rank_identical(env):
         svc.close()
 
 
+def test_service_dense_sidecars_rank_identical(env):
+    """The production fast path: resident pool in mode='dense' over persisted
+    sidecars — exact across calls, on both flat and bucketed layouts."""
+    from engine.query.densify import densify_index
+    from engine.query.service import QueryService
+
+    full_idx, bkt_idx, oracle = env
+    for idx in (full_idx, bkt_idx):
+        assert densify_index(idx)["densified"] > 0
+        svc = QueryService(idx, n_servers=2, k=10, mode="dense")
+        try:
+            for seed in (6, 7):  # second batch = warm buffers, still exact
+                queries = seeded_query_set(15, seed=seed)
+                _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+        finally:
+            svc.close()
+
+
 def test_service_bucketed_rank_identical(env):
     from engine.query.service import QueryService
 
