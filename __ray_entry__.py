@@ -189,7 +189,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, relational, textstats
+    from engine.ops import ann, dedup, multimodal, relational, textstats
     from engine import pipelines as P
 
     return {
@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # text analysis
         "ta_lang_id": textstats.lang_id,
+        # multimodal binary-column dataflow (actor-pool metadata decode)
+        "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
         # relational operator layer
         "rel_pricing_summary": relational.q1_pricing_summary,
@@ -372,4 +374,12 @@ FROM events GROUP BY 1 ORDER BY 1
     }
     # full-probe IVF is exact — same result set as brute-force cosine
     sql["ann_ivf_full_probe"] = sql["ann_cosine_topk"]
+    # multimodal metadata decode: byte-level truth DuckDB can recompute
+    sql["mm_decode_meta"] = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT n_bytes,
+       (octet_length(encode(text)) % 640)::BIGINT width,
+       (octet_length(encode(text)) % 480)::BIGINT height
+FROM documents ORDER BY doc_id
+"""
     return sql

@@ -116,3 +116,60 @@ def media_pipeline(n: int = 256, seed: int = 0, decoder: str = "fake"):
 
     ds = rd.from_arrow(synth_media_table(n, seed))
     return decode_features(ds, decoder=decoder)
+
+
+class ByteMeta:
+    """Actor-pool metadata extractor over an opaque ``payload:binary``
+    column — the SQL-reproducible slice of the decode-stub (byte length +
+    fake-decoder dimensions derived from it), vectorized with
+    pyarrow.compute so no Python touches individual payloads."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nb = pc.binary_length(batch["payload"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["id"],
+                "n_bytes": pa.array(nb, type=pa.int64()),
+                "width": pa.array(nb % 640, type=pa.int64()),
+                "height": pa.array(nb % 480, type=pa.int64()),
+            }
+        )
+
+
+def media_meta(sf_dir: str):
+    """Driver-facing multimodal entry (oracle-checked): treat each
+    document's text bytes as an opaque binary payload, run the actor-pool
+    metadata/decode stage over the binary column (small batches — the
+    memory-aware shape real image/audio payloads need), return per-payload
+    metadata that DuckDB reproduces from octet_length. Columns: doc_id,
+    n_bytes, width, height."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b["doc_id"].cast(pa.int64()),
+                "payload": b["text"].cast(pa.binary()),  # zero-copy view
+                "mime": pa.array(np.full(b.num_rows, "text/plain"), type=pa.string()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        media.map_batches(
+            ByteMeta,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=64,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({c: "int64" for c in out.columns})
