@@ -175,6 +175,58 @@ ORDER BY qid, rank
 """
 
 
+def _tr_bm25_oracle_sql(k: int) -> str:
+    """Oracle for tr_bm25_oracle: BM25 recomputed by DuckDB over the SAME
+    materialized transcript parquet the engine indexes (engine/pipelines.py::
+    tr_oracle_corpus_path — called here so the file exists regardless of
+    whether the driver runs SQL or the Ray pipeline first). Ties break on the
+    precomputed doc_key column, which equals the engine's internal
+    hash(conv_id)<<20|turn_idx key."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, doc_id, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT r.qid, r.rank, src.doc_id, r.doc_key, r.score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM scored
+) r JOIN src ON src.doc_key = r.doc_key
+WHERE r.rank <= {k}
+ORDER BY r.qid, r.rank
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -204,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_doc_stats": textstats.doc_stats,
         # transcript pipelines (no SQL view for the synth corpus → rows-only)
         "tr_bm25_topk10": lambda sf: P.tr_bm25_topk(sf, k=10),
+        # flagship transcript path, oracle-checked: engine and DuckDB both
+        # read the same materialized synth-corpus parquet
+        "tr_bm25_oracle": lambda sf: P.tr_bm25_oracle(sf, k=10),
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -241,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk100": _bm25_sql(100),
         "ft_bm25_not": _bm25_not_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
+        "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

@@ -169,6 +169,76 @@ def tr_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res[["qid", "rank", "doc_id", "doc_key", "score"]].reset_index(drop=True)
 
 
+# -- oracle-checked transcript path -----------------------------------------
+# The synth corpus is materialized ONCE (with the engine's precomputed
+# doc_key column) to a parquet file that the DuckDB oracle reads via
+# read_parquet(), making the flagship transcript build+query path
+# driver-value-hash-checkable: SQL recomputes BM25 over the same rows and
+# breaks ties on the very doc_key the engine sorts by.
+
+TR_ORACLE_CONVS = 400
+TR_ORACLE_SEED = 42
+TR_ORACLE_PATH = f"/tmp/engine_oracle/tr_c{TR_ORACLE_CONVS}_s{TR_ORACLE_SEED}_v1.parquet"
+
+
+def tr_oracle_corpus_path() -> str:
+    """Materialize (idempotent, atomic) the deterministic transcript corpus
+    + doc_key/doc_id columns. Pure pyarrow — callable from oracle_sql()
+    without a Ray session."""
+    import pyarrow.parquet as pq
+
+    from engine.core.dockey import doc_id_strings, doc_key_batch
+    from engine.io.synth import synth_transcripts_table
+
+    path = TR_ORACLE_PATH
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = synth_transcripts_table(TR_ORACLE_CONVS, seed=TR_ORACLE_SEED)
+        keys = doc_key_batch(t["conv_id"].combine_chunks(), t["turn_idx"].to_numpy())
+        t = t.append_column("doc_key", pa.array(keys, type=pa.int64()))
+        t = t.append_column("doc_id", doc_id_strings(t["conv_id"].combine_chunks(), t["turn_idx"].combine_chunks()))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Flagship transcript pipeline, driver-oracle-checked: build the real
+    index (conv_id hashing, sharded postings) from the materialized corpus,
+    run the seeded reference query set, hydrate docIDs. Columns: qid, rank,
+    doc_id (conv:turn string), doc_key, score_micro."""
+    import ray.data as rd
+
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.hydrate import hydrate_table
+
+    path = tr_oracle_corpus_path()
+    key = hashlib.md5(f"tro|{path}|8|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"tro-{key}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+        build_index(ds, idx, num_shards=8, build_id="tro")
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    res = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    tbl = hydrate_table(idx, pa.Table.from_pandas(res))
+    out = tbl.to_pandas().rename(columns={"score": "score_micro"})
+    out = out[["qid", "rank", "doc_id", "doc_key", "score_micro"]]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype(
+        {"qid": "int64", "rank": "int64", "doc_key": "int64", "score_micro": "int64"}
+    )
+
+
 def documents_as_transcripts(sf_dir: str):
     """documents → a DETERMINISTIC transcripts-shaped corpus that SQL can
     reproduce: conv_id 'd<doc_id>', turn_idx doc_id%4, role user/assistant by

@@ -287,3 +287,27 @@ class TestCLI:
             (r["doc_key"], r["score"]) for r in rows
         ]
         assert all(":" in r["doc_id"] for r in srows)
+
+
+class TestTrOracleParity:
+    def test_tr_bm25_oracle_matches_duckdb(self, ray_session, monkeypatch, tmp_path):
+        """The flagship transcript path (real build: conv_id hashing, sharded
+        postings, hydration) is value-exact vs DuckDB BM25 recomputed over
+        the SAME materialized corpus parquet — the driver-gate contract for
+        the tr_bm25_oracle entry."""
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _tr_bm25_oracle_sql
+
+        # isolate the materialized corpus + index cache from other runs
+        monkeypatch.setattr(P, "TR_ORACLE_PATH", str(tmp_path / "tr_oracle.parquet"))
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        got = P.tr_bm25_oracle("unused", k=10)
+        ref = duckdb.connect().execute(_tr_bm25_oracle_sql(10)).fetchdf()
+        assert len(got) == len(ref) > 0
+        cols = ["qid", "rank", "doc_id", "doc_key", "score_micro"]
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            ref[cols].astype(got[cols].dtypes.to_dict()).reset_index(drop=True),
+        )
