@@ -160,8 +160,16 @@ def main(argv=None):
             finally:
                 svc.close()
         elif args.verb == "synth":
+            import os
+            import shutil
+
             from engine.io.synth import synth_transcripts
 
+            # write_parquet APPENDS new files to an existing directory; a
+            # re-run into the same --out would silently double the corpus
+            # (duplicate (conv_id, turn_idx) rows), so replace it instead.
+            if os.path.isdir(args.out):
+                shutil.rmtree(args.out)
             synth_transcripts(args.convs, seed=args.seed).write_parquet(args.out)
             print(json.dumps({"written": args.out}))
     finally:

@@ -311,3 +311,17 @@ class TestTrOracleParity:
             got[cols].reset_index(drop=True),
             ref[cols].astype(got[cols].dtypes.to_dict()).reset_index(drop=True),
         )
+
+
+class TestSynthVerb:
+    def test_synth_rerun_replaces_not_appends(self, tmp_path, ray_session, capsys):
+        import pyarrow.parquet as pq
+
+        from engine.cli import main
+
+        out = str(tmp_path / "corpus")
+        main(["synth", "--out", out, "--convs", "30", "--seed", "5"])
+        n1 = pq.read_table(out).num_rows
+        main(["synth", "--out", out, "--convs", "30", "--seed", "5"])
+        capsys.readouterr()
+        assert pq.read_table(out).num_rows == n1  # no silent doubling
