@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # text analysis
         "ta_lang_id": textstats.lang_id,
+        "ta_token_count": textstats.token_count,
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
@@ -329,6 +330,12 @@ SELECT doc_id, n_tokens,
        floor(n_uniq / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT uniq_ratio_micro,
        floor(sum_len / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT mean_token_len_micro
 FROM s ORDER BY doc_id
+""",
+        "ta_token_count": """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT n_bpe_tokens
+FROM documents ORDER BY doc_id
 """,
         "dedup_exact": f"""
 WITH t AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) fingerprint FROM documents)

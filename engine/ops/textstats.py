@@ -163,3 +163,52 @@ def quality(sf_dir: str):
     out["mean_token_len_micro"] = np.floor(out["sum_token_len"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
     cols = ["doc_id", "n_tokens", "stop_ratio_micro", "uniq_ratio_micro", "mean_token_len_micro"]
     return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs, each
+# with an optional leading space (the GPT-2 pattern family minus the
+# lookahead RE2 can't express — DuckDB's regexp_extract_all must count the
+# SAME tokens, verified exact at sf0.01).
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+class TokenCounter:
+    """Per-doc token counts under two tokenizers a data pipeline budgets
+    with: whitespace words and the BPE-ish regex above. Patterns compile
+    once per actor (__init__), count per batch (__call__)."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.bpe = re.compile(BPE_PATTERN)
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_ws = np.zeros(n, dtype=np.int64)
+        n_bpe = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_ws[i] = sum(1 for x in self.ws.split(t) if x)
+            n_bpe[i] = len(self.bpe.findall(t))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pa.array(n_ws),
+                "n_bpe_tokens": pa.array(n_bpe),
+            }
+        )
+
+
+def token_count(sf_dir: str):
+    """doc_id, n_ws_tokens, n_bpe_tokens for every document."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        TokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}
+    )

@@ -325,3 +325,22 @@ class TestSynthVerb:
         main(["synth", "--out", out, "--convs", "30", "--seed", "5"])
         capsys.readouterr()
         assert pq.read_table(out).num_rows == n1  # no silent doubling
+
+
+class TestTokenCount:
+    def test_token_count_matches_duckdb(self, ray_session):
+        """BPE-ish regex and whitespace counts agree with DuckDB RE2 exactly
+        (the ta_token_count driver-gate contract)."""
+        import duckdb
+
+        from engine.ops.textstats import token_count
+
+        sf = "/root/testdata/sf0.001"
+        got = token_count(sf)
+        ref = duckdb.connect().execute(f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT n_bpe_tokens
+FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id
+""").fetchdf()
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
