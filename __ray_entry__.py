@@ -143,6 +143,43 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_and_sql(k: int) -> str:
+    """Conjunctive BM25: a doc ranks only if it matched EVERY term of its
+    query (count of distinct matched terms == the query's term count)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+qn AS (SELECT qid, count(*)::BIGINT n_terms FROM qterm GROUP BY 1),
+contrib AS (
+  SELECT qt.qid, qt.term, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN qn ON qn.qid = c.qid
+  GROUP BY c.qid, c.doc_id, qn.n_terms
+  HAVING count(DISTINCT c.term) = qn.n_terms
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_sql(k: int) -> str:
     return f"""
 WITH {_TOK_CTE},
@@ -249,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk10": lambda sf: P.ft_bm25_topk(sf, k=10),
         "ft_bm25_topk100": lambda sf: P.ft_bm25_topk(sf, k=100),
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
+        "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
         # transcript-schema path (role/ts input filters + docID hydration)
         "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
@@ -296,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk10": _bm25_sql(10),
         "ft_bm25_topk100": _bm25_sql(100),
         "ft_bm25_not": _bm25_not_sql(10),
+        "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "ft_term_stats": f"""

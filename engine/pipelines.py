@@ -110,6 +110,28 @@ def ft_bm25_not(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
 
 
+def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Conjunctive (AND) BM25 top-k: only docs containing EVERY query term
+    are candidates. Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    res = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={
+            "index_dir": idx, "k": k, "score_micro": True, "conjunctive": True,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation."""

@@ -48,7 +48,8 @@ class SegmentServer:
     def __init__(self, index_dir: str, k: int = 10, shards: list[int] | None = None,
                  mode: str = "exhaustive", score_micro: bool = False,
                  bucket: int | None = None, df_overrides_ref=None,
-                 analyzer_obj=None, cache_postings: int = 24_000_000):
+                 analyzer_obj=None, cache_postings: int = 24_000_000,
+                 conjunctive: bool = False):
         import os
 
         from engine.index.segment import PostingLRU
@@ -64,6 +65,9 @@ class SegmentServer:
         # the SQL-oracle-reproducible ordering (identical IEEE op in DuckDB),
         # decoupling driver value-hash checks from last-ulp float order.
         self.score_micro = score_micro
+        # conjunctive (AND) retrieval: only docs matching EVERY query term
+        # are candidates; scores stay plain BM25 sums over all terms
+        self.conjunctive = conjunctive
         # bucketed layout (engine/query/bucketed.py): this server owns doc
         # bucket ``bucket``; its shard ids are base_shard + S_total*bucket and
         # per-term GLOBAL df comes from the broadcast term_stats overrides
@@ -310,7 +314,39 @@ class SegmentServer:
                 parts.append(seg.read_postings(idx)[0])
         return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
 
+    def _conjunctive_keys(self, terms) -> np.ndarray:
+        """Sorted doc_keys matching ALL terms (D2 AND semantics). Intersects
+        smallest-df-first so the running set shrinks as fast as possible."""
+        per_term = []
+        for t in terms:
+            hits, _df = self._term_hits(t)
+            if not hits:
+                return np.empty(0, dtype=np.int64)
+            per_term.append(
+                np.unique(np.concatenate([seg.read_postings(idx)[0] for seg, idx in hits]))
+                if len(hits) > 1
+                else hits[0][0].read_postings(hits[0][1])[0]
+            )
+        per_term.sort(key=len)
+        inter = per_term[0]
+        for keys in per_term[1:]:
+            inter = np.intersect1d(inter, keys, assume_unique=True)
+            if inter.size == 0:
+                break
+        return inter
+
     def topk(self, text: str, k: int | None = None, exclude: str | None = None):
+        if self.conjunctive:
+            terms = sorted(set(self.analyzer.tokens(text)))
+            dk, sc = self.score_query(text)
+            keep_keys = self._conjunctive_keys(terms)
+            # dk is sorted (accumulate_sorted_lists) → membership via merge
+            keep = np.isin(dk, keep_keys, assume_unique=True)
+            dk, sc = dk[keep], sc[keep]
+            if self.score_micro:
+                sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+                return topk_postings(dk, sc, k or self.k, keep_zero=True)
+            return topk_postings(dk, sc, k or self.k)
         if self.mode == "wand" and not exclude:
             from engine.query.wand import wand_topk
 

@@ -344,3 +344,44 @@ SELECT doc_id,
 FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id
 """).fetchdf()
         pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+class TestConjunctive:
+    def test_ft_bm25_and_matches_duckdb(self, ray_session, monkeypatch, tmp_path):
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _bm25_and_sql
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_bm25_and(sf, k=10)
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_bm25_and_sql(10)).fetchdf()
+        assert len(got) == len(ref) > 0
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
+
+    def test_and_results_contain_every_term(self, ray_session, monkeypatch, tmp_path):
+        """Every AND hit's text contains every query term; AND hits are a
+        subset of the OR hits' doc set per qid."""
+        import duckdb
+
+        import engine.pipelines as P
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_bm25_and(sf, k=10)
+        texts = duckdb.connect().execute(
+            f"select doc_id, text from read_parquet('{sf}/documents.parquet')"
+        ).fetchdf().set_index("doc_id")["text"]
+        from engine.text.analyzer import Analyzer
+
+        an = Analyzer()
+        qmap = dict(P.DOC_QUERIES)
+        for r in got.itertuples():
+            toks = set(an.tokens(texts.loc[r.doc_id]))
+            assert set(an.tokens(qmap[r.qid])) <= toks
