@@ -7,7 +7,7 @@ contract).
 
 Verbs:
   build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto]
-  query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand]
+  query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand] [--and]
   merge  --index DIR [--fanin 4] [--densify]
   synth  --out DIR --convs N [--seed 42]
   serve  --index DIR [--servers N] — interactive: one query per stdin line,
@@ -56,6 +56,8 @@ def main(argv=None):
     q.add_argument("--text", default=None, help="single ad-hoc query")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "dense"])
+    q.add_argument("--and", dest="conjunctive", action="store_true",
+                   help="conjunctive retrieval: docs must match every term")
     q.add_argument("--out", default=None, help="write results parquet here")
 
     m = sub.add_parser("merge")
@@ -108,7 +110,8 @@ def main(argv=None):
                 queries = rd.read_parquet(args.queries)
             else:
                 p.error("need --queries or --text")
-            res = query_index(args.index, queries, k=args.k, mode=args.mode)
+            res = query_index(args.index, queries, k=args.k, mode=args.mode,
+                              conjunctive=args.conjunctive)
             if args.out:
                 res.write_parquet(args.out)
                 print(json.dumps({"written": args.out}))

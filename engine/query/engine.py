@@ -438,6 +438,7 @@ def query_index(
     batch_size: int = 256,
     hydrate: bool = True,
     sort_output: bool = True,
+    conjunctive: bool = False,
 ):
     """queries: Dataset(qid, text) or list[(qid, text)] → results Dataset
     (qid, rank, doc_id?, doc_key, score), sorted by (qid, rank) unless
@@ -450,6 +451,7 @@ def query_index(
     partials = queries.map_batches(
         SegmentServer,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode,
+                               "conjunctive": conjunctive,
                                "analyzer_obj": _driver_analyzer(index_dir)},
         batch_format="pyarrow",
         zero_copy_batch=True,
