@@ -109,7 +109,30 @@ class Analyzer:
         return flat, dl
 
 
-_REGISTRY: dict[str, tuple[type, bool]] = {"default": (Analyzer, False)}
+class NFKCAnalyzer(Analyzer):
+    """Opt-in Unicode analyzer (SURVEY.md §2.3-F1): NFKC-normalize +
+    casefold before the token grammar, so full-width/compatibility forms
+    ('ｈａｓｈ', 'ﬁle', 'Ⅻ') tokenize like their ASCII equivalents and
+    non-ASCII letters casefold correctly. NOT the default: DuckDB has no
+    NFKC, so an index built with this analyzer trades the SQL-oracle parity
+    contract for Unicode robustness (the pure-Python oracle still applies —
+    pass the same analyzer to it)."""
+
+    name = "nfkc"
+
+    # token grammar widens to any alnum run AFTER NFKC+casefold
+    _RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+    def tokens(self, text: str) -> list[str]:
+        import unicodedata
+
+        return self._RE.findall(unicodedata.normalize("NFKC", text).casefold())
+
+
+_REGISTRY: dict[str, tuple[type, bool]] = {
+    "default": (Analyzer, False),
+    "nfkc": (NFKCAnalyzer, False),
+}
 
 
 def register_analyzer(name: str, cls: type, *, expensive: bool = False) -> None:

@@ -257,3 +257,48 @@ class TestDocKeyAudit:
         build_index(rd.from_arrow(dup), d, num_shards=4, build_id="dup")
         out = audit_doc_keys(d)
         assert out["collisions"] == 50
+
+
+class TestNFKCAnalyzer:
+    def test_nfkc_unicode_build_query_rank_identical(self, tmp_path, ray_session):
+        """F1: the opt-in NFKC analyzer normalizes full-width/compatibility
+        forms, the build threads it through (manifest name → workers → query
+        servers), and results stay rank-identical to the pure-Python oracle
+        under the same analyzer."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from engine.text.analyzer import NFKCAnalyzer
+
+        an = NFKCAnalyzer()
+        assert an.tokens("ＨＡＳＨ ｊｏｉｎ ﬁle Straße") == ["hash", "join", "file", "strasse"]
+
+        texts = [
+            "hash join batch over arrow",          # plain ascii
+            "ＨＡＳＨ ＪＯＩＮ stream",              # full-width forms of the same terms
+            "merge sort key value",
+            "ﬁle ﬁlter scan",                       # ligatures
+            "file filter merge",
+            "straße öffnen großes",                 # casefold ß→ss
+        ]
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+                "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+                "text": pa.array(texts),
+            }
+        )
+        d = str(tmp_path / "idx")
+        build_index(rd.from_arrow(t), d, num_shards=4, build_id="u", analyzer="nfkc")
+
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), texts, analyzer=an)
+        srv = SegmentServer(d, k=10)
+        for q in ["hash join", "ｈａｓｈ", "file", "ﬁle", "strasse"]:
+            dk, sc = srv.topk(q)
+            odk, osc = oracle.topk(q, 10)
+            np.testing.assert_array_equal(dk, odk)
+            np.testing.assert_allclose(sc, osc, rtol=0, atol=0)
+        # full-width query matches the ascii doc and vice versa
+        dk, _ = srv.topk("ｈａｓｈ ｊｏｉｎ")
+        assert set(dk) == {int(keys[0]), int(keys[1])}
