@@ -6,7 +6,7 @@ Ray session; the library itself never calls ray.init (__ray_entry__.py
 contract).
 
 Verbs:
-  build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto]
+  build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto] [--analyzer nfkc]
   query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand] [--and]
   merge  --index DIR [--fanin 4] [--densify]
   synth  --out DIR --convs N [--seed 42]
@@ -49,6 +49,8 @@ def main(argv=None):
     b.add_argument("--shards", type=int, default=32)
     b.add_argument("--salt", default=None, choices=[None, "auto"])
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--analyzer", default="default",
+                   help="registered analyzer name (e.g. nfkc)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -95,6 +97,7 @@ def main(argv=None):
             manifest = build_index(
                 args.input, args.index, num_shards=args.shards,
                 salt_map=args.salt, resume=not args.no_resume,
+                analyzer=args.analyzer,
             )
             print(json.dumps({"n_docs": manifest.stats["n_docs"],
                               "avgdl": manifest.stats["avgdl"],
