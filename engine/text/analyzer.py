@@ -11,8 +11,11 @@ i.e. casefold via simple lowercasing, then maximal runs of ``[a-z0-9]`` —
 exactly ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` minus empty
 strings in DuckDB. Unicode NFKC normalisation is deliberately NOT applied:
 DuckDB's lower() and Python's str.lower() agree on the ASCII range, and
-non-ASCII codepoints are never token characters under this grammar, so the
-three implementations agree byte-for-byte on arbitrary UTF-8 input.
+(after the single-codepoint U+0130 fix below — see _SIMPLE_LOWER_FIX) no
+other codepoint lowercases into the token alphabet differently across the
+three implementations, so they agree byte-for-byte on arbitrary UTF-8
+input (full-scan evidence at _SIMPLE_LOWER_FIX; property test in
+tests/test_core.py).
 
 Analyzers are pluggable (SURVEY.md §2.10): register a named Analyzer class;
 expensive analyzers run as actor pools via map_batches(cls, concurrency=N).
@@ -26,6 +29,16 @@ import numpy as np
 import pyarrow as pa
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
+# Python str.lower() implements FULL Unicode lowercasing: U+0130 ('İ') →
+# 'i' + U+0307 (combining dot above), whose combining mark SPLITS the token
+# ('İstanbul' → ['i', 'stanbul']). Arrow's utf8_lower and DuckDB's lower()
+# both use utf8proc SIMPLE lowercasing ('İ' → 'i', one codepoint,
+# 'İstanbul' → ['istanbul']). A full scan of every printable codepoint
+# (U+0020..U+2FFFF, embedded mid-token) found U+0130 to be the ONLY
+# codepoint where the three tokenizations diverge — pre-mapping it restores
+# byte-for-byte agreement between the build path (tokenize_arrow), the
+# query/oracle path (tokens) and the SQL oracle.
+_SIMPLE_LOWER_FIX = {0x130: "i"}
 # SQL fragment producing the identical token list for a text column `t`:
 SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
 
@@ -40,7 +53,7 @@ class Analyzer:
     name = "default"
 
     def tokens(self, text: str) -> list[str]:
-        return TOKEN_RE.findall(text.lower())
+        return TOKEN_RE.findall(text.translate(_SIMPLE_LOWER_FIX).lower())
 
     # -- vectorised batch paths ----------------------------------------------
     def tokenize_arrow(self, texts: pa.ChunkedArray | pa.Array | list[str]):

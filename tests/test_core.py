@@ -39,6 +39,51 @@ class TestAnalyzer:
         expected = [t for x in texts for t in an.tokens(x)]
         assert list(flat) == expected
 
+    def test_u0130_build_query_sql_agree(self):
+        """Regression: Python full-lowercasing of U+0130 ('İ' → 'i' +
+        combining dot) used to SPLIT tokens on the query path while the
+        Arrow build path and DuckDB (utf8proc simple lowercase) kept them
+        whole — an indexed 'İstanbul' was unreachable by the query
+        'İstanbul'. All three must tokenize identically now."""
+        import duckdb
+
+        from engine.text.analyzer import SQL_TOKENS
+
+        an = Analyzer()
+        texts = ["İstanbul", "xİy", "İİ 0130İmid", "ΑΣ sigma İ"]
+        con = duckdb.connect()
+        sql = f"select {SQL_TOKENS.format(col='t')} from (select unnest($1::varchar[]) as t)"
+        rows = con.execute(sql, [texts]).fetchall()
+        for text, (sql_toks,) in zip(texts, rows):
+            assert an.tokens(text) == list(sql_toks), text
+        flat, dl = an.tokenize_batch(texts)
+        assert list(flat) == [t for x in texts for t in an.tokens(x)]
+
+    def test_property_random_unicode_three_way_parity(self):
+        """Hypothesis: on arbitrary text, Python tokens == Arrow build-path
+        tokens == DuckDB SQL tokens (the rank-identity precondition)."""
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from engine.text.analyzer import SQL_TOKENS
+
+        an = Analyzer()
+        con = duckdb.connect()
+        sql = f"select {SQL_TOKENS.format(col='t')} from (select ?::varchar as t)"
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=60))
+        def check(text):
+            py = an.tokens(text)
+            flat, dl = an.tokenize_batch([text])
+            assert list(flat) == py
+            assert int(dl[0]) == len(py)
+            (sql_toks,) = con.execute(sql, [text]).fetchone()
+            assert py == list(sql_toks)
+
+        check()
+
 
 class TestDocKey:
     def test_stable_and_unique(self):
