@@ -278,7 +278,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, multimodal, relational, textstats
+    from engine.ops import ann, dedup, multimodal, relational, sampling, textstats
     from engine import pipelines as P
 
     return {
@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "ta_lang_id": textstats.lang_id,
         "ta_token_count": textstats.token_count,
+        "ta_corpus_stats": textstats.corpus_stats,
+        # deterministic hash-based train/val/test assignment
+        "sample_hash_split": sampling.hash_split,
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
@@ -326,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_hourly": relational.events_hourly,
         "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
         "ev_json_stats": relational.events_json_stats,
+        "ev_sessions": lambda sf: relational.events_sessions(sf, gap_minutes=30),
     }
 
 
@@ -375,6 +379,45 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT n_ws_tokens,
        len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT n_bpe_tokens
 FROM documents ORDER BY doc_id
+""",
+        "ta_corpus_stats": f"""
+SELECT lang, source, count(*)::BIGINT n_docs,
+       sum(len({_TOKS}))::BIGINT sum_tokens,
+       sum(n_chars)::BIGINT sum_chars
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "sample_hash_split": """
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'val'
+            WHEN bucket < 20 THEN 'test'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id
+""",
+        "ev_sessions": """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts)::BIGINT sid
+  FROM e
+),
+per_session AS (
+  SELECT user_id, sid, count(*)::BIGINT n FROM s GROUP BY 1, 2
+)
+SELECT user_id::BIGINT user_id, sum(n)::BIGINT n_events,
+       count(*)::BIGINT n_sessions, max(n)::BIGINT max_session_events
+FROM per_session GROUP BY 1 ORDER BY 1
 """,
         "dedup_exact": f"""
 WITH t AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) fingerprint FROM documents)

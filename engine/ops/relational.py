@@ -288,3 +288,44 @@ def events_sliding(sf_dir: str, window_hours: int = 24):
     for c in ["hour_epoch", "w_events", "w_value_micro"]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per user, split the event stream into sessions at
+    inactivity gaps > ``gap_minutes``. Columns: user_id, n_events,
+    n_sessions, max_session_events.
+
+    Scale shape: events hash-partition by user_id (groupby.map_groups);
+    inside each group a vectorized ts-diff marks session starts — no
+    per-event Python, no global sort. At 100 TB the per-user event stream
+    is the unit of locality, exactly what a keyed shuffle provides."""
+    import ray.data as rd
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        starts = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(starts)  # 1-based session id per event
+        sizes = np.bincount(sid)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(ts)],
+                "n_sessions": [int(sid[-1])],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({c: "int64" for c in out.columns})

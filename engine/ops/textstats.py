@@ -212,3 +212,58 @@ def token_count(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}
     )
+
+
+class _CorpusPartial:
+    """Per-batch pre-aggregation for corpus_stats: tokenize (Arrow kernels)
+    then collapse the batch to one row per (lang, source) — only tiny
+    partials reach the groupby shuffle."""
+
+    def __init__(self) -> None:
+        self.an = Analyzer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _flat, dl = self.an.tokenize_arrow(batch["text"])
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "source": batch["source"].to_pandas(),
+                "n_tokens": dl.astype(np.int64),
+                "n_chars": batch["n_chars"].to_numpy(),
+            }
+        )
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_tokens", "size"),
+            sum_tokens=("n_tokens", "sum"),
+            sum_chars=("n_chars", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus accounting per (lang, source): doc count, analyzer-token sum,
+    char sum — the numbers a training-data curation budget is written in.
+    Partial-aggregate inside map_batches, then a small groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "source", "n_chars"]
+    )
+    out = (
+        ds.map_batches(_CorpusPartial, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64", "sum_tokens": "int64", "sum_chars": "int64"})

@@ -385,3 +385,54 @@ class TestConjunctive:
         for r in got.itertuples():
             toks = set(an.tokens(texts.loc[r.doc_id]))
             assert set(an.tokens(qmap[r.qid])) <= toks
+
+
+class TestSessionsAndSplits:
+    def test_sessions_gap_boundary_semantics(self, tmp_path_factory, ray_session):
+        """Exactly-30-min gaps stay in one session (strict >), duplicate
+        timestamps collapse into the same session, per-user isolation."""
+        import duckdb
+
+        from engine.ops.relational import events_sessions
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60_000_000, "us")  # one minute
+        rows = [
+            (1, base),               # u1 s1
+            (1, base + 30 * m),      # exactly 30min later → SAME session
+            (1, base + 61 * m),      # 31min gap → new session
+            (1, base + 61 * m),      # duplicate ts → same session
+            (2, base),               # u2 s1
+            (2, base + 31 * m),      # new session
+            (2, base + 62 * m),      # new session
+        ]
+        d = tmp_path_factory.mktemp("ev")
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array([r[1] for r in rows]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = events_sessions(str(d), gap_minutes=30).set_index("user_id")
+        assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 4
+        assert out.loc[1, "max_session_events"] == 2
+        assert out.loc[2, "n_sessions"] == 3 and out.loc[2, "max_session_events"] == 1
+
+    def test_hash_split_deterministic_and_proportional(self, ray_session):
+        from engine.ops.sampling import hash_split
+
+        sf = "/root/testdata/sf0.01"
+        a = hash_split(sf)
+        b = hash_split(sf)
+        pd.testing.assert_frame_equal(a, b)
+        frac = a["split"].value_counts(normalize=True)
+        assert 0.05 < frac["val"] < 0.15 and 0.05 < frac["test"] < 0.15
+        assert frac["train"] > 0.7
+        # pure function of doc_id: spot-check against the definition
+        import hashlib
+
+        r = a.iloc[17]
+        assert r["bucket"] == int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
