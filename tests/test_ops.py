@@ -436,3 +436,43 @@ class TestSessionsAndSplits:
 
         r = a.iloc[17]
         assert r["bucket"] == int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
+
+
+class TestBMPCodec:
+    def test_roundtrip_exact(self):
+        """encode_bmp → decode_bmp is lossless for arbitrary RGB content,
+        including widths that need row padding (w*3 % 4 != 0)."""
+        from engine.ops.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.default_rng(3)
+        for w, h in [(1, 1), (2, 3), (5, 4), (33, 17), (64, 64)]:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            back = decode_bmp(encode_bmp(img))
+            np.testing.assert_array_equal(back, img)
+
+    def test_resize_nearest_checkerboard(self):
+        from engine.ops.multimodal import resize_nearest
+
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[0, 1] = img[1, 0] = 255
+        up = resize_nearest(img, 4, 4)
+        assert up.shape == (4, 4, 3)
+        np.testing.assert_array_equal(up[:2, :2], 0)   # top-left quadrant
+        np.testing.assert_array_equal(up[:2, 2:], 255)
+        np.testing.assert_array_equal(up[2:, :2], 255)
+        np.testing.assert_array_equal(up[2:, 2:], 0)
+
+    def test_bmp_pipeline_decodes_real_images(self, ray_session):
+        """The actor-pool stage decodes REAL image bytes: dims match the
+        encoder's, features deterministic across runs and in [0, 1]."""
+        from engine.ops.multimodal import bmp_pipeline, synth_bmp_table
+
+        out = bmp_pipeline(48, seed=7).to_pandas().sort_values("id").reset_index(drop=True)
+        src = synth_bmp_table(48, seed=7).to_pandas()
+        meta = src["meta"].map(lambda s: __import__("json").loads(s))
+        assert (out["width"].to_numpy() == meta.map(lambda m: m["w"]).to_numpy()).all()
+        assert (out["height"].to_numpy() == meta.map(lambda m: m["h"]).to_numpy()).all()
+        feats = np.array(out["features"].tolist(), dtype=np.float32)
+        assert feats.shape == (48, 12) and (feats >= 0).all() and (feats <= 1).all()
+        out2 = bmp_pipeline(48, seed=7).to_pandas().sort_values("id").reset_index(drop=True)
+        np.testing.assert_array_equal(feats, np.array(out2["features"].tolist(), dtype=np.float32))
