@@ -307,3 +307,140 @@ def bmp_pipeline(n: int = 128, seed: int = 0, out_size: int = 32):
         batch_size=32,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec: RIFF/WAVE PCM16, stdlib struct + numpy. Covers the
+# frame-sample / feature-extract half of the multimodal contract with real
+# bytes; compressed audio stays gated like the image formats.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """(n,) int16 mono PCM → RIFF/WAVE bytes."""
+    import struct
+
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes → (samples int16, sample_rate). Walks the
+    chunk list so extra chunks (LIST/fact) don't break parsing."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 mono WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype=np.int16)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def frame_sample(samples: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
+    """(n,) → (n_frames, frame_len) strided view (no copy): the audio/video
+    frame-sampling primitive."""
+    n = samples.size
+    if n < frame_len:
+        return samples[np.newaxis, :0].reshape(0, frame_len) if frame_len else samples[np.newaxis]
+    n_frames = 1 + (n - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    return samples[idx]
+
+
+class DecodeWav:
+    """Actor-pool stage over real WAV payloads: decode → frame-sample →
+    per-frame RMS + zero-crossing-rate features, padded/truncated to a fixed
+    ``n_frames`` so the output column is rectangular."""
+
+    def __init__(self, frame_ms: int = 25, hop_ms: int = 10, n_frames: int = 16):
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+        self.n_frames = n_frames
+
+    def _features(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        samples, rate = decode_wav(payload)
+        fl = max(1, rate * self.frame_ms // 1000)
+        hop = max(1, rate * self.hop_ms // 1000)
+        frames = frame_sample(samples, fl, hop).astype(np.float32) / 32768.0
+        rms = np.sqrt((frames**2).mean(axis=1)) if frames.size else np.zeros(0, np.float32)
+        zcr = (
+            (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1).astype(np.float32)
+            if frames.size
+            else np.zeros(0, np.float32)
+        )
+        k = self.n_frames
+        out = np.zeros(2 * k, dtype=np.float32)
+        out[: min(k, rms.size)] = rms[:k]
+        out[k : k + min(k, zcr.size)] = zcr[:k]
+        return samples.size, rate, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, rates, feats = [], [], []
+        for payload in batch["payload"].to_pylist():
+            n, r, f = self._features(payload)
+            ns.append(n)
+            rates.append(r)
+            feats.append(f)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "sample_rate": pa.array(rates, type=pa.int32()),
+                "features": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+            }
+        )
+
+
+def synth_wav_table(n: int, seed: int = 0, rate: int = 16_000) -> pa.Table:
+    """Deterministic corpus of REAL WAV payloads (seeded sine + noise)."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, mimes, metas = [], [], [], []
+    for i in range(n):
+        dur = float(rng.uniform(0.05, 0.4))
+        t = np.arange(int(rate * dur)) / rate
+        freq = float(rng.uniform(100, 2000))
+        sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(t.size)
+        samples = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+        ids.append(i)
+        payloads.append(encode_wav(samples, rate))
+        mimes.append("audio/wav")
+        metas.append(json.dumps({"n": int(samples.size), "rate": rate}))
+    return pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes, type=pa.string()),
+            "meta": pa.array(metas, type=pa.string()),
+        }
+    )
+
+
+def wav_pipeline(n: int = 128, seed: int = 0):
+    """End-to-end REAL-audio pipeline: synth WAVs → actor-pool decode /
+    frame-sample / feature-extract."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_wav_table(n, seed))
+    return ds.map_batches(
+        DecodeWav,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
+        concurrency=(1, 4),
+    )

@@ -476,3 +476,37 @@ class TestBMPCodec:
         assert feats.shape == (48, 12) and (feats >= 0).all() and (feats <= 1).all()
         out2 = bmp_pipeline(48, seed=7).to_pandas().sort_values("id").reset_index(drop=True)
         np.testing.assert_array_equal(feats, np.array(out2["features"].tolist(), dtype=np.float32))
+
+
+class TestWavCodec:
+    def test_roundtrip_exact(self):
+        from engine.ops.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(5)
+        for n in [1, 7, 400, 16000]:
+            s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+            back, rate = decode_wav(encode_wav(s, 8000))
+            assert rate == 8000
+            np.testing.assert_array_equal(back, s)
+
+    def test_frame_sample_shape_and_content(self):
+        from engine.ops.multimodal import frame_sample
+
+        s = np.arange(10, dtype=np.int16)
+        f = frame_sample(s, frame_len=4, hop=2)
+        assert f.shape == (4, 4)
+        np.testing.assert_array_equal(f[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(f[-1], [6, 7, 8, 9])
+
+    def test_wav_pipeline_decodes_real_audio(self, ray_session):
+        from engine.ops.multimodal import synth_wav_table, wav_pipeline
+
+        out = wav_pipeline(32, seed=9).to_pandas().sort_values("id").reset_index(drop=True)
+        src = synth_wav_table(32, seed=9).to_pandas()
+        meta = src["meta"].map(lambda s: __import__("json").loads(s))
+        assert (out["n_samples"].to_numpy() == meta.map(lambda m: m["n"]).to_numpy()).all()
+        assert (out["sample_rate"] == 16_000).all()
+        feats = np.array(out["features"].tolist(), dtype=np.float32)
+        assert feats.shape == (32, 32)
+        # a 0.5-amplitude sine has RMS ≈ 0.35 — first frames must be loud
+        assert (feats[:, 0] > 0.2).all()
