@@ -180,6 +180,58 @@ ORDER BY qid, rank
 """
 
 
+def _phrase_queries_values() -> str:
+    from engine.pipelines import PHRASE_QUERIES
+
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text in PHRASE_QUERIES)
+    return f"(VALUES {rows})"
+
+
+def _bm25_phrase_sql(k: int) -> str:
+    """Phrase oracle: docs whose normalized token stream contains the
+    phrase's token sequence contiguously ('% needle %' over the
+    space-joined tokens), ranked by BM25 over the phrase's distinct terms."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_phrase_queries_values()},
+qnorm AS (
+  SELECT qid::BIGINT qid,
+         list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '') qtoks
+  FROM q
+),
+qterm AS (SELECT DISTINCT qid, unnest(qtoks) term FROM qnorm),
+doc_canon AS (
+  SELECT doc_id, ' ' || array_to_string({_TOKS}, ' ') || ' ' canon FROM documents
+),
+matched AS (
+  SELECT qn.qid, dc.doc_id
+  FROM qnorm qn JOIN doc_canon dc
+    ON dc.canon LIKE '%' || ' ' || array_to_string(qn.qtoks, ' ') || ' ' || '%'
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN matched m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_sql(k: int) -> str:
     return f"""
 WITH {_TOK_CTE},
@@ -287,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk100": lambda sf: P.ft_bm25_topk(sf, k=100),
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
         "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
+        "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
         # transcript-schema path (role/ts input filters + docID hydration)
         "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
@@ -339,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk100": _bm25_sql(100),
         "ft_bm25_not": _bm25_not_sql(10),
         "ft_bm25_and": _bm25_and_sql(10),
+        "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "ft_term_stats": f"""

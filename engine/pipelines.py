@@ -132,6 +132,91 @@ def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
 
 
+# phrase query set — mirrored literally in the oracle SQL; includes a
+# zero-match phrase and a no-such-term phrase as edge coverage
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "slow query"),
+    (2, "table part"),
+    (3, "row scan"),
+    (4, "merge sort key"),
+    (5, "zzz nosuchterm"),
+]
+
+
+def ft_bm25_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Phrase search: exact token-adjacency retrieval, BM25-ranked.
+
+    The scale design: (1) the INDEX prunes — conjunctive (AND) retrieval
+    over the phrase's terms yields every candidate doc_key with its BM25
+    score (phrase ⊆ conjunctive, so recall is exact); (2) only the
+    candidates' source rows are read back (column-pruned distributed scan
+    + broadcast key filter) and verified for adjacency on the analyzer's
+    token stream; (3) verified docs rank by (score desc, doc_id asc).
+    No positional index needed — candidate verification reads text for
+    the few conjunctive matches, not the corpus.
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in PHRASE_QUERIES])
+    # ALL conjunctive matches (k bound >> any candidate count), scored
+    cand = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={
+            "index_dir": idx, "k": 1_000_000, "score_micro": True, "conjunctive": True,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["qid", "rank", "doc_id", "score_micro"]}
+        )
+    cand = cand.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+
+    # distributed adjacency verification over ONLY the candidate rows
+    an = Analyzer()
+    keys_ref = ray.put(np.unique(cand["doc_id"].to_numpy()))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ids = batch["doc_id"].to_numpy()
+        pos = np.searchsorted(keys, ids)
+        pos[pos >= keys.size] = 0
+        m = keys[pos] == ids
+        if not m.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "canon": pa.array([], type=pa.string())})
+        sub = batch.filter(pa.array(m))
+        canon = [" " + " ".join(an.tokens(t or "")) + " " for t in sub["text"].to_pylist()]
+        return pa.table({"doc_id": sub["doc_id"].cast(pa.int64()),
+                         "canon": pa.array(canon, type=pa.string())})
+
+    canon = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .set_index("doc_id")["canon"]
+    )
+    needles = {q: " " + " ".join(an.tokens(t)) + " " for q, t in PHRASE_QUERIES}
+    keep = [
+        needles[r.qid] in canon.loc[r.doc_id]
+        for r in cand.itertuples()
+    ]
+    out = cand[np.asarray(keep, dtype=bool)].copy()
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][["qid", "rank", "doc_id", "score_micro"]]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation."""

@@ -510,3 +510,43 @@ class TestWavCodec:
         assert feats.shape == (32, 32)
         # a 0.5-amplitude sine has RMS ≈ 0.35 — first frames must be loud
         assert (feats[:, 0] > 0.2).all()
+
+
+class TestPhrase:
+    def test_phrase_requires_adjacency_in_order(self, tmp_path_factory, ray_session, monkeypatch):
+        import engine.pipelines as P
+
+        d = tmp_path_factory.mktemp("ph")
+        texts = [
+            "a hash join here",      # matches
+            "hash x join",           # both terms, not adjacent → excluded
+            "join hash",             # adjacent, wrong order → excluded
+            "HASH-JOIN again",       # punctuation splits to adjacent tokens → matches
+            "nothing relevant",
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}),
+            str(d / "documents.parquet"),
+        )
+        monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+        monkeypatch.setattr(P, "PHRASE_QUERIES", [(0, "hash join")])
+        out = P.ft_bm25_phrase(str(d), k=10)
+        assert sorted(out["doc_id"].tolist()) == [0, 3]
+
+    def test_phrase_matches_duckdb(self, ray_session, monkeypatch, tmp_path):
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _bm25_phrase_sql
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_bm25_phrase(sf, k=10)
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_bm25_phrase_sql(10)).fetchdf()
+        assert len(got) == len(ref) > 0
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
