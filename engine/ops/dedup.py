@@ -410,7 +410,14 @@ class _SimHash:
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by SimHash: block on 4×16-bit bands (any pair within
-    Hamming distance 3 shares ≥1 exact band), verify Hamming distance."""
+    Hamming distance 3 shares ≥1 exact band), verify Hamming distance.
+
+    Why this entry is rows-only (no SQL oracle), measured: SimHash distance
+    is a frequency-weighted COSINE proxy, not token-set Jaccard — at sf0.01,
+    hamming≤3 banding recalls only 579/9020 of the jaccard≥0.9 oracle pairs
+    (the rest sit at hamming 4-13), so a verified-vs-Jaccard-SQL oracle (the
+    minhash_verified construction) is provably infeasible for SimHash; its
+    correctness contract is the planted-near-dup pytest instead."""
     import ray.data as rd
 
     from engine.core.context import ensure_hash_shuffle
