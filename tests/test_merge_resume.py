@@ -285,3 +285,61 @@ class TestCrashResume:
         from engine.index.build import audit_doc_keys
 
         assert audit_doc_keys(idx)["collisions"] == 0
+
+
+class TestCrashMidMerge:
+    def test_crash_between_segment_write_and_commit_then_rerun(
+        self, tmp_path, ray_session, monkeypatch
+    ):
+        """Crash AFTER merged segments hit disk but BEFORE the manifest swap:
+        the index stays on the pre-merge manifest (queries unaffected), a
+        re-run merges cleanly under a new merge_id, the crashed attempt's
+        outputs are orphans that gc_orphans removes, and ranking is
+        identical before/after the whole episode."""
+        import engine.index.merge as merge_mod
+        from engine.index.merge import gc_orphans
+
+        frag_dir, t = _write_fragments(tmp_path, n_convs=40, n_frags=4, seed=9)
+        idx = str(tmp_path / "idx")
+        for i, f in enumerate(sorted(os.listdir(frag_dir))):
+            build_index(os.path.join(frag_dir, f), idx, num_shards=4, build_id=f"b{i}")
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+        queries = seeded_query_set(8, seed=3)
+
+        def topk_all(server):
+            return [server.topk(q) for _qid, q in queries]
+
+        before = topk_all(SegmentServer(idx, k=10))
+        seg_dir = os.path.join(idx, "segments")
+        n_before = len(os.listdir(seg_dir))
+
+        orig = Manifest.tombstone_segments
+
+        def boom(self, names):
+            raise RuntimeError("simulated crash before merge commit")
+
+        monkeypatch.setattr(Manifest, "tombstone_segments", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_merge(idx, compact=True)
+        monkeypatch.setattr(Manifest, "tombstone_segments", orig)
+
+        # merged segments were written, but the manifest never swapped
+        assert len(os.listdir(seg_dir)) > n_before
+        live = {s["name"] for s in Manifest(idx).live_segments()}
+        assert len(live) == n_before
+        mid = topk_all(SegmentServer(idx, k=10))
+        for (dk_a, sc_a), (dk_b, sc_b) in zip(before, mid):
+            np.testing.assert_array_equal(dk_a, dk_b)
+            np.testing.assert_array_equal(sc_a, sc_b)
+
+        # re-run completes; crashed attempt's outputs become orphans
+        assert run_merge(idx, compact=True) > 0
+        removed = gc_orphans(idx)
+        assert removed > 0
+        on_disk = set(os.listdir(seg_dir))
+        assert on_disk == {s["name"] for s in Manifest(idx).live_segments()}
+        after = topk_all(SegmentServer(idx, k=10))
+        for (dk_a, sc_a), (dk_b, sc_b) in zip(before, after):
+            np.testing.assert_array_equal(dk_a, dk_b)
+            np.testing.assert_array_equal(sc_a, sc_b)
