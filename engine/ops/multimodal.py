@@ -4,11 +4,16 @@ columns with typed metadata.
 The Ray-side plumbing is REAL and tested: schema conventions, actor-pool
 map_batches stages sized for large binary rows (small batch_size so
 batch × concurrency fits worker heaps), deterministic partitioned output.
-The codec kernels themselves are STUBS: the sandbox image/audio libraries
-are not installed, so ``decoder="real"`` raises NotImplementedError at the
-decode call and ``decoder="fake"`` substitutes a deterministic
-header-parser stand-in (content-hash-derived features) that exercises the
-identical dataflow.
+Codecs come in three tiers:
+  - REAL, pure numpy/stdlib: uncompressed 24-bit BMP (decode → nearest
+    resize → grid features; encode_bmp/decode_bmp below) and PCM16 WAV
+    (decode → frame-sample → RMS/ZCR features; encode_wav/decode_wav) —
+    both lossless-roundtrip tested.
+  - ``decoder="fake"``: a deterministic header-parser stand-in
+    (content-hash features) exercising the identical dataflow.
+  - ``decoder="real"``: the integration point for compressed formats
+    (JPEG/PNG/MP3/video) — Pillow/pyav are not installed in this sandbox,
+    so it raises NotImplementedError naming the dependency.
 
 Schema convention for a multimodal table:
     id:int64 | payload:binary | mime:string | meta:string (JSON)
