@@ -232,6 +232,19 @@ ORDER BY qid, rank
 """
 
 
+def _tr_text_identity_sql() -> str:
+    """Per-row invariant oracle: docID and text fingerprint recomputed by
+    DuckDB from the same materialized corpus parquet, keyed by the engine's
+    precomputed doc_key column."""
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    return f"""
+SELECT doc_key, conv_id || ':' || turn_idx::VARCHAR AS doc_id, md5(text) fingerprint
+FROM read_parquet('{path}') ORDER BY doc_key
+"""
+
+
 def _bm25_sql(k: int) -> str:
     return f"""
 WITH {_TOK_CTE},
@@ -350,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcript path, oracle-checked: engine and DuckDB both
         # read the same materialized synth-corpus parquet
         "tr_bm25_oracle": lambda sf: P.tr_bm25_oracle(sf, k=10),
+        # the spec's per-row invariant as a driver-checked entry
+        "tr_text_identity": P.tr_text_identity,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -395,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
+        "tr_text_identity": _tr_text_identity_sql(),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

@@ -310,6 +310,78 @@ def tr_oracle_corpus_path() -> str:
     return path
 
 
+def tr_oracle_index(num_shards: int = 8) -> tuple[str, str]:
+    """(corpus_path, index_dir) for the materialized oracle corpus; builds
+    the index once per content version."""
+    import ray.data as rd
+
+    path = tr_oracle_corpus_path()
+    key = hashlib.md5(f"tro|{path}|{num_shards}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"tro-{key}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+        build_index(ds, idx, num_shards=num_shards, build_id="tro")
+    return path, idx
+
+
+def tr_text_identity(sf_dir: str) -> pd.DataFrame:
+    """The spec's per-row invariant, driver-checked: every turn the ENGINE's
+    committed docmap knows hydrates to the right docID and its source text
+    (keyed by the engine's own doc_key) fingerprints identically to SQL
+    recomputing from the same parquet under stable (conv_id, turn_idx)
+    ordering. A docmap mis-assignment, lost row, or key collision breaks the
+    hash. Columns: doc_key, doc_id, fingerprint."""
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    path, idx = tr_oracle_index()
+
+    # engine-side text fingerprints keyed by the engine's doc_key
+    corpus = rd.read_parquet(path, columns=["doc_key", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_key": batch["doc_key"], "fingerprint": pa.array(fps, type=pa.string())}
+        )
+
+    fpdf = corpus.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    fp_map_ref = ray.put(dict(zip(fpdf["doc_key"], fpdf["fingerprint"])))
+
+    # docmap → hydrated docIDs, fingerprint attached by broadcast lookup
+    files = sorted(glob.glob(f"{idx}/docmap/**/*.parquet", recursive=True))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = ray.get(fp_map_ref)
+        doc_id = pc.binary_join_element_wise(
+            batch["conv_id"].cast(pa.string()),
+            pc.cast(batch["turn_idx"], pa.string()),
+            ":",
+        )
+        fps = pa.array(
+            [m[int(k)] for k in batch["doc_key"].to_numpy()], type=pa.string()
+        )
+        return pa.table(
+            {"doc_key": batch["doc_key"], "doc_id": doc_id, "fingerprint": fps}
+        )
+
+    out = (
+        rd.read_parquet(files, columns=["doc_key", "conv_id", "turn_idx"])
+        .map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_key": "int64"})
+
+
 def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Flagship transcript pipeline, driver-oracle-checked: build the real
     index (conv_id hashing, sharded postings) from the materialized corpus,
@@ -320,12 +392,7 @@ def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from engine.oracle.bm25 import seeded_query_set
     from engine.query.hydrate import hydrate_table
 
-    path = tr_oracle_corpus_path()
-    key = hashlib.md5(f"tro|{path}|8|v1".encode()).hexdigest()[:10]
-    idx = os.path.join(INDEX_ROOT, f"tro-{key}")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
-        build_index(ds, idx, num_shards=8, build_id="tro")
+    _path, idx = tr_oracle_index()
     qds = rd.from_items(
         [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
     )
