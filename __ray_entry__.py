@@ -180,6 +180,22 @@ ORDER BY qid, rank
 """
 
 
+def _token_count_sql() -> str:
+    """ta_token_count oracle built from the SAME pattern constants the
+    engine compiles (engine/ops/textstats.py) — explicit ASCII whitespace
+    classes, valid identically under Python re and DuckDB RE2, so the two
+    engines count the same tokens on any input (Python \\s is Unicode-wide,
+    RE2's is ASCII-only — never use \\s in a parity pattern)."""
+    from engine.ops.textstats import BPE_PATTERN, WS_PATTERN
+
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'), x -> x <> ''))::BIGINT n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def _phrase_queries_values() -> str:
     from engine.pipelines import PHRASE_QUERIES
 
@@ -444,12 +460,7 @@ SELECT doc_id, n_tokens,
        floor(sum_len / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT mean_token_len_micro
 FROM s ORDER BY doc_id
 """,
-        "ta_token_count": """
-SELECT doc_id,
-       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT n_ws_tokens,
-       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT n_bpe_tokens
-FROM documents ORDER BY doc_id
-""",
+        "ta_token_count": _token_count_sql(),
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,
        sum(len({_TOKS}))::BIGINT sum_tokens,

@@ -173,8 +173,16 @@ def main(argv=None):
 
             # write_parquet APPENDS new files to an existing directory; a
             # re-run into the same --out would silently double the corpus
-            # (duplicate (conv_id, turn_idx) rows), so replace it instead.
+            # (duplicate (conv_id, turn_idx) rows), so replace it instead —
+            # but only if everything in it looks like prior synth output;
+            # refuse to rmtree a directory holding anything else.
             if os.path.isdir(args.out):
+                entries = os.listdir(args.out)
+                if any(not e.endswith(".parquet") for e in entries):
+                    p.error(
+                        f"--out {args.out} exists and contains non-parquet "
+                        "entries; refusing to replace it"
+                    )
                 shutil.rmtree(args.out)
             synth_transcripts(args.convs, seed=args.seed).write_parquet(args.out)
             print(json.dumps({"written": args.out}))

@@ -232,18 +232,19 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[yi[:, None], xi[None, :]]
 
 
-def bmp_features(img: np.ndarray, grid: int = 2) -> np.ndarray:
-    """Feature vector: per-channel means over a grid×grid block partition of
-    the resized image → grid*grid*3 float32 values in [0, 1]."""
-    cell = resize_nearest(img, grid * 8, grid * 8).astype(np.float32) / 255.0
-    out = np.empty(grid * grid * 3, dtype=np.float32)
-    k = 0
-    for gy in range(grid):
-        for gx in range(grid):
-            block = cell[gy * 8 : (gy + 1) * 8, gx * 8 : (gx + 1) * 8]
-            out[k : k + 3] = block.reshape(-1, 3).mean(axis=0)
-            k += 3
-    return out
+def bmp_features(cell: np.ndarray, grid: int = 2) -> np.ndarray:
+    """Feature vector over an ALREADY-RESIZED square image whose side is a
+    multiple of ``grid``: per-channel means of the grid×grid block partition
+    → grid*grid*3 float32 values in [0, 1]. (No internal resize — the caller
+    resizes exactly once.)"""
+    side = cell.shape[0]
+    assert cell.shape[1] == side and side % grid == 0, (cell.shape, grid)
+    b = side // grid
+    cf = cell.astype(np.float32) / 255.0
+    # (grid, b, grid, b, 3) → mean over each block's pixels
+    return (
+        cf.reshape(grid, b, grid, b, 3).mean(axis=(1, 3)).reshape(-1).astype(np.float32)
+    )
 
 
 def synth_bmp_table(n: int, seed: int = 0) -> pa.Table:
@@ -276,6 +277,7 @@ class DecodeBMP:
     path; small batch_size keeps batch × pool inside worker heaps."""
 
     def __init__(self, out_size: int = 32, grid: int = 2):
+        assert out_size % grid == 0, "out_size must be a multiple of grid"
         self.out_size = out_size
         self.grid = grid
 
@@ -285,6 +287,7 @@ class DecodeBMP:
             img = decode_bmp(payload)
             hs.append(img.shape[0])
             ws.append(img.shape[1])
+            # exactly ONE resize: features are block means over this image
             small = resize_nearest(img, self.out_size, self.out_size)
             feats.append(bmp_features(small, grid=self.grid))
         return pa.table(

@@ -168,8 +168,13 @@ def quality(sf_dir: str):
 # BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs, each
 # with an optional leading space (the GPT-2 pattern family minus the
 # lookahead RE2 can't express — DuckDB's regexp_extract_all must count the
-# SAME tokens, verified exact at sf0.01).
-BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# SAME tokens, verified exact at sf0.01). Whitespace is the EXPLICIT ASCII
+# class, never \s: Python re's \s is Unicode-wide (NBSP, U+2028, ...) while
+# DuckDB RE2's \s is ASCII-only, so \s would silently break parity on any
+# document containing non-ASCII whitespace.
+_WS = r" \t\n\r\f\v"
+BPE_PATTERN = rf" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+"
+WS_PATTERN = rf"[{_WS}]+"
 
 
 class TokenCounter:
@@ -181,7 +186,7 @@ class TokenCounter:
         import re
 
         self.bpe = re.compile(BPE_PATTERN)
-        self.ws = re.compile(r"\s+")
+        self.ws = re.compile(WS_PATTERN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()

@@ -39,6 +39,19 @@ DOC_QUERIES: list[tuple[int, str]] = [
 
 INDEX_ROOT = "/tmp/engine_indexes"
 
+
+def _needs_build(idx: str) -> bool:
+    """True if ``idx`` has no committed manifest. A dir WITHOUT a manifest is
+    a crashed earlier build — wipe it so partial docmap/segment output can't
+    leak into (or double inside) the fresh build (write_parquet appends)."""
+    if os.path.exists(os.path.join(idx, "manifest.json")):
+        return False
+    if os.path.isdir(idx):
+        import shutil
+
+        shutil.rmtree(idx)
+    return True
+
 # NOT-query set (D4): (qid, positive terms, excluded terms) — mirrored in SQL
 NOT_QUERIES: list[tuple[int, str, str]] = [
     (0, "hash join", "window"),
@@ -63,73 +76,50 @@ def documents_index(sf_dir: str, num_shards: int = 8) -> str:
     """Build (once per sf_dir per process tree) the documents BM25 index."""
     key = hashlib.md5(f"{sf_dir}|{num_shards}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"docs-{key}")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
+    if _needs_build(idx):
         build_index(documents_corpus(sf_dir), idx, num_shards=num_shards, build_id="docs")
     return idx
+
+
+def _run_doc_queries(sf_dir: str, items: list[dict], k: int, **server_kwargs) -> pd.DataFrame:
+    """Shared query-pool runner for the documents-index pipelines: returns
+    (qid, rank, doc_id, score_micro) int64 frames, sorted by (qid, rank)."""
+    import ray.data as rd
+
+    idx = documents_index(sf_dir)
+    res = rd.from_items(items).map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True, **server_kwargs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
 
 
 def ft_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Distributed BM25 top-k over documents for DOC_QUERIES.
     Columns: qid, rank, doc_id, score_micro (all int64)."""
-    import ray.data as rd
-
-    idx = documents_index(sf_dir)
-    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
-    res = qds.map_batches(
-        SegmentServer,
-        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4,
-        concurrency=2,
-    ).to_pandas()
-    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
-    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
+    return _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k)
 
 
 def ft_bm25_not(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """BM25 top-k with NOT semantics (D4): docs matching any excluded term
     are removed before top-k. Columns: qid, rank, doc_id, score_micro."""
-    import ray.data as rd
-
-    idx = documents_index(sf_dir)
-    qds = rd.from_items(
-        [{"qid": q, "text": t, "exclude": ex} for q, t, ex in NOT_QUERIES]
+    return _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t, "exclude": ex} for q, t, ex in NOT_QUERIES], k
     )
-    res = qds.map_batches(
-        SegmentServer,
-        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4,
-        concurrency=2,
-    ).to_pandas()
-    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
-    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
 
 
 def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Conjunctive (AND) BM25 top-k: only docs containing EVERY query term
     are candidates. Columns: qid, rank, doc_id, score_micro."""
-    import ray.data as rd
-
-    idx = documents_index(sf_dir)
-    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
-    res = qds.map_batches(
-        SegmentServer,
-        fn_constructor_kwargs={
-            "index_dir": idx, "k": k, "score_micro": True, "conjunctive": True,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4,
-        concurrency=2,
-    ).to_pandas()
-    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
-    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
+    return _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k, conjunctive=True
+    )
 
 
 # phrase query set — mirrored literally in the oracle SQL; includes a
@@ -161,24 +151,17 @@ def ft_bm25_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     from engine.text.analyzer import Analyzer
 
-    idx = documents_index(sf_dir)
-    qds = rd.from_items([{"qid": q, "text": t} for q, t in PHRASE_QUERIES])
     # ALL conjunctive matches (k bound >> any candidate count), scored
-    cand = qds.map_batches(
-        SegmentServer,
-        fn_constructor_kwargs={
-            "index_dir": idx, "k": 1_000_000, "score_micro": True, "conjunctive": True,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4,
-        concurrency=2,
-    ).to_pandas()
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": t} for q, t in PHRASE_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
     if len(cand) == 0:
         return pd.DataFrame(
             {c: pd.Series([], dtype="int64") for c in ["qid", "rank", "doc_id", "score_micro"]}
         )
-    cand = cand.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
 
     # distributed adjacency verification over ONLY the candidate rows
     an = Analyzer()
@@ -260,7 +243,7 @@ def transcripts_index(n_convs: int = 150, seed: int = 42) -> str:
 
     key = hashlib.md5(f"tr|{n_convs}|{seed}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"tr-{key}")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
+    if _needs_build(idx):
         build_index(synth_transcripts(n_convs, seed=seed), idx, num_shards=8, build_id="tr")
     return idx
 
@@ -318,7 +301,7 @@ def tr_oracle_index(num_shards: int = 8) -> tuple[str, str]:
     path = tr_oracle_corpus_path()
     key = hashlib.md5(f"tro|{path}|{num_shards}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"tro-{key}")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
+    if _needs_build(idx):
         ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
         build_index(ds, idx, num_shards=num_shards, build_id="tro")
     return path, idx
@@ -461,7 +444,7 @@ def filtered_transcripts_index(sf_dir: str, num_shards: int = 8) -> str:
     driver-visible exercise of the M6 input-filter path + docID hydration."""
     key = hashlib.md5(f"ftf|{sf_dir}|{num_shards}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"ftf-{key}")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
+    if _needs_build(idx):
         build_index(
             documents_as_transcripts(sf_dir),
             idx,

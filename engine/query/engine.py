@@ -314,39 +314,61 @@ class SegmentServer:
                 parts.append(seg.read_postings(idx)[0])
         return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
 
-    def _conjunctive_keys(self, terms) -> np.ndarray:
-        """Sorted doc_keys matching ALL terms (D2 AND semantics). Intersects
-        smallest-df-first so the running set shrinks as fast as possible."""
-        per_term = []
+    def _conjunctive_topk(self, text: str, k: int, exclude: str | None):
+        """D2 AND semantics: only docs matching EVERY query term rank;
+        scores are the full BM25 sums in the oracle's float op order.
+        Postings are read ONCE per (term, segment) — the same arrays feed
+        both the score accumulation and the intersection. Composes with
+        NOT (``exclude``) like the exhaustive path."""
+        from engine.query.topk import accumulate_sorted_lists
+
+        def empty():
+            e = np.empty(0, dtype=np.int64)
+            return e, (e if self.score_micro else e.astype(np.float64))
+
+        terms = sorted(set(self.analyzer.tokens(text)))
+        if not terms:
+            return empty()
+        parts = []          # (doc_keys, weights) in ORACLE order
+        per_term_keys = []  # union of each term's doc_keys, for the AND
         for t in terms:
-            hits, _df = self._term_hits(t)
+            hits, df = self._term_hits(t)
             if not hits:
-                return np.empty(0, dtype=np.int64)
-            per_term.append(
-                np.unique(np.concatenate([seg.read_postings(idx)[0] for seg, idx in hits]))
-                if len(hits) > 1
-                else hits[0][0].read_postings(hits[0][1])[0]
+                return empty()  # a missing term can match nothing
+            w_idf = float(bm25_idf(self.n_docs, df))
+            t_keys = []
+            for seg, idx in hits:
+                dk_arr = seg.read_postings(idx)[0]
+                parts.append((dk_arr, seg.weights(idx, w_idf, self.avgdl)))
+                t_keys.append(dk_arr)
+            per_term_keys.append(
+                np.unique(np.concatenate(t_keys)) if len(t_keys) > 1 else t_keys[0]
             )
-        per_term.sort(key=len)
-        inter = per_term[0]
-        for keys in per_term[1:]:
+        dk, sc = accumulate_sorted_lists(parts)
+        # intersect smallest-first so the running set shrinks fastest
+        per_term_keys.sort(key=len)
+        inter = per_term_keys[0]
+        for keys in per_term_keys[1:]:
             inter = np.intersect1d(inter, keys, assume_unique=True)
             if inter.size == 0:
                 break
-        return inter
+        keep = np.isin(dk, inter, assume_unique=True)
+        dk, sc = dk[keep], sc[keep]
+        if exclude:
+            ex = self._exclusion_keys(exclude)
+            if ex.size and dk.size:
+                pos = np.searchsorted(ex, dk)
+                pos[pos >= ex.size] = 0
+                m = ex[pos] != dk
+                dk, sc = dk[m], sc[m]
+        if self.score_micro:
+            sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+            return topk_postings(dk, sc, k, keep_zero=True)
+        return topk_postings(dk, sc, k)
 
     def topk(self, text: str, k: int | None = None, exclude: str | None = None):
         if self.conjunctive:
-            terms = sorted(set(self.analyzer.tokens(text)))
-            dk, sc = self.score_query(text)
-            keep_keys = self._conjunctive_keys(terms)
-            # dk is sorted (accumulate_sorted_lists) → membership via merge
-            keep = np.isin(dk, keep_keys, assume_unique=True)
-            dk, sc = dk[keep], sc[keep]
-            if self.score_micro:
-                sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
-                return topk_postings(dk, sc, k or self.k, keep_zero=True)
-            return topk_postings(dk, sc, k or self.k)
+            return self._conjunctive_topk(text, k or self.k, exclude)
         if self.mode == "wand" and not exclude:
             from engine.query.wand import wand_topk
 

@@ -335,14 +335,34 @@ class TestTokenCount:
 
         from engine.ops.textstats import token_count
 
+        from __ray_entry__ import _token_count_sql
+
         sf = "/root/testdata/sf0.001"
         got = token_count(sf)
-        ref = duckdb.connect().execute(f"""
-SELECT doc_id,
-       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT n_ws_tokens,
-       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT n_bpe_tokens
-FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id
-""").fetchdf()
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_token_count_sql()).fetchdf()
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+    def test_token_count_unicode_whitespace_parity(self, tmp_path_factory, ray_session):
+        """NBSP / U+2028 must count identically in both engines — the reason
+        the patterns pin explicit ASCII classes instead of \\s."""
+        import duckdb
+
+        from __ray_entry__ import _token_count_sql
+        from engine.ops.textstats import token_count
+
+        texts = ["a\u00a0b c", "x.\u00a0y", "line\u2028break", "tab\there", "plain text"]
+        d = tmp_path_factory.mktemp("uws")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            str(d / "documents.parquet"),
+        )
+        got = token_count(str(d))
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{d}/documents.parquet')")
+        ref = con.execute(_token_count_sql()).fetchdf()
         pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
 
 
@@ -550,3 +570,35 @@ class TestPhrase:
             got.reset_index(drop=True),
             ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
         )
+
+
+class TestConjunctiveEdges:
+    def test_zero_term_and_missing_term_queries_return_empty(self, ray_session, tmp_path):
+        """Regression (review finding): conjunctive retrieval crashed with
+        IndexError on a query with no [a-z0-9] tokens; missing terms must
+        also yield empty, and exclude must compose (AND-NOT)."""
+        import pyarrow.parquet as pq2
+        import ray.data as rd
+
+        from engine.index.build import build_index
+        from engine.query.engine import SegmentServer
+
+        t = pa.table(
+            {
+                "doc_key": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["hash join fast", "hash join slow window", "hash only"],
+            }
+        )
+        idx = str(tmp_path / "idx")
+        build_index(rd.from_arrow(t), idx, num_shards=2, build_id="cj")
+        srv = SegmentServer(idx, k=10, conjunctive=True)
+        for q in ["!!!", "", "   ,.;"]:
+            dk, sc = srv.topk(q)
+            assert dk.size == 0 and sc.size == 0
+        dk, _ = srv.topk("hash nosuchterm")
+        assert dk.size == 0
+        dk, _ = srv.topk("hash join")
+        assert sorted(dk.tolist()) == [1, 2]
+        # AND-NOT composition: exclude removes the window doc
+        dk, _ = srv.topk("hash join", exclude="window")
+        assert dk.tolist() == [1]
