@@ -113,10 +113,13 @@ def build_index(
         num_shards = manifest.data["num_base_shards"]
         analyzer = manifest.data["analyzer"]
         doc_buckets = int(manifest.data.get("doc_buckets", 1))
+        # The committed salt map IS the term-routing contract for every
+        # segment already on disk: adopting a freshly sketched map on an
+        # incremental build would re-route head terms and make prior
+        # builds' postings unreachable at query time. Ignore the passed
+        # map; the first build's map governs the index's lifetime.
+        salt_map = None
     salt = SaltMap.from_json(manifest.data["salt_map"]) if manifest.data["salt_map"] else SaltMap(num_shards)
-    if salt_map is not None:
-        salt = salt_map
-        manifest.data["salt_map"] = salt.to_json()
 
     build_id = build_id or uuid.uuid4().hex[:8]
     lineage: dict = {}
@@ -424,7 +427,13 @@ def build_term_stats(index_dir: str) -> str:
 
     ensure_hash_shuffle()
     out_dir = os.path.join(index_dir, "term_stats")
-    files = sorted(glob.glob(os.path.join(index_dir, "segments", "*", "dict.parquet")))
+    # MANIFEST-listed segments only: a disk glob would also sum the dicts of
+    # uncommitted (crashed/in-flight) builds and not-yet-GCed tombstoned
+    # inputs, silently inflating global df (and every idf derived from it)
+    files = sorted(
+        os.path.join(index_dir, "segments", s["name"], "dict.parquet")
+        for s in Manifest(index_dir).live_segments()
+    )
     stats = (
         rd.read_parquet(files, columns=["term", "df", "cf"])
         .groupby("term")

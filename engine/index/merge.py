@@ -161,6 +161,19 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
 
     manifest = Manifest(index_dir)
     rebucket = doc_buckets is not None and doc_buckets > 1
+    cur_buckets = int(manifest.data.get("doc_buckets", 1))
+    if rebucket and cur_buckets == doc_buckets:
+        # already bucketed at D: re-applying the bucket split would ADD the
+        # s_total*b offset a second time (out_shard = base + 2*s_total*b),
+        # stranding buckets b>0 outside their servers' shard ranges — a
+        # re-run is a plain in-layout compaction instead (idempotent).
+        rebucket = False
+        doc_buckets = None
+    elif rebucket and cur_buckets not in (1, doc_buckets):
+        raise ValueError(
+            f"index is bucketed at D={cur_buckets}; re-bucketing to "
+            f"D={doc_buckets} is not supported (rebuild or merge at D={cur_buckets})"
+        )
     if rebucket:
         compact = True
         from engine.core.partitioning import SaltMap

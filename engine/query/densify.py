@@ -49,13 +49,16 @@ import pyarrow as pa
 
 
 def _bucket_keys(index_dir: str, d_buckets: int) -> list[np.ndarray]:
-    """Sorted doc_key array per bucket (one array, bucket 0, if unbucketed)."""
+    """Sorted doc_key array per bucket (one array, bucket 0, if unbucketed).
+
+    COMMITTED builds' docmaps only (engine/query/hydrate.py): an in-flight
+    or crashed build's docmap rows would shift sorted positions and scatter
+    sidecar weights into the wrong doc slots."""
     import pyarrow.dataset as pads
 
-    root = os.path.join(index_dir, "docmap")
-    files = []
-    for r, _d, fs in os.walk(root):
-        files.extend(os.path.join(r, f) for f in sorted(fs) if f.endswith(".parquet"))
+    from engine.query.hydrate import committed_docmap_files
+
+    files = committed_docmap_files(index_dir)
     keys = (
         pads.dataset(files, format="parquet").to_table(columns=["doc_key"])["doc_key"]
         .to_numpy()

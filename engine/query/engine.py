@@ -28,7 +28,6 @@ from engine.core.partitioning import SaltMap
 from engine.index.segment import Segment
 from engine.io.manifest import Manifest
 from engine.oracle.bm25 import idf as bm25_idf
-from engine.oracle.bm25 import tf_sat
 from engine.query.topk import topk_postings
 from engine.text.analyzer import get_analyzer
 
@@ -187,21 +186,13 @@ class SegmentServer:
         otherwise. Memory: 16 B × n_docs_served per actor."""
         if getattr(self, "_dense", None) is not None:
             return
-        import os
+        # the SAME key arrays densify_index scattered pos against — one
+        # implementation (committed-builds-only walk) or sidecar positions
+        # silently misalign
+        from engine.query.densify import _bucket_keys
 
-        import pyarrow.dataset as pads
-
-        root = os.path.join(self.manifest.index_dir, "docmap")
-        files = []
-        for r, _d, fs in os.walk(root):
-            files.extend(os.path.join(r, f) for f in sorted(fs) if f.endswith(".parquet"))
-        keys = (
-            pads.dataset(files, format="parquet").to_table(columns=["doc_key"])["doc_key"]
-            .to_numpy()
-            if files
-            else np.empty(0, dtype=np.int64)
-        )
         d_buckets = int(self.manifest.data.get("doc_buckets", 1))
+        per_bucket = _bucket_keys(self.manifest.index_dir, d_buckets)
         self._dense: dict[int, list] = {}
         if d_buckets <= 1:
             buckets = [0]
@@ -210,7 +201,7 @@ class SegmentServer:
         else:
             buckets = list(range(d_buckets))
         for b in buckets:
-            bk = np.sort(keys[keys % d_buckets == b]) if d_buckets > 1 else np.sort(keys)
+            bk = per_bucket[b]
             self._dense[b] = [bk, np.zeros(bk.size, dtype=np.float64)]
         self._d_buckets = d_buckets
         self._sidecars: dict[str, tuple | None] = {}

@@ -18,22 +18,45 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def committed_docmap_dirs(index_dir: str) -> list[str]:
+    """docmap/build-<id> dirs belonging to MANIFEST-COMMITTED builds only.
+    A crashed or still-running build writes its docmap BEFORE the manifest
+    commit; reading those rows would hydrate (and, worse, dense-scatter —
+    engine/query/densify.py) against doc keys the index doesn't serve."""
+    from engine.io.manifest import Manifest
+
+    docmap_root = os.path.join(index_dir, "docmap")
+    if not os.path.isdir(docmap_root):
+        return []
+    committed = {
+        f"build-{b['build_id']}" for b in Manifest(index_dir).data.get("builds", [])
+    }
+    return [
+        os.path.join(docmap_root, d)
+        for d in sorted(os.listdir(docmap_root))
+        if d in committed and os.path.isdir(os.path.join(docmap_root, d))
+    ]
+
+
+def committed_docmap_files(index_dir: str) -> list[str]:
+    """Every parquet file of every committed build's docmap."""
+    files: list[str] = []
+    for bd in committed_docmap_dirs(index_dir):
+        for root, _d, fs in os.walk(bd):
+            files.extend(os.path.join(root, f) for f in sorted(fs) if f.endswith(".parquet"))
+    return files
+
+
 def docmap_paths(index_dir: str, doc_keys: np.ndarray) -> list[str]:
     """Pruned docmap read-list: only the part=<p> directories whose
     ``doc_key % docmap_parts`` appears in the candidate set (falls back to
     whole build dirs for legacy unpartitioned docmaps)."""
     from engine.io.manifest import Manifest
 
-    docmap_root = os.path.join(index_dir, "docmap")
-    if not os.path.isdir(docmap_root):
-        return []
     num_parts = int(Manifest(index_dir).data.get("docmap_parts") or 0)
     parts = {int(p) for p in np.unique(doc_keys % num_parts)} if num_parts else None
     paths: list[str] = []
-    for d in sorted(os.listdir(docmap_root)):
-        build_dir = os.path.join(docmap_root, d)
-        if not os.path.isdir(build_dir):
-            continue
+    for build_dir in committed_docmap_dirs(index_dir):
         part_dirs = [e for e in sorted(os.listdir(build_dir)) if e.startswith("part=")]
         if parts is not None and part_dirs:
             keep_dirs = [
@@ -109,5 +132,6 @@ def hydrate_table(index_dir: str, table: pa.Table) -> pa.Table:
     engine/query/service.py): same pruned-docmap semi-join, driver-side."""
     keys = table["doc_key"].to_numpy()
     mapping = load_docmap_for_keys(index_dir, keys)
-    doc_id = pa.array([mapping.get(int(k)) for k in keys], type=pa.string())
+    # same missing-key convention as hydrate_results: empty string, not null
+    doc_id = pa.array([mapping.get(int(k), "") for k in keys], type=pa.string())
     return table.append_column("doc_id", doc_id)

@@ -74,14 +74,14 @@ class QueryService:
             self._actors = [
                 Actor.remote(index_dir, k=k, mode=bucket_mode, bucket=b,
                              df_overrides_ref=ref, analyzer_obj=analyzer_obj,
-                             **({"cache_postings": cache_postings} if cache_postings else {}))
+                             **({"cache_postings": cache_postings} if cache_postings is not None else {}))
                 for b in range(d_buckets)
             ]
             self._bucketed = True
         else:
             self._actors = [
                 Actor.remote(index_dir, k=k, mode=mode, analyzer_obj=analyzer_obj,
-                             **({"cache_postings": cache_postings} if cache_postings else {}))
+                             **({"cache_postings": cache_postings} if cache_postings is not None else {}))
                 for _ in range(n_servers)
             ]
             self._bucketed = False
@@ -102,6 +102,15 @@ class QueryService:
                 "text": pa.array([t for _, t in queries], type=pa.string()),
             }
         )
+        if table.num_rows == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "doc_key": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         if self._bucketed:
             parts = ray.get([a.__call__.remote(table) for a in self._actors])
             merged = pa.concat_tables(parts)

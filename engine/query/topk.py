@@ -75,13 +75,3 @@ def accumulate_sorted_lists(parts):
     return base_k, base_s
 
 
-def sum_by_doc(doc_keys: np.ndarray, weights: np.ndarray):
-    """Aggregate per-term contributions per doc, preserving the order in
-    which contributions appear (stable sort → reduceat) so float summation
-    order equals the oracle's sorted-term accumulation order."""
-    order = np.argsort(doc_keys, kind="stable")
-    dk = doc_keys[order]
-    w = weights[order]
-    boundaries = np.nonzero(dk[1:] != dk[:-1])[0] + 1
-    starts = np.concatenate(([0], boundaries))
-    return dk[starts], np.add.reduceat(w, starts)

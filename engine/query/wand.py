@@ -48,7 +48,7 @@ class _TermList:
     """One (segment, term) posting list + block-max metadata, with
     lazily-cached decodes (weights first; doc keys only when needed)."""
 
-    __slots__ = ("seg", "idx", "idf", "last_doc", "ub_blocks", "_tp", "_w", "_keys", "_blocks")
+    __slots__ = ("seg", "idx", "idf", "last_doc", "_tp", "_w", "_keys", "_blocks")
 
     def __init__(self, seg, idx: int, idf: float, avgdl: float):
         self.seg = seg
@@ -56,7 +56,6 @@ class _TermList:
         self.idf = idf
         sk = seg.term_skips(idx)
         self.last_doc = sk["last_doc_key"]
-        self.ub_blocks = idf * tf_sat(sk["block_max_tf"], sk["block_min_dl"], avgdl)
         self._tp = None
         self._w = None
         self._keys = None
@@ -151,8 +150,7 @@ def wand_topk(server, text: str, k: int):
             continue
         idf = float(bm25_idf(server.n_docs, df))
         lists = [_TermList(seg, idx, idf, avgdl) for seg, idx in hits]
-        ub = max(float(tl.ub_blocks.max()) for tl in lists)
-        infos.append({"term": t, "lists": lists, "ub": ub})
+        infos.append({"term": t, "lists": lists})
     if not infos:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 

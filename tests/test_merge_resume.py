@@ -343,3 +343,119 @@ class TestCrashMidMerge:
         for (dk_a, sc_a), (dk_b, sc_b) in zip(before, after):
             np.testing.assert_array_equal(dk_a, dk_b)
             np.testing.assert_array_equal(sc_a, sc_b)
+
+
+class TestReviewRegressions:
+    """Round-2 review findings: silent-wrong-results hazards."""
+
+    def _corpus_idx(self, tmp_path, n_convs=40, seed=11, shards=4):
+        import ray.data as rd
+
+        t = synth_transcripts_table(n_convs, seed=seed)
+        idx = str(tmp_path / "idx")
+        build_index(rd.from_arrow(t), idx, num_shards=shards, build_id="b0")
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        return idx, t, BM25Oracle(list(keys), t["text"].to_pylist())
+
+    def test_rerun_rebucket_is_idempotent(self, tmp_path, ray_session):
+        """run_merge(doc_buckets=D) twice must NOT re-apply the bucket shard
+        offset (which stranded buckets b>0 outside their servers' ranges)."""
+        from engine.core.partitioning import SaltMap
+
+        idx, t, oracle = self._corpus_idx(tmp_path)
+        run_merge(idx, doc_buckets=2)
+        m = Manifest(idx)
+        s_total = SaltMap.from_json(m.data["salt_map"]).num_total_shards
+        before = [SegmentServer(idx, k=10).topk(q) for _q, q in seeded_query_set(6, seed=2)]
+        run_merge(idx, doc_buckets=2)  # re-run: plain in-layout compaction
+        m2 = Manifest(idx)
+        assert int(m2.data["doc_buckets"]) == 2
+        assert all(s["shard"] < 2 * s_total for s in m2.live_segments())
+        after = [SegmentServer(idx, k=10).topk(q) for _q, q in seeded_query_set(6, seed=2)]
+        for (dk_a, sc_a), (dk_b, sc_b) in zip(before, after):
+            np.testing.assert_array_equal(dk_a, dk_b)
+            np.testing.assert_array_equal(sc_a, sc_b)
+        with pytest.raises(ValueError, match="bucketed at D=2"):
+            run_merge(idx, doc_buckets=4)
+
+    def test_incremental_build_keeps_committed_salt_map(self, tmp_path, ray_session):
+        """A salt map passed to an incremental build must be IGNORED: the
+        committed map is the routing contract for existing segments."""
+        import ray.data as rd
+
+        from engine.core.partitioning import SaltMap
+
+        t = synth_transcripts_table(30, seed=4)
+        head = t["text"][0].as_py().split()[0]
+        idx = str(tmp_path / "idx")
+        sm_a = SaltMap(4, {head: (4, 2)})
+        half = t.num_rows // 2
+        build_index(rd.from_arrow(t.slice(0, half)), idx, num_shards=4,
+                    build_id="b1", salt_map=sm_a)
+        sm_b = SaltMap(4, {head: (6, 3)})  # a different range: must not stick
+        build_index(rd.from_arrow(t.slice(half)), idx, num_shards=4,
+                    build_id="b2", salt_map=sm_b)
+        committed = SaltMap.from_json(Manifest(idx).data["salt_map"])
+        assert committed.ranges == sm_a.ranges
+        # docs holding the head term from BOTH builds are reachable
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+        dk, sc = SegmentServer(idx, k=10).topk(head)
+        odk, osc = oracle.topk(head, 10)
+        np.testing.assert_array_equal(dk, odk)
+        np.testing.assert_array_equal(sc, osc)
+
+    def test_term_stats_ignores_uncommitted_segments(self, tmp_path, ray_session):
+        """build_term_stats must aggregate MANIFEST segments, not every
+        directory on disk (crashed-build orphans inflated df)."""
+        import pyarrow.dataset as pads
+
+        from engine.index.build import build_term_stats
+
+        idx, t, _ = self._corpus_idx(tmp_path)
+        ts1 = pads.dataset(build_term_stats(idx), format="parquet").to_table()
+        ref = {t_: (d, c) for t_, d, c in zip(ts1["term"].to_pylist(),
+                                              ts1["df"].to_pylist(), ts1["cf"].to_pylist())}
+        # plant an orphan segment dir with a dict.parquet full of fake df
+        live0 = Manifest(idx).live_segments()[0]["name"]
+        src = os.path.join(idx, "segments", live0)
+        orphan = os.path.join(idx, "segments", "seg-orphan-fake")
+        shutil.copytree(src, orphan)
+        ts2 = pads.dataset(build_term_stats(idx), format="parquet").to_table()
+        got = {t_: (d, c) for t_, d, c in zip(ts2["term"].to_pylist(),
+                                              ts2["df"].to_pylist(), ts2["cf"].to_pylist())}
+        assert got == ref  # orphan contributed nothing
+
+    def test_docmap_readers_ignore_uncommitted_builds(self, tmp_path, ray_session):
+        """Hydration, dense bucket keys and the dense server must only read
+        docmaps of manifest-committed builds (an in-flight build's docmap
+        would shift dense scatter positions)."""
+        import pyarrow.parquet as pq2
+
+        from engine.query.densify import _bucket_keys
+        from engine.query.hydrate import load_docmap_for_keys
+
+        idx, t, oracle = self._corpus_idx(tmp_path)
+        keys_before = _bucket_keys(idx, 1)[0]
+        # plant an uncommitted build's docmap with alien keys
+        alien_dir = os.path.join(idx, "docmap", "build-inflight")
+        os.makedirs(alien_dir)
+        pq2.write_table(
+            __import__("pyarrow").table(
+                {
+                    "doc_key": __import__("pyarrow").array([999_999_001, 999_999_002], type=__import__("pyarrow").int64()),
+                    "conv_id": ["ghost", "ghost"],
+                    "turn_idx": __import__("pyarrow").array([0, 1], type=__import__("pyarrow").int32()),
+                }
+            ),
+            os.path.join(alien_dir, "part0.parquet"),
+        )
+        np.testing.assert_array_equal(_bucket_keys(idx, 1)[0], keys_before)
+        assert load_docmap_for_keys(idx, np.array([999_999_001])) == {}
+        # dense-mode query still bit-identical to the oracle
+        srv = SegmentServer(idx, k=10, mode="dense")
+        for _qid, q in seeded_query_set(5, seed=6):
+            dk, sc = srv.topk(q)
+            odk, osc = oracle.topk(q, 10)
+            np.testing.assert_array_equal(dk, odk)
+            np.testing.assert_allclose(sc, osc, rtol=0, atol=1e-12)

@@ -105,3 +105,21 @@ def test_service_bucketed_requires_bucketed_index(env):
     full_idx, _, _ = env
     with pytest.raises(ValueError, match="doc_buckets"):
         QueryService(full_idx, doc_bucket_mode=True)
+
+
+def test_service_empty_batch_and_cache_zero(env):
+    """Review regressions: topk_batch([]) must return an empty table (it
+    raised ArrowInvalid), and cache_postings=0 must reach the actors (the
+    truthiness test silently restored the default)."""
+    from engine.query.service import QueryService
+
+    full_idx, _, _ = env
+    svc = QueryService(full_idx, n_servers=2, k=5, cache_postings=0)
+    try:
+        out = svc.topk_batch([])
+        assert out.num_rows == 0
+        assert set(out.column_names) == {"qid", "rank", "doc_key", "score"}
+        res = svc.topk_batch([(0, "hash")])
+        assert res.num_rows >= 0  # runs with LRU disabled
+    finally:
+        svc.close()
