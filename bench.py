@@ -61,6 +61,16 @@ N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "200"))
 CORPUS_DIR = f"/tmp/bench_corpus/convs-{N_CONVS}"
 
 
+def _parse_sf(sf_dir: str) -> float | None:
+    """Scale factor from a '…/sf0.1' path; None when the dir isn't sf-named.
+    Must never raise: it runs while ASSEMBLING the output dict, after every
+    timed stage — a ValueError here would discard a completed benchmark."""
+    import re
+
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)/*$", sf_dir)
+    return float(m.group(1)) if m else None
+
+
 def _prepare_corpus():
     """Untimed: materialise the synthetic transcript corpus to parquet once
     (also warms the page cache so timed runs measure compute + shuffle)."""
@@ -295,7 +305,7 @@ def run_bench() -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "sf": _parse_sf(SF_DIR),
         "num_cpus": NUM_CPUS,
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / build_sec, 1),

@@ -28,19 +28,17 @@ def anti_join_committed(ds, index_dir: str):
     Broadcast anti-join: committed keys are read once from the docmap
     (column-pruned to doc_key), sorted, ``ray.put`` once, and each batch
     filters via searchsorted — no shuffle."""
-    import os
-
     import ray
     import ray.data as rd
 
     from engine.core.dockey import doc_key_batch
+    from engine.query.hydrate import committed_docmap_files
 
-    docmap_root = os.path.join(index_dir, "docmap")
-    if not os.path.isdir(docmap_root):
-        return ds
-    files = []
-    for root, _d, fs in os.walk(docmap_root):
-        files.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+    # Only manifest-COMMITTED builds' docmap files: a crashed build writes
+    # its docmap before the manifest commit, and treating those orphan keys
+    # as committed would drop the re-presented rows from the resumed build —
+    # documents permanently missing from the index with no error.
+    files = committed_docmap_files(index_dir)
     if not files:
         return ds
     committed = np.unique(

@@ -42,9 +42,16 @@ def doc_key_batch(conv_ids: pa.Array | list[str], turn_idx: np.ndarray) -> np.nd
     common case.
     """
     if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
+        if conv_ids.null_count:
+            raise ValueError(
+                f"conv_id contains {conv_ids.null_count} null(s); every "
+                f"transcript row needs a non-null conv_id to form a doc_key"
+            )
         conv_np = np.asarray(conv_ids.to_pandas(), dtype=object)
     else:
         conv_np = np.asarray(conv_ids, dtype=object)
+        if any(c is None for c in conv_np):
+            raise ValueError("conv_id contains null(s)")
     uniq, inverse = np.unique(conv_np, return_inverse=True)
     hashes = np.fromiter(
         (hash_conv_id(c) for c in uniq), dtype=np.int64, count=len(uniq)

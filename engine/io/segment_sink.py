@@ -73,7 +73,12 @@ def write_segment(
         f.flush()
         os.fsync(f.fileno())
     if os.path.exists(final):
-        shutil.rmtree(final)  # identical content by construction
+        # Names are content-derived, so the existing dir holds identical
+        # bytes — adopt it and discard tmp. Never delete-then-rename: a
+        # re-executed task (Ray lineage reconstruction) killed between the
+        # rmtree and the replace would vanish a manifest-committed segment.
+        shutil.rmtree(tmp, ignore_errors=True)
+        return final
     try:
         os.replace(tmp, final)
     except OSError:

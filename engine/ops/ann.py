@@ -33,6 +33,26 @@ def _read_embeddings(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """(path, size, mtime_ns) digest of the embeddings source — a regenerated
+    corpus at the same path must invalidate a cached IVF index, or queries
+    silently rank against vectors that no longer exist."""
+    import hashlib
+    import os
+
+    path = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for root, _d, fs in sorted(os.walk(path)):
+            for f in sorted(fs):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{root}/{f}|{st.st_size}|{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{path}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy()
     emb = batch["embedding"]
@@ -127,14 +147,20 @@ def build_ivf_index(sf_dir: str, index_dir: str, *, n_lists: int = 16, seed: int
     parameters differ."""
     import json
     import os
+    import shutil
 
     import ray
 
+    src_fp = _source_fingerprint(sf_dir)
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("n_lists") == n_lists and meta.get("seed") == seed:
+        if (
+            meta.get("n_lists") == n_lists
+            and meta.get("seed") == seed
+            and meta.get("source_fingerprint") == src_fp
+        ):
             return meta
 
     ds = _read_embeddings(sf_dir)
@@ -154,6 +180,12 @@ def build_ivf_index(sf_dir: str, index_dir: str, *, n_lists: int = 16, seed: int
 
     os.makedirs(index_dir, exist_ok=True)
     lists_dir = os.path.join(index_dir, "lists")
+    if os.path.isdir(lists_dir):
+        # A rebuild (crashed prior build, changed params, regenerated corpus)
+        # must not leave the previous generation's files in the partition
+        # dirs — write_parquet appends uniquely-named files, never truncates,
+        # and a mixed directory double-counts every vector at query time.
+        shutil.rmtree(lists_dir)
     assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     assigned.write_parquet(lists_dir, partition_cols=["list_id"])
     # vector count from parquet footers — no second data pass
@@ -170,6 +202,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, *, n_lists: int = 16, seed: int
         "dim": int(centroids.shape[1]),
         "n_vectors": int(n_vectors),
         "seed": seed,
+        "source_fingerprint": src_fp,
     }
     with open(meta_path, "w") as f:
         json.dump(meta, f)

@@ -192,6 +192,8 @@ class _MinHashSig:
     or per-shingle Python in the hot loop (VERDICT r01 "what's wrong" #5)."""
 
     def __init__(self, num_perm: int, bands: int, shingle_width: int):
+        if num_perm % bands != 0:
+            raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
         self.th = _TokenHashes()
         self.mh = MinHasher(num_perm)
         self.bands = bands
@@ -225,13 +227,33 @@ class _MinHashSig:
         )
 
 
-def minhash_candidates(sf_dir: str, *, num_perm: int = 64, bands: int = 16, shingle_width: int = 3):
-    """MinHash+LSH candidate pairs: (doc_a, doc_b, n_bands_shared)."""
+def minhash_candidates(
+    sf_dir: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_width: int = 3,
+    max_bucket: int = 1000,
+):
+    """MinHash+LSH candidate pairs: (doc_a, doc_b, n_bands_shared).
+
+    A bucket larger than ``max_bucket`` (a duplicate cluster of that size
+    collides in EVERY band) is dropped with a loud warning rather than
+    exploding into O(size²) pairs — all-pairs output over such a cluster is
+    intrinsically quadratic, so the cap is the scale-safety valve. Callers
+    needing those clusters should raise ``max_bucket`` or handle them with a
+    representative-based pass (pair-with-cluster-min) instead of all-pairs.
+    """
     import ray.data as rd
 
     from engine.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle()
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            f"rows_per_band would silently floor and the signature reshape fails"
+        )
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(
         _MinHashSig,
@@ -243,7 +265,17 @@ def minhash_candidates(sf_dir: str, *, num_perm: int = 64, bands: int = 16, shin
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group["doc_id"].to_numpy())
-        if ids.size < 2 or ids.size > 1000:  # guard degenerate buckets
+        if ids.size > max_bucket:
+            import warnings
+
+            warnings.warn(
+                f"minhash LSH bucket of {ids.size} docs exceeds "
+                f"max_bucket={max_bucket}; its pairs are DROPPED (recall loss "
+                f"for this duplicate cluster)",
+                stacklevel=1,
+            )
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        if ids.size < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []})
         a, b = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
@@ -274,6 +306,7 @@ def minhash_verified(
     num_perm: int = 64,
     bands: int = 16,
     shingle_width: int = 1,
+    max_bucket: int = 1000,
 ):
     """MinHash-LSH candidates + EXACT token-set Jaccard verification →
     (doc_a, doc_b, jaccard_micro), the same output contract as the all-pairs
@@ -289,7 +322,11 @@ def minhash_verified(
     Recall: at threshold 0.9 with 16 bands × 4 rows, P(miss) per true pair is
     (1 - 0.9^4)^16 ≈ 4e-8 — the LSH candidate set contains every
     oracle pair with near certainty, and verification discards the rest, so
-    the result is hash-identical to the SQL oracle (CORRECTNESS gate).
+    the result is hash-identical to the SQL oracle (CORRECTNESS gate) —
+    PROVIDED no duplicate cluster exceeds ``max_bucket`` (an oversized LSH
+    bucket is dropped with a warning; its intra-cluster pairs are then
+    missing vs the all-pairs oracle, which is itself quadratic in the
+    cluster).
 
     Jaccard is computed on 64-bit token hashes (collision odds ~2^-64):
     |∩| and |∪| are integers, so the micro-rounded value matches the SQL's
@@ -306,7 +343,11 @@ def minhash_verified(
         }
     )
     cand = minhash_candidates(
-        sf_dir, num_perm=num_perm, bands=bands, shingle_width=shingle_width
+        sf_dir,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_width=shingle_width,
+        max_bucket=max_bucket,
     )
     if len(cand) == 0:
         return empty
@@ -331,8 +372,8 @@ def minhash_verified(
                                  "tokens": pa.array([], type=pa.list_(pa.uint64()))})
             sub = batch.filter(pa.array(mask))
             fh, dl = self.th.flat_hashes(sub["text"])
-            doc_idx = np.repeat(np.arange(sub.num_rows), dl)
-            sets = [np.unique(fh[doc_idx == i]) for i in range(sub.num_rows)]
+            # one O(total_tokens) split, not a boolean-mask rescan per row
+            sets = [np.unique(s) for s in np.split(fh, np.cumsum(dl)[:-1])]
             return pa.table(
                 {
                     "doc_id": sub["doc_id"],

@@ -362,13 +362,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def frame_sample(samples: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
     """(n,) → (n_frames, frame_len) strided view (no copy): the audio/video
-    frame-sampling primitive."""
+    frame-sampling primitive. The slice of a sliding_window_view is itself a
+    view, so downstream reductions (RMS, ZCR) read the original buffer —
+    heap cost stays O(input), not O(frames × frame_len)."""
     n = samples.size
     if n < frame_len:
         return samples[np.newaxis, :0].reshape(0, frame_len) if frame_len else samples[np.newaxis]
-    n_frames = 1 + (n - frame_len) // hop
-    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
-    return samples[idx]
+    return np.lib.stride_tricks.sliding_window_view(samples, frame_len)[::hop]
 
 
 class DecodeWav:

@@ -286,6 +286,35 @@ class TestCrashResume:
 
         assert audit_doc_keys(idx)["collisions"] == 0
 
+    def test_antijoin_ignores_orphan_docmap_of_crashed_build(self, tmp_path, ray_session):
+        """An ORPHAN docmap dir (crashed build: docmap on disk, manifest never
+        committed) must not be treated as committed keys — its rows are
+        re-presented to the resumed build and dropping them would leave those
+        documents permanently missing from the index with no error."""
+        frag_dir, t = _write_fragments(tmp_path, n_convs=30, n_frags=2, seed=17)
+        idx = str(tmp_path / "orph_idx")
+        frags = sorted(
+            os.path.join(frag_dir, f) for f in os.listdir(frag_dir) if f.endswith(".parquet")
+        )
+        build_index([frags[0]], idx, num_shards=4, build_id="b1", dedup_input=True)
+        # fabricate the crash artifact: frag 1's doc_keys in an uncommitted
+        # docmap dir, exactly what a build killed before manifest commit leaves
+        f1 = pq.read_table(frags[1])
+        orphan_keys = doc_key_batch(f1["conv_id"], f1["turn_idx"].to_numpy())
+        orphan_dir = os.path.join(idx, "docmap", "build-crashed")
+        os.makedirs(orphan_dir, exist_ok=True)
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.table({"doc_key": pa.array(orphan_keys, type=pa.int64())}),
+            os.path.join(orphan_dir, "part-0.parquet"),
+        )
+        build_index(frags, idx, num_shards=4, build_id="b2", dedup_input=True, resume=False)
+        t1 = pq.read_table(frags[0]).num_rows
+        t2 = f1.num_rows
+        # frag 1's rows MUST be indexed despite the orphan keys
+        assert Manifest(idx).stats["n_docs"] == t1 + t2
+
 
 class TestCrashMidMerge:
     def test_crash_between_segment_write_and_commit_then_rerun(
