@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import shutil
 import sys
 
 
@@ -116,6 +118,17 @@ def main(argv=None):
             res = query_index(args.index, queries, k=args.k, mode=args.mode,
                               conjunctive=args.conjunctive)
             if args.out:
+                # write_parquet APPENDS into an existing dir — a re-run with
+                # different --k or queries would mix both result sets, so
+                # replace prior results (refuse if the dir holds anything
+                # that isn't parquet output; same rule as the synth verb)
+                if os.path.isdir(args.out):
+                    if any(not e.endswith(".parquet") for e in os.listdir(args.out)):
+                        p.error(
+                            f"--out {args.out} exists and contains non-parquet "
+                            "entries; refusing to replace it"
+                        )
+                    shutil.rmtree(args.out)
                 res.write_parquet(args.out)
                 print(json.dumps({"written": args.out}))
             else:
@@ -166,9 +179,6 @@ def main(argv=None):
             finally:
                 svc.close()
         elif args.verb == "synth":
-            import os
-            import shutil
-
             from engine.io.synth import synth_transcripts
 
             # write_parquet APPENDS new files to an existing directory; a

@@ -456,3 +456,24 @@ def build_term_stats(index_dir: str) -> str:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     return out_dir
+
+
+def ensure_term_stats(index_dir: str) -> str:
+    """term_stats dir, guaranteed FRESH against the current manifest: the
+    _STATS.json fingerprint (n_docs, sum_dl) must match the committed stats,
+    else the artifact predates a build and its global df would bake stale
+    idf into every consumer (densify sidecars, bucketed QueryService).
+    Rebuilds when missing or stale; every reader of term_stats must come
+    through here, never open the directory directly."""
+    import json
+
+    stats_dir = os.path.join(index_dir, "term_stats")
+    st = Manifest(index_dir).stats
+    fingerprint = {"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}
+    try:
+        with open(os.path.join(stats_dir, "_STATS.json")) as f:
+            if json.load(f) == fingerprint:
+                return stats_dir
+    except (OSError, ValueError):
+        pass
+    return build_term_stats(index_dir)

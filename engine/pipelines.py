@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -43,7 +44,11 @@ INDEX_ROOT = "/tmp/engine_indexes"
 def _needs_build(idx: str) -> bool:
     """True if ``idx`` has no committed manifest. A dir WITHOUT a manifest is
     a crashed earlier build — wipe it so partial docmap/segment output can't
-    leak into (or double inside) the fresh build (write_parquet appends)."""
+    leak into (or double inside) the fresh build (write_parquet appends).
+
+    Callers must hold ``_index_lock(idx)``: INDEX_ROOT is shared across
+    processes, and an unlocked rmtree here would wipe another process's
+    in-progress (manifest-not-yet-committed) build."""
     if os.path.exists(os.path.join(idx, "manifest.json")):
         return False
     if os.path.isdir(idx):
@@ -51,6 +56,39 @@ def _needs_build(idx: str) -> bool:
 
         shutil.rmtree(idx)
     return True
+
+
+@contextmanager
+def _index_lock(idx: str):
+    """Cross-process exclusive lock for check-then-build on a cached index —
+    two drivers (e.g. check_oracle + bench) racing the same sf_dir must not
+    rmtree/build over each other."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(idx), exist_ok=True)
+    with open(f"{idx}.lock", "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+
+
+def _src_fp(path: str) -> str:
+    """size|mtime digest of a source parquet (file or dir) — part of every
+    cache key so a regenerated corpus at the same path can never be served
+    a stale index (same hazard class as engine/ops/ann._source_fingerprint)."""
+    parts = []
+    if os.path.isdir(path):
+        for root, _d, fs in sorted(os.walk(path)):
+            parts.extend(
+                f"{f}|{(st := os.stat(os.path.join(root, f))).st_size}|{st.st_mtime_ns}"
+                for f in sorted(fs)
+            )
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:10]
 
 # NOT-query set (D4): (qid, positive terms, excluded terms) — mirrored in SQL
 NOT_QUERIES: list[tuple[int, str, str]] = [
@@ -73,11 +111,13 @@ def documents_corpus(sf_dir: str):
 
 
 def documents_index(sf_dir: str, num_shards: int = 8) -> str:
-    """Build (once per sf_dir per process tree) the documents BM25 index."""
-    key = hashlib.md5(f"{sf_dir}|{num_shards}|v1".encode()).hexdigest()[:10]
+    """Build (once per corpus CONTENT) the documents BM25 index."""
+    fp = _src_fp(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|{num_shards}|{fp}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"docs-{key}")
-    if _needs_build(idx):
-        build_index(documents_corpus(sf_dir), idx, num_shards=num_shards, build_id="docs")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            build_index(documents_corpus(sf_dir), idx, num_shards=num_shards, build_id="docs")
     return idx
 
 
@@ -202,9 +242,10 @@ def ft_bm25_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
-    the index audits itself against SQL recomputation."""
-    import glob
-
+    the index audits itself against SQL recomputation. Segments come from
+    the MANIFEST's live list, never a disk glob: tombstoned merge inputs
+    linger on disk until gc and a glob would double-count every merged
+    term (same rule as engine/index/build.py build_term_stats)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -212,7 +253,10 @@ def ft_term_stats(sf_dir: str) -> pd.DataFrame:
 
     ensure_hash_shuffle()
     idx = documents_index(sf_dir)
-    files = sorted(glob.glob(f"{idx}/segments/*/dict.parquet"))
+    files = sorted(
+        os.path.join(idx, "segments", s["name"], "dict.parquet")
+        for s in Manifest(idx).live_segments()
+    )
     out = (
         rd.read_parquet(files, columns=["term", "df", "cf"])
         .groupby("term")
@@ -243,8 +287,9 @@ def transcripts_index(n_convs: int = 150, seed: int = 42) -> str:
 
     key = hashlib.md5(f"tr|{n_convs}|{seed}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"tr-{key}")
-    if _needs_build(idx):
-        build_index(synth_transcripts(n_convs, seed=seed), idx, num_shards=8, build_id="tr")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            build_index(synth_transcripts(n_convs, seed=seed), idx, num_shards=8, build_id="tr")
     return idx
 
 
@@ -301,9 +346,10 @@ def tr_oracle_index(num_shards: int = 8) -> tuple[str, str]:
     path = tr_oracle_corpus_path()
     key = hashlib.md5(f"tro|{path}|{num_shards}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"tro-{key}")
-    if _needs_build(idx):
-        ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
-        build_index(ds, idx, num_shards=num_shards, build_id="tro")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+            build_index(ds, idx, num_shards=num_shards, build_id="tro")
     return path, idx
 
 
@@ -314,10 +360,10 @@ def tr_text_identity(sf_dir: str) -> pd.DataFrame:
     recomputing from the same parquet under stable (conv_id, turn_idx)
     ordering. A docmap mis-assignment, lost row, or key collision breaks the
     hash. Columns: doc_key, doc_id, fingerprint."""
-    import glob
-
     import ray
     import ray.data as rd
+
+    from engine.query.hydrate import committed_docmap_files
 
     path, idx = tr_oracle_index()
 
@@ -336,8 +382,10 @@ def tr_text_identity(sf_dir: str) -> pd.DataFrame:
     fpdf = corpus.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     fp_map_ref = ray.put(dict(zip(fpdf["doc_key"], fpdf["fingerprint"])))
 
-    # docmap → hydrated docIDs, fingerprint attached by broadcast lookup
-    files = sorted(glob.glob(f"{idx}/docmap/**/*.parquet", recursive=True))
+    # docmap → hydrated docIDs, fingerprint attached by broadcast lookup.
+    # COMMITTED docmaps only: an orphan (crashed/concurrent build) dir holds
+    # keys the index doesn't serve and would falsely break the invariant.
+    files = committed_docmap_files(idx)
 
     def attach(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -442,18 +490,20 @@ FILTERED_TS_MAX = "2024-01-01T01:06:40"
 def filtered_transcripts_index(sf_dir: str, num_shards: int = 8) -> str:
     """Build (cached) the role+time-FILTERED transcript-schema index: the
     driver-visible exercise of the M6 input-filter path + docID hydration."""
-    key = hashlib.md5(f"ftf|{sf_dir}|{num_shards}|v1".encode()).hexdigest()[:10]
+    fp = _src_fp(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"ftf|{sf_dir}|{num_shards}|{fp}|v1".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"ftf-{key}")
-    if _needs_build(idx):
-        build_index(
-            documents_as_transcripts(sf_dir),
-            idx,
-            num_shards=num_shards,
-            build_id="ftf",
-            roles=["user"],
-            ts_min=FILTERED_TS_MIN,
-            ts_max=FILTERED_TS_MAX,
-        )
+    with _index_lock(idx):
+        if _needs_build(idx):
+            build_index(
+                documents_as_transcripts(sf_dir),
+                idx,
+                num_shards=num_shards,
+                build_id="ftf",
+                roles=["user"],
+                ts_min=FILTERED_TS_MIN,
+                ts_max=FILTERED_TS_MAX,
+            )
     return idx
 
 

@@ -77,7 +77,6 @@ def densify_index(index_dir: str) -> dict:
     import ray.data as rd
     import pyarrow.dataset as pads
 
-    from engine.index.build import build_term_stats
     from engine.io.manifest import Manifest
 
     import json as _json
@@ -96,19 +95,11 @@ def densify_index(index_dir: str) -> dict:
         else int(manifest.data["num_base_shards"])
     )
 
-    stats_dir = os.path.join(index_dir, "term_stats")
-
-    def _stats_fresh() -> bool:
-        try:
-            with open(os.path.join(stats_dir, "_STATS.json")) as f:
-                return _json.load(f) == fingerprint
-        except (OSError, ValueError):
-            return False
-
     # global df must reflect the CURRENT corpus — a term_stats artifact
     # built before the latest build would bake stale idf into every weight
-    if not _stats_fresh():
-        build_term_stats(index_dir)
+    from engine.index.build import ensure_term_stats
+
+    stats_dir = ensure_term_stats(index_dir)
     t = pads.dataset(stats_dir, format="parquet").to_table(columns=["term", "df"])
     df_global = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 

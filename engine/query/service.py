@@ -65,9 +65,13 @@ class QueryService:
             # resident service: broadcast the WHOLE term→global-df map once
             # (per-bucket local df would undercount idf; the batch path
             # restricts this per query set, a long-lived service amortizes
-            # the full map — ~16 bytes/term)
+            # the full map — ~16 bytes/term). ensure_term_stats guards
+            # freshness: a term_stats artifact predating the latest build
+            # would silently score with stale idf (df=0 for new terms).
+            from engine.index.build import ensure_term_stats
+
             tbl = pads.dataset(
-                os.path.join(index_dir, "term_stats"), format="parquet"
+                ensure_term_stats(index_dir), format="parquet"
             ).to_table(columns=["term", "df"])
             ref = ray.put(dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())))
             bucket_mode = mode if mode == "dense" else "exhaustive"

@@ -52,6 +52,11 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    # a typo'd entry name must not green-light a run with zero checks
+    unknown = sorted(set(only) - set(qs)) if only else []
+    for u in unknown:
+        failures.append(u)
+        print(f"FAIL  {u}: no such queries() entry")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,10 +85,16 @@ def main():
                 a, b = got[c].to_numpy(), want[c].to_numpy()
                 import numpy as np
 
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9)
-                else:
-                    eq = (a == b).all()
+                # a dtype clash (e.g. str vs float) must FAIL the entry, not
+                # crash the gate with an uncaught astype ValueError
+                try:
+                    if a.dtype.kind == "f" or b.dtype.kind == "f":
+                        eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9)
+                    else:
+                        eq = (a == b).all()
+                except (ValueError, TypeError) as ex:
+                    problems.append(f"col {c} incomparable dtypes {a.dtype}/{b.dtype}: {ex}")
+                    continue
                 if not eq:
                     bad = int((~(a == b)).sum()) if a.dtype == b.dtype else -1
                     problems.append(f"col {c} mismatch ({bad} rows) e.g. {a[:3]} vs {b[:3]}")

@@ -107,6 +107,55 @@ def test_service_bucketed_requires_bucketed_index(env):
         QueryService(full_idx, doc_bucket_mode=True)
 
 
+def test_service_bucketed_heals_stale_or_missing_term_stats(tmp_path, ray_session):
+    """A stale or missing term_stats artifact must be REBUILT by the bucketed
+    service, not broadcast as-is (stale df silently mis-scores every query)
+    or crashed on (FileNotFoundError). The build normally refreshes it after
+    every bucketed commit, but a crash in the window between manifest.commit
+    and build_term_stats — or an operator rm — leaves exactly this state."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from engine.query.service import QueryService
+
+    t = synth_transcripts_table(40, seed=31)
+    idx = str(tmp_path / "stale_ts_idx")
+    build_index(rd.from_arrow(t), idx, num_shards=4, build_id="a", doc_buckets=3)
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+    queries = seeded_query_set(15, seed=8)
+    ts_dir = os.path.join(idx, "term_stats")
+
+    # 1) STALE: poison the artifact with wrong df + a mismatched fingerprint
+    #    (what a crash between commit and build_term_stats leaves behind)
+    tbl = pq.read_table(os.path.join(ts_dir, [f for f in os.listdir(ts_dir) if f.endswith(".parquet")][0]))
+    poisoned = tbl.set_column(tbl.column_names.index("df"),
+                              "df", pa.array([1] * tbl.num_rows, type=tbl["df"].type))
+    shutil.rmtree(ts_dir)
+    os.makedirs(ts_dir)
+    pq.write_table(poisoned, os.path.join(ts_dir, "poisoned.parquet"))
+    with open(os.path.join(ts_dir, "_STATS.json"), "w") as f:
+        json.dump({"n_docs": 1, "sum_dl": 1}, f)
+    svc = QueryService(idx, k=10, doc_bucket_mode=True)
+    try:
+        _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+    finally:
+        svc.close()
+
+    # 2) MISSING: no artifact at all — must rebuild, not raise
+    shutil.rmtree(ts_dir)
+    svc = QueryService(idx, k=10, doc_bucket_mode=True)
+    try:
+        _assert_oracle_identical(svc.topk_batch(queries), oracle, queries)
+    finally:
+        svc.close()
+
+
 def test_service_empty_batch_and_cache_zero(env):
     """Review regressions: topk_batch([]) must return an empty table (it
     raised ArrowInvalid), and cache_postings=0 must reach the actors (the
