@@ -148,14 +148,16 @@ def _bit_width(x: np.ndarray) -> np.ndarray:
     return np.searchsorted(_POW2, np.asarray(x, dtype=np.uint64), side="right").astype(np.int64)
 
 
-def pfor_encode(values: np.ndarray) -> bytes:
-    """Patched frame-of-reference encode of one stream (<= 2^16 values)."""
+def _choose_frame(values: np.ndarray) -> tuple[int, int, bytes, bytes]:
+    """Shared PFor frame selection: pick the width b minimising
+    frame + exception cost (argmin takes the first/smallest b at equal
+    cost), then split into packed low bits and varint exception bytes.
+    Returns (b, n_exc, frame, exc_bytes) — the single copy of the cost
+    model both the per-block and whole-stream codecs encode with."""
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     widths = _bit_width(v)
     max_w = int(widths.max()) if n else 0
-    # choose frame width minimising frame + exception cost (vectorised;
-    # argmin picks the first/smallest b at equal cost, matching the old loop)
     hist = np.bincount(widths, minlength=max_w + 1)
     n_above = n - np.cumsum(hist)  # n_above[b] = #values needing > b bits
     bs = np.arange(max_w + 1)
@@ -163,7 +165,6 @@ def pfor_encode(values: np.ndarray) -> bytes:
     mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
     low = v & mask if b else np.zeros(n, dtype=np.uint64)
     exc_idx = np.nonzero(widths > b)[0]
-    header = bytes([b]) + int(exc_idx.size).to_bytes(2, "little")
     frame = pack_bits(low, b)
     if exc_idx.size:
         pos_delta = np.diff(exc_idx, prepend=0).astype(np.uint64)
@@ -171,7 +172,13 @@ def pfor_encode(values: np.ndarray) -> bytes:
         exc_bytes = varint_encode(pos_delta) + varint_encode(high)
     else:
         exc_bytes = b""
-    return header + frame + exc_bytes
+    return b, int(exc_idx.size), frame, exc_bytes
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Patched frame-of-reference encode of one stream (<= 2^16 values)."""
+    b, n_exc, frame, exc_bytes = _choose_frame(values)
+    return bytes([b]) + n_exc.to_bytes(2, "little") + frame + exc_bytes
 
 
 def pfor_decode(buf: bytes | memoryview, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -201,27 +208,8 @@ def pfor_stream_encode(values: np.ndarray) -> bytes:
     unpack_bits + one varint pass, and block b's frame bits live at the
     fixed offset b*BLOCK_SIZE*width — O(1) random access for WAND skipping.
     """
-    v = np.asarray(values, dtype=np.uint64)
-    n = v.size
-    widths = _bit_width(v)
-    max_w = int(widths.max()) if n else 0
-    # choose frame width minimising frame + exception cost (vectorised;
-    # argmin picks the first/smallest b at equal cost, matching the old loop)
-    hist = np.bincount(widths, minlength=max_w + 1)
-    n_above = n - np.cumsum(hist)  # n_above[b] = #values needing > b bits
-    bs = np.arange(max_w + 1)
-    b = int(np.argmin(n * bs + n_above[bs] * 16))
-    mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
-    low = v & mask if b else np.zeros(n, dtype=np.uint64)
-    exc_idx = np.nonzero(widths > b)[0]
-    frame = pack_bits(low, b)
-    if exc_idx.size:
-        pos_delta = np.diff(exc_idx, prepend=0).astype(np.uint64)
-        high = v[exc_idx] >> np.uint64(b)
-        exc_bytes = varint_encode(pos_delta) + varint_encode(high)
-    else:
-        exc_bytes = b""
-    header = bytes([b]) + int(exc_idx.size).to_bytes(4, "little") + len(exc_bytes).to_bytes(4, "little")
+    b, n_exc, frame, exc_bytes = _choose_frame(values)
+    header = bytes([b]) + n_exc.to_bytes(4, "little") + len(exc_bytes).to_bytes(4, "little")
     return header + frame + exc_bytes
 
 
@@ -508,10 +496,18 @@ def _decode_streams_multi(raw: np.ndarray, offs: np.ndarray, ns: np.ndarray):
     return out, next_off
 
 
-def decode_segment_postings(buf, offsets: np.ndarray, dfs: np.ndarray, base: int = -1):
+def decode_segment_postings(
+    buf, offsets: np.ndarray, dfs: np.ndarray, base: int = -1, *, padded: bool = False
+):
     """Bulk-decode EVERY term's postings of a segment blob in one vectorised
     pass → (doc_keys:int64, tfs:int32, dls:int32), concatenated in dict/term
     order (term t owns rows [cumsum(dfs)[t-1] : cumsum(dfs)[t]]).
+
+    ``padded=True`` promises ≥8 slack bytes after the last stream (segments
+    written with the postings.bin tail pad, engine/io/segment_sink.py):
+    the bit-unpack gather then runs zero-copy over the mmap. Unpadded
+    buffers (legacy segments, raw codec tests) pay one blob copy to append
+    the pad — on the merge hot path that copy doubled per-task RSS.
 
     Bit-identical to per-term ``decode_term_postings`` (tests/test_codecs.py).
     """
@@ -524,7 +520,8 @@ def decode_segment_postings(buf, offsets: np.ndarray, dfs: np.ndarray, base: int
         z = np.empty(0, dtype=np.int64)
         return z, z.astype(np.int32), z.astype(np.int32)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    raw = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])  # gather overrun pad
+    if not padded:
+        raw = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])  # gather overrun pad
     gaps, off2 = _decode_streams_multi(raw, offsets, dfs)
     tfm1, off3 = _decode_streams_multi(raw, off2, dfs)
     dls, _ = _decode_streams_multi(raw, off3, dfs)

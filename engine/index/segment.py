@@ -45,7 +45,7 @@ class PostingLRU:
 
 
 class Segment:
-    def __init__(self, path: str, *, preload_skips: bool = False):
+    def __init__(self, path: str):
         # caches are attached by the owning SegmentServer (shared, budgeted)
         self.pcache: PostingLRU | None = None
         self.wcache: PostingLRU | None = None
@@ -131,7 +131,10 @@ class Segment:
         (doc_keys, tfs, dls) concatenated in dict order; term t owns rows
         [cumsum(df)[t-1] : cumsum(df)[t]]. The merge path: per-term decode
         overhead dominated shard compaction (engine/index/merge.py)."""
-        return codecs.decode_segment_postings(self._mm, self.offsets, self.df)
+        return codecs.decode_segment_postings(
+            self._mm, self.offsets, self.df,
+            padded=int(self.meta.get("pad_bytes", 0)) >= 8,
+        )
 
     def term_postings(self, idx: int) -> codecs.TermPostings:
         """Lazy per-block reader (WAND path). Cached so the stream-exception

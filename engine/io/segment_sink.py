@@ -59,6 +59,7 @@ def write_segment(
 ) -> str:
     final = os.path.join(segments_dir, name)
     tmp = f"{final}.tmp-{os.getpid()}"
+    meta = {**meta, "pad_bytes": 8}  # see the postings.bin tail pad below
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
@@ -66,6 +67,10 @@ def write_segment(
     pq.write_table(skips_table, os.path.join(tmp, "skips.parquet"))
     with open(os.path.join(tmp, "postings.bin"), "wb") as f:
         f.write(postings)
+        # 8-byte tail pad: lets the bulk decoder gather directly over the
+        # mmap (its bit-unpack reads up to 8 bytes past the last frame)
+        # instead of copying the whole blob to append this pad at read time
+        f.write(b"\x00" * 8)
         f.flush()
         os.fsync(f.fileno())
     with open(os.path.join(tmp, "meta.json"), "w") as f:

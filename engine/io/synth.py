@@ -22,6 +22,9 @@ import pyarrow as pa
 
 VOCAB_SIZE = 4000
 ZIPF_S = 1.07
+# generated mix is user/assistant (+5% tool overwrite); "system" is listed
+# as a valid schema value but never synthesized — changing the draw would
+# silently invalidate every seed-keyed cached corpus (bench, oracle parquet)
 _ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
 _TOOLS = np.array(["", "search", "browser", "python", "calculator"], dtype=object)
 BASE_TS_US = 1_700_000_000_000_000  # fixed epoch offset (no wall clock)
@@ -75,7 +78,12 @@ def _gen_convs(conv_ids: np.ndarray, seed: int) -> pa.Table:
             rng.integers(1_000_000, 30_000_000, size=n_turns)
         )
         total = int(n_words.sum())
-        word_idx = np.searchsorted(_ZIPF_CDF, rng.random(total))
+        # clamp: cumsum/np.sum can disagree in the last ulp, leaving
+        # _ZIPF_CDF[-1] < 1.0 — a draw landing in that sliver would index
+        # one past the vocabulary (same guard as bm25.seeded_query_set)
+        word_idx = np.minimum(
+            np.searchsorted(_ZIPF_CDF, rng.random(total)), len(_VOCAB) - 1
+        )
         words = _VOCAB[word_idx]
         off = 0
         for t in range(n_turns):

@@ -103,6 +103,11 @@ def seeded_query_set(n_queries: int = 50, seed: int = 7, vocab: np.ndarray | Non
     from engine.io.synth import _VOCAB, _ZIPF_CDF
 
     v = vocab if vocab is not None else _VOCAB
+    if len(v) > len(_ZIPF_CDF):
+        raise ValueError(
+            f"vocab of {len(v)} exceeds the {len(_ZIPF_CDF)}-entry Zipf CDF; "
+            f"a larger vocab needs its own weight distribution"
+        )
     rng = np.random.default_rng(seed)
     out = []
     for qid in range(n_queries):

@@ -38,12 +38,16 @@ from engine.text.analyzer import get_analyzer
 def _query_term_dfs(index_dir: str, query_texts: list[str], analyzer: str) -> dict[str, int]:
     import os
 
+    from engine.index.build import ensure_term_stats
+
     an = get_analyzer(analyzer)
     terms = sorted({t for q in query_texts for t in an.tokens(q)})
     if not terms:
         return {}
-    stats_dir = os.path.join(index_dir, "term_stats")
-    dset = pads.dataset(stats_dir, format="parquet")
+    # ensure_term_stats, never the raw directory: a crash between manifest
+    # commit and the stats refresh (or a never-built artifact) would
+    # otherwise broadcast stale/absent global df into every score
+    dset = pads.dataset(ensure_term_stats(index_dir), format="parquet")
     tbl = dset.to_table(columns=["term", "df"], filter=pc.field("term").isin(terms))
     return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 

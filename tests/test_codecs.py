@@ -191,6 +191,14 @@ class TestSegmentBulkDecode:
         np.testing.assert_array_equal(dk, e_dk)
         np.testing.assert_array_equal(tf, e_tf)
         np.testing.assert_array_equal(dl, e_dl)
+        # padded=True (zero-copy mmap path over segments written with the
+        # 8-byte tail pad) must be bit-identical to the copy path
+        dk2, tf2, dl2 = codecs.decode_segment_postings(
+            buf + b"\x00" * 8, np.array(offsets), np.array(dfs), padded=True
+        )
+        np.testing.assert_array_equal(dk2, e_dk)
+        np.testing.assert_array_equal(tf2, e_tf)
+        np.testing.assert_array_equal(dl2, e_dl)
 
     def test_zero_df_terms_skipped(self):
         dk, tf, dl = codecs.decode_segment_postings(b"", np.array([], dtype=np.int64), np.array([], dtype=np.int64))
