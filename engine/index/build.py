@@ -427,12 +427,17 @@ def build_term_stats(index_dir: str) -> str:
 
     ensure_hash_shuffle()
     out_dir = os.path.join(index_dir, "term_stats")
+    # ONE Manifest snapshot for both the segment list and the fingerprint:
+    # re-reading at stamp time would let a build committing mid-aggregation
+    # mark OLD df values with the NEW corpus fingerprint (permanently
+    # "fresh" stale stats)
+    manifest = Manifest(index_dir)
     # MANIFEST-listed segments only: a disk glob would also sum the dicts of
     # uncommitted (crashed/in-flight) builds and not-yet-GCed tombstoned
     # inputs, silently inflating global df (and every idf derived from it)
     files = sorted(
         os.path.join(index_dir, "segments", s["name"], "dict.parquet")
-        for s in Manifest(index_dir).live_segments()
+        for s in manifest.live_segments()
     )
     stats = (
         rd.read_parquet(files, columns=["term", "df", "cf"])
@@ -450,7 +455,7 @@ def build_term_stats(index_dir: str) -> str:
     # to detect staleness
     import json
 
-    st = Manifest(index_dir).stats
+    st = manifest.stats
     with open(os.path.join(tmp, "_STATS.json"), "w") as f:
         json.dump({"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}, f)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -464,16 +469,33 @@ def ensure_term_stats(index_dir: str) -> str:
     else the artifact predates a build and its global df would bake stale
     idf into every consumer (densify sidecars, bucketed QueryService).
     Rebuilds when missing or stale; every reader of term_stats must come
-    through here, never open the directory directly."""
+    through here, never open the directory directly.
+
+    Cross-process safe: the check-then-rebuild holds an exclusive file lock
+    (two drivers racing the rebuild would interleave rmtree/os.replace into
+    ENOTEMPTY crashes or hand a reader a vanished directory), and freshness
+    is re-checked after acquiring it."""
+    import fcntl
     import json
 
     stats_dir = os.path.join(index_dir, "term_stats")
-    st = Manifest(index_dir).stats
-    fingerprint = {"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}
-    try:
-        with open(os.path.join(stats_dir, "_STATS.json")) as f:
-            if json.load(f) == fingerprint:
-                return stats_dir
-    except (OSError, ValueError):
-        pass
-    return build_term_stats(index_dir)
+
+    def _fresh() -> bool:
+        st = Manifest(index_dir).stats
+        fingerprint = {"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}
+        try:
+            with open(os.path.join(stats_dir, "_STATS.json")) as f:
+                return json.load(f) == fingerprint
+        except (OSError, ValueError):
+            return False
+
+    if _fresh():
+        return stats_dir
+    with open(f"{stats_dir}.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if not _fresh():  # another process may have rebuilt while we waited
+                build_term_stats(index_dir)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    return stats_dir

@@ -58,6 +58,39 @@ def _needs_build(idx: str) -> bool:
     return True
 
 
+def _gc_stale_generations(prefix: str, keep_idx: str) -> None:
+    """Remove older content-keyed index generations (``<prefix>-<oldkey>``):
+    fingerprinted cache keys mean every corpus regeneration mints a new dir,
+    and the dead ones would otherwise accumulate in /tmp forever. Each
+    victim's lock is taken NON-blocking — a generation another process is
+    mid-building is skipped, never yanked. (Queries don't hold the lock: a
+    process still reading an OLD generation after the corpus regenerated
+    under it would crash loudly on the vanished files — a tolerable race,
+    since that reader was already serving a superseded corpus.)"""
+    import fcntl
+    import shutil
+
+    if not os.path.isdir(INDEX_ROOT):
+        return
+    keep = os.path.basename(keep_idx)
+    for d in os.listdir(INDEX_ROOT):
+        if not d.startswith(f"{prefix}-") or d == keep or d.endswith(".lock"):
+            continue
+        victim = os.path.join(INDEX_ROOT, d)
+        if not os.path.isdir(victim):
+            continue
+        try:
+            with open(f"{victim}.lock", "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                try:
+                    shutil.rmtree(victim, ignore_errors=True)
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+            os.unlink(f"{victim}.lock")
+        except OSError:
+            continue  # busy or racing — leave it for the next pass
+
+
 @contextmanager
 def _index_lock(idx: str):
     """Cross-process exclusive lock for check-then-build on a cached index —
@@ -75,19 +108,21 @@ def _index_lock(idx: str):
 
 
 def _src_fp(path: str) -> str:
-    """size|mtime digest of a source parquet (file or dir) — part of every
-    cache key so a regenerated corpus at the same path can never be served
-    a stale index (same hazard class as engine/ops/ann._source_fingerprint)."""
+    """path|size|mtime digest of a source parquet (file or dir) — part of
+    every cache key so a regenerated corpus at the same path can never be
+    served a stale index (same hazard class and keying as
+    engine/ops/ann._source_fingerprint: the full root path is in the digest
+    so identical files rearranged across partition dirs fingerprint apart)."""
     parts = []
     if os.path.isdir(path):
         for root, _d, fs in sorted(os.walk(path)):
             parts.extend(
-                f"{f}|{(st := os.stat(os.path.join(root, f))).st_size}|{st.st_mtime_ns}"
+                f"{root}/{f}|{(st := os.stat(os.path.join(root, f))).st_size}|{st.st_mtime_ns}"
                 for f in sorted(fs)
             )
     elif os.path.exists(path):
         st = os.stat(path)
-        parts.append(f"{st.st_size}|{st.st_mtime_ns}")
+        parts.append(f"{path}|{st.st_size}|{st.st_mtime_ns}")
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:10]
 
 # NOT-query set (D4): (qid, positive terms, excluded terms) — mirrored in SQL
@@ -118,6 +153,7 @@ def documents_index(sf_dir: str, num_shards: int = 8) -> str:
     with _index_lock(idx):
         if _needs_build(idx):
             build_index(documents_corpus(sf_dir), idx, num_shards=num_shards, build_id="docs")
+            _gc_stale_generations("docs", idx)
     return idx
 
 
@@ -504,6 +540,7 @@ def filtered_transcripts_index(sf_dir: str, num_shards: int = 8) -> str:
                 ts_min=FILTERED_TS_MIN,
                 ts_max=FILTERED_TS_MAX,
             )
+            _gc_stale_generations("ftf", idx)
     return idx
 
 

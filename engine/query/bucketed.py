@@ -36,8 +36,6 @@ from engine.text.analyzer import get_analyzer
 
 
 def _query_term_dfs(index_dir: str, query_texts: list[str], analyzer: str) -> dict[str, int]:
-    import os
-
     from engine.index.build import ensure_term_stats
 
     an = get_analyzer(analyzer)
