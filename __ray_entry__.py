@@ -196,6 +196,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _fingerprint_sql() -> str:
+    """ta_fingerprint oracle: the SAME md5-token-hash + mod-prime rolling
+    polynomial as engine/ops/textstats.Fingerprinter (constants imported so
+    the two can never drift). All arithmetic is exact BIGINT."""
+    from engine.ops.textstats import FP_BASE, FP_MOD
+
+    b2 = FP_BASE * FP_BASE
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+h AS (SELECT doc_id,
+             list_transform(toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % {FP_MOD})::BIGINT) hs
+      FROM t),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []::BIGINT[]
+      WHEN len(hs) < 3 THEN [list_reduce(hs, (a, b) -> (a * {FP_BASE} + b) % {FP_MOD})]
+      ELSE list_transform(range(1, len(hs) - 1),
+                          i -> (hs[i]*{b2} + hs[i+1]*{FP_BASE} + hs[i+2]) % {FP_MOD})
+    END AS grams
+  FROM h
+)
+SELECT doc_id,
+       coalesce(list_min(grams), -1)::BIGINT fp_min,
+       coalesce(len(list_distinct(grams)), 0)::BIGINT fp_distinct
+FROM g ORDER BY doc_id
+"""
+
+
 def _phrase_queries_values() -> str:
     from engine.pipelines import PHRASE_QUERIES
 
@@ -400,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "ta_lang_id": textstats.lang_id,
         "ta_token_count": textstats.token_count,
+        "ta_fingerprint": textstats.fingerprint,
         "ta_corpus_stats": textstats.corpus_stats,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
@@ -461,6 +491,7 @@ SELECT doc_id, n_tokens,
 FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
+        "ta_fingerprint": _fingerprint_sql(),
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,
        sum(len({_TOKS}))::BIGINT sum_tokens,

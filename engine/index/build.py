@@ -126,6 +126,34 @@ def build_index(
     if isinstance(source, (str, list)):
         frags = _fragment_list(source)
         if resume:
+            # Replaced-corpus guard: if a committed lineage fragment is gone
+            # from disk AND its directory is one we are reading now, the
+            # input at that path was regenerated (new fragment names, old
+            # files deleted — e.g. a synth re-run). Resuming would index the
+            # replacement as NEW rows on top of the committed ones: every
+            # doc_key twice, n_docs/df double-counted, and duplicate-key
+            # postings break the MaxScore admission bound (wand.py). Refuse
+            # loudly. (Committed fragments that merely live elsewhere or
+            # were archived after indexing stay legal; resume=False is the
+            # explicit I-know-what-I-am-doing override.)
+            cur_dirs = {os.path.dirname(f) for f in frags}
+            cur_set = set(frags)
+            replaced = [
+                f
+                for f in manifest.indexed_fragments()
+                if f not in cur_set
+                and os.path.dirname(f) in cur_dirs
+                and not os.path.exists(f)
+            ]
+            if replaced:
+                raise ValueError(
+                    f"input corpus was replaced since a previous build: "
+                    f"{len(replaced)} committed fragment(s) no longer exist "
+                    f"under {sorted({os.path.dirname(f) for f in replaced})}; "
+                    "resuming would index every document a second time. "
+                    "Build into a fresh --index directory (or pass "
+                    "resume=False to force)."
+                )
             frags = manifest.pending_fragments(frags)
         if not frags:
             return manifest  # everything already indexed

@@ -272,3 +272,122 @@ def corpus_stats(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype({"n_docs": "int64", "sum_tokens": "int64", "sum_chars": "int64"})
+
+
+# --- document fingerprinting (rolling hash) ---------------------------------
+#
+# Shared constants with the DuckDB oracle (__ray_entry__._fingerprint_sql).
+# FP_MOD is prime and small enough that the 3-term polynomial stays < 2^36,
+# exact in BIGINT — no uint64 wraparound, so SQL reproduces it bit-for-bit.
+FP_MOD = 1_000_003
+FP_BASE = 131
+FP_WIDTH = 3
+
+
+class Fingerprinter:
+    """Per-document rolling-hash fingerprint (the curation-pipeline artifact:
+    a compact identity a near-dup / provenance stage can key on).
+
+    Definition, identical in Python and in the SQL oracle:
+      h_i    = int(md5(token_i)[:8 hex], 16) % FP_MOD
+      gram_j = (h_j*B^2 + h_{j+1}*B + h_{j+2}) % FP_MOD   (3-token windows,
+               never crossing document boundaries)
+      docs with 0 < n < 3 tokens contribute ONE whole-doc gram: the left
+      fold (acc*B + h_i) % M starting from 0; empty docs none.
+      fp_min = min(grams) (-1 if none); fp_distinct = |{grams}|.
+
+    Same window semantics as engine/ops/dedup.rolling_shingle_hashes (the
+    uint64 scale path for shingle LSH); this variant trades 64-bit range for
+    SQL-checkable mod-prime arithmetic. Hashing is vocab-level (once per
+    unique token per actor, stream is gathers); the rolling combine is
+    vectorised over the flat token stream, windows that straddle a doc
+    boundary are computed then discarded by the per-doc slice.
+    """
+
+    def __init__(self) -> None:
+        self.an = Analyzer()
+        self._cache: dict[str, int] = {}
+
+    def _token_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.compute as pc
+
+        flat, dl = self.an.tokenize_arrow(texts)
+        if len(flat) == 0:
+            return np.empty(0, dtype=np.int64), dl
+        enc = pc.dictionary_encode(flat)
+        vocab = enc.dictionary.to_pylist()
+        cache = self._cache
+        vh = np.empty(len(vocab), dtype=np.int64)
+        for i, t in enumerate(vocab):
+            h = cache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FP_MOD
+                cache[t] = h
+            vh[i] = h
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return vh[idx], dl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, dl = self._token_hashes(batch["text"])
+        n_docs = dl.size
+        dl64 = dl.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(dl64)))[:-1]
+        counts = np.where(dl64 == 0, 0, np.maximum(1, dl64 - FP_WIDTH + 1))
+        o_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        total = int(counts.sum())
+        grams = np.empty(total, dtype=np.int64)
+        # all full windows over the flat stream at once (mod at each step)
+        if hs.size >= FP_WIDTH:
+            full = (
+                hs[: hs.size - 2] * (FP_BASE * FP_BASE)
+                + hs[1 : hs.size - 1] * FP_BASE
+                + hs[2:]
+            ) % FP_MOD
+        else:
+            full = np.empty(0, dtype=np.int64)
+        for d in range(n_docs):  # slice copy / tiny fold only, no hashing
+            ln = int(dl64[d])
+            if ln == 0:
+                continue
+            s = int(starts[d])
+            if ln >= FP_WIDTH:
+                grams[o_starts[d] : o_starts[d] + ln - FP_WIDTH + 1] = full[
+                    s : s + ln - FP_WIDTH + 1
+                ]
+            else:
+                acc = 0
+                for j in range(ln):
+                    acc = (acc * FP_BASE + int(hs[s + j])) % FP_MOD
+                grams[o_starts[d]] = acc
+        fp_min = np.full(n_docs, -1, dtype=np.int64)
+        fp_distinct = np.zeros(n_docs, dtype=np.int64)
+        if total:
+            nz = counts > 0
+            fp_min[nz] = np.minimum.reduceat(grams, o_starts[nz])
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            order = np.lexsort((grams, doc_idx))
+            sd, sg = doc_idx[order], grams[order]
+            new = np.ones(total, dtype=bool)
+            new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+            fp_distinct = np.bincount(sd[new], minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp_min": pa.array(fp_min),
+                "fp_distinct": pa.array(fp_distinct),
+            }
+        )
+
+
+def fingerprint(sf_dir: str) -> pd.DataFrame:
+    """doc_id, fp_min, fp_distinct for every document (rolling-hash
+    fingerprint). Single map_batches pass, no shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "fp_min": "int64", "fp_distinct": "int64"}
+    )

@@ -240,7 +240,15 @@ def _multi_term(infos, k: int, avgdl: float):
                 psc[pos] += w_m
     theta = max(theta, _kth_largest(psc, k))
 
-    parts = []
+    # The probe's surviving docs are always candidates. Under the valid data
+    # model they would be re-admitted by the masks below anyway (≤ k·lists
+    # keys, dedup'd by the final union — free); on an index whose per-doc
+    # uniqueness invariant is broken (e.g. the same corpus committed twice,
+    # see build_index's replaced-corpus guard) per-doc totals can exceed
+    # sum_ub, θ then exceeds every admission threshold and the masks go
+    # empty — this keeps the result non-empty instead of silently dropping
+    # every match.
+    parts = [probe[psc >= theta - EPS]]
     for i, info in enumerate(infos):
         thr = theta - (sum_ub - max_w[i]) - EPS
         for tl in info["lists"]:

@@ -207,6 +207,49 @@ class TestResume:
             np.testing.assert_array_equal(gs, ws)
 
 
+class TestReplacedCorpusGuard:
+    """A resumed build against a REGENERATED input directory (new fragment
+    names, committed ones deleted — e.g. a synth re-run over the same path)
+    must refuse: it would index every document a second time, breaking the
+    per-doc_key uniqueness invariant (doubled n_docs/df, duplicate-key
+    postings that defeat the MaxScore admission bound)."""
+
+    def test_resume_on_replaced_corpus_raises(self, tmp_path, ray_session):
+        frag_dir, _t = _write_fragments(tmp_path, n_convs=20, n_frags=2, seed=3)
+        idx = str(tmp_path / "idx")
+        build_index(frag_dir, idx, num_shards=4, build_id="b1")
+        # regenerate the corpus in place: new fragment names, old ones gone
+        for f in os.listdir(frag_dir):
+            os.rename(os.path.join(frag_dir, f), os.path.join(frag_dir, "new-" + f))
+        with pytest.raises(ValueError, match="replaced"):
+            build_index(frag_dir, idx, num_shards=4, build_id="b2")
+        # committed fragments ARCHIVED elsewhere + a genuinely-new input dir
+        # stays a legal incremental build (guard keys on the directory)
+        frag_dir2, _ = _write_fragments(tmp_path / "more", n_convs=10, n_frags=1, seed=7)
+        build_index(frag_dir2, idx, num_shards=4, build_id="b3")
+        assert any(b["build_id"] == "b3" for b in Manifest(idx).data["builds"])
+
+    def test_wand_never_silently_empty_on_duplicate_keys(self, tmp_path, ray_session):
+        """Safety net below the guard: on an index whose uniqueness invariant
+        is already broken (same corpus force-committed twice), WAND must
+        return exact-scored matches, not an empty result."""
+        frag_dir, _t = _write_fragments(tmp_path, n_convs=20, n_frags=2, seed=3)
+        idx = str(tmp_path / "idx2")
+        build_index(frag_dir, idx, num_shards=4, build_id="d1")
+        build_index(frag_dir, idx, num_shards=4, build_id="d2", resume=False)
+        srv_ex = SegmentServer(idx, k=5)  # exhaustive (default mode)
+        srv_w = SegmentServer(idx, k=5, mode="wand")
+        for qid, q in seeded_query_set(5, seed=8):
+            ek, _es = srv_ex.topk(q, 5)
+            wk, _ws = srv_w.topk(q, 5)
+            assert len(wk) > 0 and len(ek) > 0
+            # every WAND hit is a real match (scores on invariant-violating
+            # indexes are undefined — the guard above is the real contract;
+            # this only pins "non-empty, no phantom docs")
+            all_matches = set(srv_ex.topk(q, 10_000)[0])
+            assert set(wk) <= all_matches
+
+
 class TestCrashResume:
     """SURVEY §5.4: crash AFTER segments are written but BEFORE the manifest
     commit → re-run → same query results as an uninterrupted build; orphan

@@ -327,6 +327,58 @@ class TestSynthVerb:
         assert pq.read_table(out).num_rows == n1  # no silent doubling
 
 
+class TestFingerprint:
+    def test_fingerprint_matches_duckdb(self, ray_session):
+        """Rolling-hash fingerprints agree with the SQL oracle bit-for-bit
+        at sf0.001 (the ta_fingerprint driver-gate contract)."""
+        import duckdb
+
+        from engine.ops.textstats import fingerprint
+
+        from __ray_entry__ import _fingerprint_sql
+
+        sf = "/root/testdata/sf0.001"
+        got = fingerprint(sf)
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_fingerprint_sql()).fetchdf()
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+    def test_fingerprint_edge_cases(self, tmp_path_factory, ray_session):
+        """Empty docs (-1/0), sub-width docs (one whole-doc gram), repeated
+        grams (distinct < count) and doc-boundary isolation all match SQL."""
+        import duckdb
+
+        from engine.ops.textstats import fingerprint
+
+        from __ray_entry__ import _fingerprint_sql
+
+        texts = [
+            "",  # no tokens
+            "one",  # 1 token: whole-doc gram
+            "two tokens",  # 2 tokens: whole-doc gram
+            "a b c",  # exactly one window
+            "a b c a b c a b c",  # repeated grams: distinct < count
+            "zz yy xx",  # boundary isolation vs the doc above
+            "Hello, WORLD!! 123 foo-bar baz",  # punctuation + case
+        ]
+        d = tmp_path_factory.mktemp("fp")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            str(d / "documents.parquet"),
+        )
+        got = fingerprint(str(d))
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{d}/documents.parquet')")
+        ref = con.execute(_fingerprint_sql()).fetchdf()
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+        row = got.set_index("doc_id")
+        assert row.loc[0, "fp_min"] == -1 and row.loc[0, "fp_distinct"] == 0
+        assert row.loc[1, "fp_distinct"] == 1 and row.loc[2, "fp_distinct"] == 1
+        assert row.loc[4, "fp_distinct"] < 7  # 7 windows, repeats collapse
+
+
 class TestTokenCount:
     def test_token_count_matches_duckdb(self, ray_session):
         """BPE-ish regex and whitespace counts agree with DuckDB RE2 exactly
