@@ -225,6 +225,57 @@ FROM g ORDER BY doc_id
 """
 
 
+def _lang_id_scored_sql() -> str:
+    """ta_lang_id_scored oracle: trigram extraction, integer scoring, argmax
+    and confidence recomputed by DuckDB against the SAME materialized profile
+    parquet the Ray op scores with (engine/ops/textstats.langid_profile_parquet
+    — called here so the artifact exists whichever side the driver runs
+    first). The only floats are single divisions of exact integers
+    (score/sqrt(pnormsq), then *1e6 floor) — IEEE-identical across engines."""
+    from engine.ops.textstats import langid_profile_parquet
+
+    path = langid_profile_parquet()
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g') || ' ' AS s
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
+  FROM d
+),
+cnt AS (SELECT doc_id, g, count(*)::BIGINT c FROM tg GROUP BY 1, 2),
+dn AS (SELECT doc_id, sum(c * c)::BIGINT docnormsq FROM cnt GROUP BY 1),
+prof AS (SELECT lang, gram, w_micro FROM read_parquet('{path}')),
+pn AS (SELECT lang, sum(w_micro * w_micro)::BIGINT pnormsq FROM prof GROUP BY 1),
+sc AS (
+  SELECT cnt.doc_id, p.lang, sum(cnt.c * p.w_micro)::BIGINT score
+  FROM cnt JOIN prof p ON p.gram = cnt.g GROUP BY 1, 2
+),
+grid AS (
+  SELECT docs.doc_id, pn.lang, pn.pnormsq, coalesce(sc.score, 0) AS score
+  FROM (SELECT doc_id FROM documents) docs
+  CROSS JOIN pn
+  LEFT JOIN sc ON sc.doc_id = docs.doc_id AND sc.lang = pn.lang
+),
+ranked AS (
+  SELECT doc_id, lang, score, pnormsq,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY score / sqrt(pnormsq) DESC, lang ASC
+         ) AS rn
+  FROM grid
+)
+SELECT r.doc_id, r.lang AS lang_pred,
+       CASE WHEN r.score = 0 OR dn.docnormsq IS NULL OR dn.docnormsq = 0 THEN 0
+            ELSE floor(r.score / (sqrt(r.pnormsq) * sqrt(dn.docnormsq)) * 1e6 + 0.5)::BIGINT
+       END AS confidence_micro
+FROM ranked r LEFT JOIN dn ON dn.doc_id = r.doc_id
+WHERE r.rn = 1 ORDER BY r.doc_id
+"""
+
+
 def _phrase_queries_values() -> str:
     from engine.pipelines import PHRASE_QUERIES
 
@@ -428,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # text analysis
         "ta_lang_id": textstats.lang_id,
+        "ta_lang_id_scored": textstats.lang_id_scored,
         "ta_token_count": textstats.token_count,
         "ta_fingerprint": textstats.fingerprint,
         "ta_corpus_stats": textstats.corpus_stats,
@@ -492,6 +544,7 @@ FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
+        "ta_lang_id_scored": _lang_id_scored_sql(),
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,
        sum(len({_TOKS}))::BIGINT sum_tokens,

@@ -6,6 +6,7 @@ All are single map_batches passes sharing the engine analyzer — no shuffle.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -390,4 +391,169 @@ def fingerprint(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "fp_min": "int64", "fp_distinct": "int64"}
+    )
+
+
+# --- oracle-checkable language-ID (integer-exact scoring) --------------------
+#
+# `lang_id` above demonstrates the op shape but its float cosine (Unicode
+# isalnum trigrams, order-dependent sums) cannot be reproduced by SQL.
+# `lang_id_scored` redefines the op so EVERY quantity the result depends on
+# is either an exact integer or a single-expression IEEE double that DuckDB
+# computes identically:
+#   clean(text) = regexp [^a-z0-9] -> ' ' over simple-lowercased text
+#                 (U+0130 pre-mapped — engine/text/analyzer._SIMPLE_LOWER_FIX)
+#   trigrams    = all 3-codepoint windows of ' ' + clean + ' '
+#   profile     = per lang from the PINNED sf0.001 documents table (a shipped
+#                 model artifact: both engines must use the same parameters
+#                 regardless of which sf is being scored): first
+#                 LANGID_SAMPLE_ROWS rows in file order, <= LANGID_PER_LANG
+#                 docs per lang, top LANGID_TOP_GRAMS trigrams by (-count,
+#                 gram), weight w_micro = floor(count/total*1e6 + 0.5)
+#   score(d,L)  = sum over trigrams of count_d(g) * w_micro_L(g)   (exact int)
+#   lang_pred   = argmax over L of score / sqrt(pnormsq_L), ties -> smallest
+#                 lang (one division of exact ints: bit-identical in SQL)
+#   confidence_micro = floor(score / (sqrt(pnormsq) * sqrt(docnormsq))
+#                            * 1e6 + 0.5), 0 when score or docnormsq is 0
+LANGID_PROFILE_SRC = "/root/testdata/sf0.001/documents.parquet"
+LANGID_SAMPLE_ROWS = 200
+LANGID_PER_LANG = 20
+LANGID_TOP_GRAMS = 300
+
+_LANGID_CLEAN_RE = None
+
+
+def langid_trigrams(text: str):
+    """Counter of 3-codepoint windows over ' ' + clean(text) + ' '."""
+    import re
+    from collections import Counter
+
+    from engine.text.analyzer import _SIMPLE_LOWER_FIX
+
+    global _LANGID_CLEAN_RE
+    if _LANGID_CLEAN_RE is None:
+        _LANGID_CLEAN_RE = re.compile(r"[^a-z0-9]")
+    s = _LANGID_CLEAN_RE.sub(" ", (text or "").translate(_SIMPLE_LOWER_FIX).lower())
+    s = f" {s} "
+    return Counter(s[i : i + 3] for i in range(len(s) - 2))
+
+
+def build_langid_profiles(src: str = LANGID_PROFILE_SRC) -> dict[str, dict[str, int]]:
+    """lang -> {gram: w_micro}, deterministically from the pinned sample."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src, columns=["lang", "text"]).slice(0, LANGID_SAMPLE_ROWS)
+    by_lang: dict[str, list[str]] = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        bucket = by_lang.setdefault(lang, [])
+        if len(bucket) < LANGID_PER_LANG:
+            bucket.append(text or "")
+    profiles: dict[str, dict[str, int]] = {}
+    for lang in sorted(by_lang):
+        counts: dict[str, int] = {}
+        for text in by_lang[lang]:
+            for g, c in langid_trigrams(text).items():
+                counts[g] = counts.get(g, 0) + c
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:LANGID_TOP_GRAMS]
+        tot = sum(c for _, c in best)
+        if tot == 0:
+            continue
+        profiles[lang] = {
+            g: int(math.floor(c / tot * 1e6 + 0.5)) for g, c in best
+        }
+    return profiles
+
+
+def langid_profile_parquet(src: str = LANGID_PROFILE_SRC) -> str:
+    """Materialize the profile table (lang, gram, w_micro) to a /tmp parquet
+    keyed by the source's size+mtime fingerprint (stale-cache hazard class of
+    engine/pipelines._src_fp) so the SQL oracle reads the IDENTICAL
+    parameters the Ray op scores with. Atomic tmp+rename; safe to call from
+    either side first."""
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import _src_fp
+
+    path = f"/tmp/langid_profile_{_src_fp(src)}.parquet"
+    if not os.path.exists(path):
+        profiles = build_langid_profiles(src)
+        langs, grams, ws = [], [], []
+        for lang in sorted(profiles):
+            for g in sorted(profiles[lang]):
+                langs.append(lang)
+                grams.append(g)
+                ws.append(profiles[lang][g])
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table({"lang": pa.array(langs, type=pa.string()),
+                      "gram": pa.array(grams, type=pa.string()),
+                      "w_micro": pa.array(ws, type=pa.int64())}),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+class LangIdScorer:
+    """Actor-pool classifier: profiles built once per actor in __init__
+    (broadcast via fn_constructor_kwargs), integer-exact scoring per batch."""
+
+    def __init__(self, profiles: dict[str, dict[str, int]]):
+        import math
+
+        # ascending lang order = the tie-break order (SQL: ORDER BY ... ,
+        # lang ASC; here: strict > keeps the earliest lang on equal values)
+        self.langs = sorted(profiles)
+        self.weights = [profiles[l] for l in self.langs]
+        self.sqrt_pn = [
+            math.sqrt(sum(w * w for w in profiles[l].values())) for l in self.langs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        preds, confs = [], []
+        for text in batch["text"].to_pylist():
+            tg = langid_trigrams(text)
+            dn = sum(c * c for c in tg.values())
+            best_lang, best_val, best_score, best_sp = self.langs[0], -1.0, 0, 1.0
+            for lang, w, sp in zip(self.langs, self.weights, self.sqrt_pn):
+                score = sum(c * w[g] for g, c in tg.items() if g in w)
+                val = score / sp  # single IEEE div of exact ints — SQL-equal
+                if val > best_val:
+                    best_lang, best_val, best_score, best_sp = lang, val, score, sp
+            if best_score == 0 or dn == 0:
+                confs.append(0)
+            else:
+                confs.append(
+                    int(math.floor(best_score / (best_sp * math.sqrt(dn)) * 1e6 + 0.5))
+                )
+            preds.append(best_lang)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, type=pa.string()),
+                "confidence_micro": pa.array(confs, type=pa.int64()),
+            }
+        )
+
+
+def lang_id_scored(sf_dir: str) -> pd.DataFrame:
+    """doc_id, lang_pred, confidence_micro for every document, scored against
+    the pinned profile artifact (see module comment above)."""
+    import ray.data as rd
+
+    profiles = build_langid_profiles()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs={"profiles": profiles},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "confidence_micro": "int64"}
     )

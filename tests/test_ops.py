@@ -379,6 +379,57 @@ class TestFingerprint:
         assert row.loc[4, "fp_distinct"] < 7  # 7 windows, repeats collapse
 
 
+class TestLangIdScored:
+    def test_lang_id_scored_matches_duckdb(self, ray_session):
+        """Integer-exact lang-ID agrees with the SQL oracle value-for-value
+        (the ta_lang_id_scored driver-gate contract): same profile artifact,
+        same trigram stream, same single-division IEEE confidence."""
+        import duckdb
+
+        from engine.ops.textstats import lang_id_scored
+
+        from __ray_entry__ import _lang_id_scored_sql
+
+        sf = "/root/testdata/sf0.001"
+        got = lang_id_scored(sf)
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_lang_id_scored_sql()).fetchdf()
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+        # sanity: confidences are non-trivial (profiles actually score docs)
+        assert (got["confidence_micro"] > 0).any()
+
+    def test_lang_id_scored_unicode_and_edge_parity(self, tmp_path_factory, ray_session):
+        """U+0130 (the one py/DuckDB lower() divergence), non-ASCII letters,
+        NBSP, empty and punctuation-only docs must all classify identically
+        in both engines."""
+        import duckdb
+
+        from engine.ops.textstats import lang_id_scored
+
+        from __ray_entry__ import _lang_id_scored_sql
+
+        texts = [
+            "",  # no trigrams → confidence 0, smallest lang
+            "!!! ??? ...",  # punctuation-only → all-space trigrams
+            "İstanbul İN İ",  # U+0130 pre-map parity
+            "café naïve résumé",  # non-ASCII → spaces
+            "the quick brown fox 123",
+        ]
+        d = tmp_path_factory.mktemp("lid")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            str(d / "documents.parquet"),
+        )
+        got = lang_id_scored(str(d))
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{d}/documents.parquet')")
+        ref = con.execute(_lang_id_scored_sql()).fetchdf()
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+        assert got.set_index("doc_id").loc[0, "confidence_micro"] == 0
+
+
 class TestTokenCount:
     def test_token_count_matches_duckdb(self, ray_session):
         """BPE-ish regex and whitespace counts agree with DuckDB RE2 exactly
