@@ -544,7 +544,6 @@ FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
-        "ta_lang_id_scored": _lang_id_scored_sql(),
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,
        sum(len({_TOKS}))::BIGINT sum_tokens,
@@ -692,4 +691,12 @@ SELECT doc_id,
        (octet_length(encode(text)) % 480)::BIGINT height
 FROM documents ORDER BY doc_id
 """
+    # This oracle materializes its profile artifact from the pinned sf0.001
+    # sample at dict-build time; if that dataset is absent (non-driver
+    # environment) degrade ONLY this entry to the rows-only check instead of
+    # breaking every oracle in the dict.
+    try:
+        sql["ta_lang_id_scored"] = _lang_id_scored_sql()
+    except OSError:
+        pass
     return sql

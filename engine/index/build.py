@@ -67,15 +67,19 @@ def _as_dataset(source, columns: list[str] | None = None, override_num_blocks: i
 
 
 def _fragment_list(source) -> list[str]:
+    # abspath so lineage comparisons (pending_fragments, replaced-corpus
+    # guard) can never be defeated by a relative respelling of the same path
     paths = [source] if isinstance(source, str) else list(source)
     frags: list[str] = []
     for p in paths:
         if os.path.isdir(p):
             frags.extend(
-                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+                os.path.abspath(os.path.join(p, f))
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
             )
         else:
-            frags.append(p)
+            frags.append(os.path.abspath(p))
     return frags
 
 
@@ -126,38 +130,58 @@ def build_index(
     if isinstance(source, (str, list)):
         frags = _fragment_list(source)
         if resume:
-            # Replaced-corpus guard: if a committed lineage fragment is gone
-            # from disk AND its directory is one we are reading now, the
-            # input at that path was regenerated (new fragment names, old
-            # files deleted — e.g. a synth re-run). Resuming would index the
-            # replacement as NEW rows on top of the committed ones: every
-            # doc_key twice, n_docs/df double-counted, and duplicate-key
-            # postings break the MaxScore admission bound (wand.py). Refuse
-            # loudly. (Committed fragments that merely live elsewhere or
-            # were archived after indexing stay legal; resume=False is the
-            # explicit I-know-what-I-am-doing override.)
+            # Replaced-corpus guard. Two ways an input directory can be
+            # regenerated under a committed index, both of which must refuse
+            # instead of silently corrupting results:
+            #   (a) new fragment names, old files deleted (e.g. a synth
+            #       re-run) — resuming would index the replacement as NEW
+            #       rows on top of the committed ones: every doc_key twice,
+            #       n_docs/df double-counted, duplicate-key postings that
+            #       break the MaxScore admission bound (wand.py);
+            #   (b) SAME fragment names, different bytes (deterministic
+            #       names like part-00000.parquet) — pending_fragments would
+            #       see nothing new and the build would silently no-op,
+            #       serving the OLD corpus while the caller believes the new
+            #       one is indexed. Caught by the size+mtime recorded in
+            #       lineage at commit (same keying as pipelines._src_fp).
+            # Committed fragments that merely live elsewhere or were
+            # archived after indexing stay legal; resume=False is the
+            # explicit I-know-what-I-am-doing override.
             cur_dirs = {os.path.dirname(f) for f in frags}
             cur_set = set(frags)
-            replaced = [
-                f
-                for f in manifest.indexed_fragments()
-                if f not in cur_set
-                and os.path.dirname(f) in cur_dirs
-                and not os.path.exists(f)
-            ]
-            if replaced:
+            committed_stats = manifest.fragment_stats()
+            replaced, changed = [], []
+            for f in manifest.indexed_fragments():
+                if f not in cur_set:
+                    if os.path.dirname(f) in cur_dirs and not os.path.exists(f):
+                        replaced.append(f)
+                    continue
+                rec = committed_stats.get(f)
+                if rec is not None:
+                    st = os.stat(f)
+                    if [st.st_size, st.st_mtime_ns] != list(rec):
+                        changed.append(f)
+            if replaced or changed:
                 raise ValueError(
                     f"input corpus was replaced since a previous build: "
-                    f"{len(replaced)} committed fragment(s) no longer exist "
-                    f"under {sorted({os.path.dirname(f) for f in replaced})}; "
-                    "resuming would index every document a second time. "
+                    f"{len(replaced)} committed fragment(s) no longer exist and "
+                    f"{len(changed)} changed size/mtime under "
+                    f"{sorted({os.path.dirname(f) for f in replaced + changed})}; "
+                    "resuming would serve or index stale/duplicate documents. "
                     "Build into a fresh --index directory (or pass "
                     "resume=False to force)."
                 )
             frags = manifest.pending_fragments(frags)
         if not frags:
             return manifest  # everything already indexed
-        lineage = {"fragments": frags}
+        lineage = {
+            "fragments": frags,
+            # size+mtime at read time: lets a later resume detect an
+            # in-place regeneration that reused the same fragment names
+            "fragment_stats": {
+                f: [(st := os.stat(f)).st_size, st.st_mtime_ns] for f in frags
+            },
+        }
         source = frags
 
     segments_dir = os.path.join(index_dir, "segments")

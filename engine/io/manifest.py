@@ -51,14 +51,27 @@ class Manifest:
         return self.data["stats"]
 
     def indexed_fragments(self) -> set[str]:
+        # abspath-normalized: a relative respelling of an already-indexed
+        # path must compare equal, or a re-run double-indexes the corpus
         frags: set[str] = set()
         for b in self.data["builds"]:
-            frags.update(b.get("lineage", {}).get("fragments", []))
+            frags.update(
+                os.path.abspath(f) for f in b.get("lineage", {}).get("fragments", [])
+            )
         return frags
+
+    def fragment_stats(self) -> dict[str, list[int]]:
+        """abspath → [size, mtime_ns] recorded at commit time (empty for
+        fragments committed by pre-stat manifests)."""
+        stats: dict[str, list[int]] = {}
+        for b in self.data["builds"]:
+            for f, st in b.get("lineage", {}).get("fragment_stats", {}).items():
+                stats[os.path.abspath(f)] = st
+        return stats
 
     def pending_fragments(self, fragments: list[str]) -> list[str]:
         done = self.indexed_fragments()
-        return [f for f in fragments if f not in done]
+        return [f for f in fragments if os.path.abspath(f) not in done]
 
     # -- mutation -----------------------------------------------------------
     def add_build(

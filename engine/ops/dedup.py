@@ -76,55 +76,76 @@ def dedup_exact(sf_dir: str, table: str = "documents"):
 _MERSENNE = (1 << 61) - 1
 
 
-class _TokenHashes:
-    """Per-worker cache: token → 64-bit blake2b. Hashing happens once per
-    UNIQUE token (vocab-sized), the token stream is then pure gathers."""
+def _blake2b64(t: str) -> int:
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
 
-    def __init__(self) -> None:
+
+class _TokenHashes:
+    """Per-worker cache: token → int hash (default 64-bit blake2b). Hashing
+    happens once per UNIQUE token (vocab-sized), the token stream is then
+    pure gathers. ``hasher``/``dtype`` are pluggable so SQL-parity variants
+    (e.g. textstats.Fingerprinter's md5-mod-prime) share this machinery."""
+
+    def __init__(self, hasher=None, dtype=np.uint64) -> None:
         self.an = Analyzer()
         self._cache: dict[str, int] = {}
+        self._hasher = hasher or _blake2b64
+        self._dtype = dtype
 
     def flat_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        """texts → (flat token hashes uint64, per-doc token counts int32)."""
+        """texts → (flat token hashes, per-doc token counts int32)."""
         import pyarrow.compute as pc
 
         flat, dl = self.an.tokenize_arrow(texts)
         if len(flat) == 0:
-            return np.empty(0, dtype=np.uint64), dl
+            return np.empty(0, dtype=self._dtype), dl
         enc = pc.dictionary_encode(flat)
         vocab = enc.dictionary.to_pylist()
         cache = self._cache
-        vh = np.empty(len(vocab), dtype=np.uint64)
+        vh = np.empty(len(vocab), dtype=self._dtype)
         for i, t in enumerate(vocab):
             h = cache.get(t)
             if h is None:
-                h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                h = self._hasher(t)
                 cache[t] = h
             vh[i] = h
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         return vh[idx], dl
 
 
-def rolling_shingle_hashes(flat_hashes: np.ndarray, dl: np.ndarray, width: int = 3):
+def rolling_shingle_hashes(
+    flat_hashes: np.ndarray, dl: np.ndarray, width: int = 3, base=None, mod=None
+):
     """Vectorised w-token shingle hashes over a flattened token stream:
     polynomial combine of ``width`` consecutive token hashes, windows never
-    crossing document boundaries. Returns (shingle_hashes uint64,
-    shingles_per_doc int64); docs shorter than ``width`` contribute ONE
-    whole-doc shingle (hash of all their tokens), empty docs none."""
+    crossing document boundaries. Returns (shingle_hashes, shingles_per_doc
+    int64); docs shorter than ``width`` contribute ONE whole-doc shingle
+    (left fold of all their tokens), empty docs none.
+
+    Default arithmetic is the uint64-wraparound golden-ratio polynomial (the
+    LSH scale path). Passing ``base``/``mod`` switches to exact mod-``mod``
+    arithmetic in the input dtype — the SQL-reproducible variant used by
+    textstats.Fingerprinter (the fold (acc*base + h) % mod is congruent to
+    the windowed polynomial Σ h_j base^(w-1-j) mod ``mod``)."""
     n_docs = dl.size
     dl64 = dl.astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(dl64)))[:-1]
-    C = np.uint64(0x9E3779B97F4A7C15)
+    C = flat_hashes.dtype.type(base if base is not None else 0x9E3779B97F4A7C15)
     out_counts = np.where(dl64 == 0, 0, np.maximum(1, dl64 - width + 1))
     total = int(out_counts.sum())
     if total == 0:
-        return np.empty(0, dtype=np.uint64), out_counts
+        return np.empty(0, dtype=flat_hashes.dtype), out_counts
     # full windows (docs with dl >= width), all positions at once
-    h = np.zeros(flat_hashes.size - width + 1 if flat_hashes.size >= width else 0, dtype=np.uint64)
+    h = np.zeros(
+        flat_hashes.size - width + 1 if flat_hashes.size >= width else 0,
+        dtype=flat_hashes.dtype,
+    )
     for j in range(width):
         if h.size:
             h = h * C + flat_hashes[j : j + h.size]
-    out = np.empty(total, dtype=np.uint64)
+            if mod is not None:
+                h %= mod
+    out = np.empty(total, dtype=flat_hashes.dtype)
     o_starts = np.concatenate(([0], np.cumsum(out_counts)))[:-1]
     for d in range(n_docs):  # per-doc slice copy only (no hashing in loop)
         ln = int(dl64[d])
@@ -134,9 +155,11 @@ def rolling_shingle_hashes(flat_hashes: np.ndarray, dl: np.ndarray, width: int =
         if ln >= width:
             out[o_starts[d] : o_starts[d] + ln - width + 1] = h[s : s + ln - width + 1]
         else:
-            acc = np.uint64(0)
+            acc = flat_hashes.dtype.type(0)
             for j in range(ln):
                 acc = acc * C + flat_hashes[s + j]
+                if mod is not None:
+                    acc = acc % mod
             out[o_starts[d]] = acc
     return out, out_counts
 

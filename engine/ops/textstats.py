@@ -297,69 +297,30 @@ class Fingerprinter:
       fold (acc*B + h_i) % M starting from 0; empty docs none.
       fp_min = min(grams) (-1 if none); fp_distinct = |{grams}|.
 
-    Same window semantics as engine/ops/dedup.rolling_shingle_hashes (the
-    uint64 scale path for shingle LSH); this variant trades 64-bit range for
-    SQL-checkable mod-prime arithmetic. Hashing is vocab-level (once per
-    unique token per actor, stream is gathers); the rolling combine is
-    vectorised over the flat token stream, windows that straddle a doc
-    boundary are computed then discarded by the per-doc slice.
+    The tokenize/hash/window machinery is engine/ops/dedup's (`_TokenHashes`
+    with a pluggable hasher, `rolling_shingle_hashes` with base/mod) — this
+    class only supplies the md5-mod-prime hash and the per-doc min/distinct
+    aggregation.
     """
 
     def __init__(self) -> None:
-        self.an = Analyzer()
-        self._cache: dict[str, int] = {}
+        from engine.ops.dedup import _TokenHashes
 
-    def _token_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        import pyarrow.compute as pc
-
-        flat, dl = self.an.tokenize_arrow(texts)
-        if len(flat) == 0:
-            return np.empty(0, dtype=np.int64), dl
-        enc = pc.dictionary_encode(flat)
-        vocab = enc.dictionary.to_pylist()
-        cache = self._cache
-        vh = np.empty(len(vocab), dtype=np.int64)
-        for i, t in enumerate(vocab):
-            h = cache.get(t)
-            if h is None:
-                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FP_MOD
-                cache[t] = h
-            vh[i] = h
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return vh[idx], dl
+        self._th = _TokenHashes(
+            hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FP_MOD,
+            dtype=np.int64,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs, dl = self._token_hashes(batch["text"])
+        from engine.ops.dedup import rolling_shingle_hashes
+
+        hs, dl = self._th.flat_hashes(batch["text"])
+        grams, counts = rolling_shingle_hashes(
+            hs, dl, width=FP_WIDTH, base=FP_BASE, mod=FP_MOD
+        )
         n_docs = dl.size
-        dl64 = dl.astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(dl64)))[:-1]
-        counts = np.where(dl64 == 0, 0, np.maximum(1, dl64 - FP_WIDTH + 1))
         o_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
         total = int(counts.sum())
-        grams = np.empty(total, dtype=np.int64)
-        # all full windows over the flat stream at once (mod at each step)
-        if hs.size >= FP_WIDTH:
-            full = (
-                hs[: hs.size - 2] * (FP_BASE * FP_BASE)
-                + hs[1 : hs.size - 1] * FP_BASE
-                + hs[2:]
-            ) % FP_MOD
-        else:
-            full = np.empty(0, dtype=np.int64)
-        for d in range(n_docs):  # slice copy / tiny fold only, no hashing
-            ln = int(dl64[d])
-            if ln == 0:
-                continue
-            s = int(starts[d])
-            if ln >= FP_WIDTH:
-                grams[o_starts[d] : o_starts[d] + ln - FP_WIDTH + 1] = full[
-                    s : s + ln - FP_WIDTH + 1
-                ]
-            else:
-                acc = 0
-                for j in range(ln):
-                    acc = (acc * FP_BASE + int(hs[s + j])) % FP_MOD
-                grams[o_starts[d]] = acc
         fp_min = np.full(n_docs, -1, dtype=np.int64)
         fp_distinct = np.zeros(n_docs, dtype=np.int64)
         if total:
@@ -476,7 +437,12 @@ def langid_profile_parquet(src: str = LANGID_PROFILE_SRC) -> str:
 
     from engine.pipelines import _src_fp
 
-    path = f"/tmp/langid_profile_{_src_fp(src)}.parquet"
+    # the profile is a function of BOTH the source bytes and the algorithm
+    # parameters — version-tag the key so a constant bump can never serve
+    # the SQL oracle a stale artifact while the Ray op scores fresh
+    params = f"v1|{LANGID_SAMPLE_ROWS}|{LANGID_PER_LANG}|{LANGID_TOP_GRAMS}"
+    key = hashlib.md5(f"{_src_fp(src)}|{params}".encode()).hexdigest()[:10]
+    path = f"/tmp/langid_profile_{key}.parquet"
     if not os.path.exists(path):
         profiles = build_langid_profiles(src)
         langs, grams, ws = [], [], []

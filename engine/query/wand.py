@@ -259,8 +259,6 @@ def _multi_term(infos, k: int, avgdl: float):
             mask = w >= thr
             if mask.any():
                 parts.append(tl.positions_keys(np.nonzero(mask)[0], avgdl))
-    if not parts:
-        return np.empty(0, dtype=np.int64), None
     # candidate set only — scores are recomputed exactly (oracle op order) by
     # the caller, so a plain sorted-unique union suffices; the weight-merging
     # accumulate_sorted_lists here was 1/3 of query wall time

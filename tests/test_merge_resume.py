@@ -229,6 +229,34 @@ class TestReplacedCorpusGuard:
         build_index(frag_dir2, idx, num_shards=4, build_id="b3")
         assert any(b["build_id"] == "b3" for b in Manifest(idx).data["builds"])
 
+    def test_resume_on_same_name_regeneration_raises(self, tmp_path, ray_session):
+        """Regeneration that REUSES fragment filenames (deterministic names
+        like frag-000.parquet) changes no path, so pending_fragments sees
+        nothing new — without the size/mtime lineage check the build would
+        silently no-op and keep serving the OLD corpus."""
+        frag_dir, _t = _write_fragments(tmp_path, n_convs=20, n_frags=2, seed=3)
+        idx = str(tmp_path / "idx")
+        build_index(frag_dir, idx, num_shards=4, build_id="b1")
+        # rewrite one fragment in place: same name, different content
+        f0 = os.path.join(frag_dir, sorted(os.listdir(frag_dir))[0])
+        t_new = synth_transcripts_table(5, seed=99)
+        pq.write_table(t_new, f0)
+        with pytest.raises(ValueError, match="replaced"):
+            build_index(frag_dir, idx, num_shards=4, build_id="b2")
+
+    def test_relative_path_respelling_is_not_new_input(self, tmp_path, ray_session):
+        """The same corpus addressed relative vs absolute must resume as a
+        no-op, not double-index (lineage paths are abspath-normalized)."""
+        frag_dir, _t = _write_fragments(tmp_path, n_convs=15, n_frags=2, seed=4)
+        idx = str(tmp_path / "idx")
+        rel = os.path.relpath(frag_dir)
+        build_index(rel, idx, num_shards=4, build_id="b1")
+        n1 = Manifest(idx).stats["n_docs"]
+        build_index(frag_dir, idx, num_shards=4, build_id="b2")  # absolute
+        m = Manifest(idx)
+        assert m.stats["n_docs"] == n1  # no silent doubling
+        assert not any(b["build_id"] == "b2" for b in m.data["builds"])
+
     def test_wand_never_silently_empty_on_duplicate_keys(self, tmp_path, ray_session):
         """Safety net below the guard: on an index whose uniqueness invariant
         is already broken (same corpus force-committed twice), WAND must
