@@ -430,6 +430,71 @@ class TestLangIdScored:
         assert got.set_index("doc_id").loc[0, "confidence_micro"] == 0
 
 
+class TestTextOpsPropertyParity:
+    """Hypothesis: on ARBITRARY unicode text the Ray-side batch callables and
+    the DuckDB oracle SQL agree value-for-value — the driver-gate contract
+    extended beyond the fixture corpora (same spirit as the analyzer's
+    three-way parity property in test_core)."""
+
+    def test_fingerprint_random_unicode_parity(self):
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from engine.ops.textstats import Fingerprinter
+
+        from __ray_entry__ import _fingerprint_sql
+
+        fp = Fingerprinter()
+        con = duckdb.connect()
+        sql = _fingerprint_sql()
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(max_size=80))
+        def check(text):
+            got = fp(pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                               "text": pa.array([text])}))
+            con.execute(
+                'create or replace table documents as select 0::BIGINT AS doc_id, ?::VARCHAR AS "text"',
+                [text],
+            )
+            ref = con.execute(sql).fetchone()
+            assert (got["fp_min"][0].as_py(), got["fp_distinct"][0].as_py()) == (
+                ref[1], ref[2],
+            ), repr(text)
+
+        check()
+
+    def test_lang_id_scored_random_unicode_parity(self):
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from engine.ops.textstats import LangIdScorer, build_langid_profiles
+
+        from __ray_entry__ import _lang_id_scored_sql
+
+        scorer = LangIdScorer(build_langid_profiles())
+        con = duckdb.connect()
+        sql = _lang_id_scored_sql()
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.text(max_size=80))
+        def check(text):
+            got = scorer(pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                                   "text": pa.array([text])}))
+            con.execute(
+                'create or replace table documents as select 0::BIGINT AS doc_id, ?::VARCHAR AS "text"',
+                [text],
+            )
+            ref = con.execute(sql).fetchone()
+            assert (got["lang_pred"][0].as_py(), got["confidence_micro"][0].as_py()) == (
+                ref[1], ref[2],
+            ), repr(text)
+
+        check()
+
+
 class TestTokenCount:
     def test_token_count_matches_duckdb(self, ray_session):
         """BPE-ish regex and whitespace counts agree with DuckDB RE2 exactly
