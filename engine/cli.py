@@ -196,6 +196,11 @@ def main(argv=None):
                 shutil.rmtree(args.out)
             synth_transcripts(args.convs, seed=args.seed).write_parquet(args.out)
             print(json.dumps({"written": args.out}))
+    except ValueError as e:
+        # user-input refusals (e.g. the replaced-corpus guard) print ONE
+        # clean JSON error line, not a traceback
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        raise SystemExit(2)
     finally:
         if owned:  # never tear down a session someone else initialised
             ray.shutdown()

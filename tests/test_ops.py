@@ -247,6 +247,28 @@ class TestMultimodal:
 
 
 class TestCLI:
+    def test_build_refusal_is_clean_json_error(self, tmp_path, ray_session, capsys):
+        """A replaced-corpus refusal through the CLI is one JSON error line
+        on stderr and exit code 2, not a traceback."""
+        import json
+        import os
+
+        from engine.cli import main
+        from engine.io.synth import synth_transcripts_table
+
+        frag = str(tmp_path / "in")
+        os.makedirs(frag)
+        pq.write_table(synth_transcripts_table(10, seed=3), f"{frag}/part0.parquet")
+        idx = str(tmp_path / "idx")
+        main(["build", "--input", frag, "--index", idx, "--shards", "2"])
+        capsys.readouterr()
+        os.rename(f"{frag}/part0.parquet", f"{frag}/part1.parquet")
+        with pytest.raises(SystemExit) as ex:
+            main(["build", "--input", frag, "--index", idx, "--shards", "2"])
+        assert ex.value.code == 2
+        err = capsys.readouterr().err.strip().splitlines()[-1]
+        assert "replaced" in json.loads(err)["error"]
+
     def test_build_query_merge_verbs(self, tmp_path, ray_session, capsys):
         import json
 
