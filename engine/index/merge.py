@@ -10,7 +10,7 @@ shuffle: posting lists of one shard never leave their task).
 Determinism: the merge concatenates (term, doc_key)-sorted postings from
 doc-disjoint segments (different builds index different input fragments) and
 re-encodes — an associative+commutative fold, so any merge order yields the
-same final segment content (tested in tests/test_merge.py). Queries see
+same final segment content (tested in tests/test_merge_resume.py). Queries see
 either pre- or post-merge state atomically via the manifest swap; results
 are identical because scoring sums df across live segments either way.
 """
