@@ -23,6 +23,8 @@ import os
 import shutil
 import sys
 
+from engine.core.errors import InputRefusedError
+
 
 def _init_ray(num_cpus: int | None):
     import ray
@@ -196,11 +198,12 @@ def main(argv=None):
                 shutil.rmtree(args.out)
             synth_transcripts(args.convs, seed=args.seed).write_parquet(args.out)
             print(json.dumps({"written": args.out}))
-    except ValueError as e:
-        # user-input refusals (e.g. the replaced-corpus guard) print ONE
-        # clean JSON error line, not a traceback
+    except InputRefusedError as e:
+        # deliberate user-input refusals (engine/core/errors.py) print ONE
+        # clean JSON error line; exit 3 is distinct from argparse's usage
+        # errors (2). Internal errors stay loud tracebacks.
         print(json.dumps({"error": str(e)}), file=sys.stderr)
-        raise SystemExit(2)
+        raise SystemExit(3)
     finally:
         if owned:  # never tear down a session someone else initialised
             ray.shutdown()

@@ -162,7 +162,9 @@ def build_index(
                     if [st.st_size, st.st_mtime_ns] != list(rec):
                         changed.append(f)
             if replaced or changed:
-                raise ValueError(
+                from engine.core.errors import InputRefusedError
+
+                raise InputRefusedError(
                     f"input corpus was replaced since a previous build: "
                     f"{len(replaced)} committed fragment(s) no longer exist and "
                     f"{len(changed)} changed size/mtime under "

@@ -249,7 +249,8 @@ class TestMultimodal:
 class TestCLI:
     def test_build_refusal_is_clean_json_error(self, tmp_path, ray_session, capsys):
         """A replaced-corpus refusal through the CLI is one JSON error line
-        on stderr and exit code 2, not a traceback."""
+        on stderr and exit code 3 (distinct from argparse's usage-error 2),
+        not a traceback."""
         import json
         import os
 
@@ -265,7 +266,7 @@ class TestCLI:
         os.rename(f"{frag}/part0.parquet", f"{frag}/part1.parquet")
         with pytest.raises(SystemExit) as ex:
             main(["build", "--input", frag, "--index", idx, "--shards", "2"])
-        assert ex.value.code == 2
+        assert ex.value.code == 3
         err = capsys.readouterr().err.strip().splitlines()[-1]
         assert "replaced" in json.loads(err)["error"]
 
