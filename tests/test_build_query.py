@@ -85,6 +85,36 @@ class TestRankIdentity:
             np.testing.assert_array_equal(got_keys, want_keys, err_msg=f"q{qid}: {qtext}")
             np.testing.assert_allclose(got_scores, want_scores, rtol=0, atol=1e-6)
 
+    def test_random_query_rank_identity_all_modes(self, index_dir, oracle, corpus):
+        """Hypothesis: ARBITRARY query text — corpus vocab mixed with random
+        unicode junk, hit/miss blends, duplicate terms, no-token queries —
+        is bit-identical to the oracle in every scoring mode. The seeded
+        query sets above only sample corpus vocab; this pins the contract on
+        unseen input."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from engine.text.analyzer import Analyzer
+
+        t, _ = corpus
+        an = Analyzer()
+        vocab = sorted({w for text in t["text"].to_pylist()[:50] for w in an.tokens(text)})[:100]
+        servers = {m: SegmentServer(index_dir, k=10, mode=m)
+                   for m in ("wand", "exhaustive", "dense")}
+        token = st.one_of(st.sampled_from(vocab), st.text(min_size=1, max_size=8))
+        qstrat = st.lists(token, min_size=1, max_size=5).map(" ".join)
+
+        @settings(max_examples=100, deadline=None)
+        @given(qstrat)
+        def check(qtext):
+            wk, ws = oracle.topk(qtext, 10)
+            for mode, srv in servers.items():
+                gk, gs = srv.topk(qtext, 10)
+                np.testing.assert_array_equal(gk, wk, err_msg=f"{mode}: {qtext!r}")
+                np.testing.assert_array_equal(gs, ws, err_msg=f"{mode}: {qtext!r}")
+
+        check()
+
     def test_not_queries(self, index_dir, oracle):
         """D4: exclusion removes docs matching any excluded term."""
         srv = SegmentServer(index_dir, k=10)
