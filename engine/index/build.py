@@ -412,15 +412,15 @@ def audit_doc_keys(index_dir: str) -> dict:
     import pyarrow as pa
     import ray.data as rd
 
+    from engine.query.hydrate import committed_docmap_dirs
+
     manifest = Manifest(index_dir)
-    docmap_root = os.path.join(index_dir, "docmap")
     num_parts = int(manifest.data.get("docmap_parts") or 0)
     by_part: dict[int, list[str]] = {}
     legacy: list[str] = []
-    for d in sorted(os.listdir(docmap_root)):
-        build_dir = os.path.join(docmap_root, d)
-        if not os.path.isdir(build_dir):
-            continue
+    # manifest-committed builds ONLY: a crashed/in-flight build's docmap
+    # duplicates committed keys and would report false collisions
+    for build_dir in committed_docmap_dirs(index_dir):
         part_dirs = [e for e in sorted(os.listdir(build_dir)) if e.startswith("part=")]
         if num_parts and part_dirs:
             for e in part_dirs:

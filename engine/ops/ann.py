@@ -147,13 +147,13 @@ def build_ivf_index(sf_dir: str, index_dir: str, *, n_lists: int = 16, seed: int
     parameters differ."""
     import json
     import os
-    import shutil
-
-    import ray
 
     src_fp = _source_fingerprint(sf_dir)
     meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(meta_path):
+
+    def _cached():
+        if not os.path.exists(meta_path):
+            return None
         with open(meta_path) as f:
             meta = json.load(f)
         if (
@@ -162,6 +162,30 @@ def build_ivf_index(sf_dir: str, index_dir: str, *, n_lists: int = 16, seed: int
             and meta.get("source_fingerprint") == src_fp
         ):
             return meta
+        return None
+
+    meta = _cached()
+    if meta is not None:
+        return meta
+    # check-then-rebuild must be atomic ACROSS PROCESSES: two drivers racing
+    # a cold cache would both rmtree lists/ then both append files into the
+    # partition dirs → every vector duplicated (ADVICE r2). Same flock
+    # pattern as pipelines._index_lock, keyed on this index_dir.
+    from engine.pipelines import _index_lock
+
+    with _index_lock(index_dir):
+        meta = _cached()  # another process may have built while we waited
+        if meta is not None:
+            return meta
+        return _build_ivf_locked(sf_dir, index_dir, n_lists, seed, src_fp, meta_path)
+
+
+def _build_ivf_locked(sf_dir, index_dir, n_lists, seed, src_fp, meta_path) -> dict:
+    import json
+    import os
+    import shutil
+
+    import ray
 
     ds = _read_embeddings(sf_dir)
     centroids = _train_centroids(ds, n_lists, seed)

@@ -48,17 +48,21 @@ import numpy as np
 import pyarrow as pa
 
 
-def _bucket_keys(index_dir: str, d_buckets: int) -> list[np.ndarray]:
+def _bucket_keys(index_dir: str, d_buckets: int, manifest=None) -> list[np.ndarray]:
     """Sorted doc_key array per bucket (one array, bucket 0, if unbucketed).
 
     COMMITTED builds' docmaps only (engine/query/hydrate.py): an in-flight
     or crashed build's docmap rows would shift sorted positions and scatter
-    sidecar weights into the wrong doc slots."""
+    sidecar weights into the wrong doc slots. Callers holding a manifest
+    snapshot (SegmentServer) MUST pass it: a build committing between actor
+    construction and first dense query would otherwise lengthen these key
+    arrays while sidecar freshness still validates against the snapshot's
+    stats — silently mis-scattered scores (ADVICE r2)."""
     import pyarrow.dataset as pads
 
     from engine.query.hydrate import committed_docmap_files
 
-    files = committed_docmap_files(index_dir)
+    files = committed_docmap_files(index_dir, manifest=manifest)
     keys = (
         pads.dataset(files, format="parquet").to_table(columns=["doc_key"])["doc_key"]
         .to_numpy()
@@ -103,7 +107,7 @@ def densify_index(index_dir: str) -> dict:
     t = pads.dataset(stats_dir, format="parquet").to_table(columns=["term", "df"])
     df_global = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
-    keys_ref = ray.put(_bucket_keys(index_dir, d_buckets))
+    keys_ref = ray.put(_bucket_keys(index_dir, d_buckets, manifest=manifest))
     df_ref = ray.put(df_global)
     dense_root = os.path.join(index_dir, "dense")
     os.makedirs(dense_root, exist_ok=True)
@@ -139,6 +143,11 @@ def densify_index(index_dir: str) -> dict:
             dk, tf, dl = seg.read_all_postings()
             bucket = int(shard) // s_total if d_buckets > 1 else 0
             keys = bucket_keys[bucket]
+            if keys.size == 0 and dk.size:
+                # empty committed docmap but live postings: same error as the
+                # populated-mismatch case, not a bare IndexError from the
+                # keys[-1] fancy-index below (ADVICE r2)
+                raise RuntimeError(f"segment {name}: doc_keys missing from docmap")
             pos = np.searchsorted(keys, dk)
             if dk.size and not (
                 (pos < keys.size).all() and (keys[np.minimum(pos, keys.size - 1)] == dk).all()

@@ -192,7 +192,7 @@ class SegmentServer:
         from engine.query.densify import _bucket_keys
 
         d_buckets = int(self.manifest.data.get("doc_buckets", 1))
-        per_bucket = _bucket_keys(self.manifest.index_dir, d_buckets)
+        per_bucket = _bucket_keys(self.manifest.index_dir, d_buckets, manifest=self.manifest)
         self._dense: dict[int, list] = {}
         if d_buckets <= 1:
             buckets = [0]

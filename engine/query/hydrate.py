@@ -18,18 +18,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def committed_docmap_dirs(index_dir: str) -> list[str]:
+def committed_docmap_dirs(index_dir: str, manifest=None) -> list[str]:
     """docmap/build-<id> dirs belonging to MANIFEST-COMMITTED builds only.
     A crashed or still-running build writes its docmap BEFORE the manifest
     commit; reading those rows would hydrate (and, worse, dense-scatter —
-    engine/query/densify.py) against doc keys the index doesn't serve."""
+    engine/query/densify.py) against doc keys the index doesn't serve.
+
+    ``manifest``: pass a caller-held snapshot so the build list is COHERENT
+    with the caller's other manifest-derived state (e.g. a SegmentServer's
+    construction-time stats — a build committing concurrently must not make
+    this function see docmap rows the caller's segment list doesn't serve)."""
     from engine.io.manifest import Manifest
 
     docmap_root = os.path.join(index_dir, "docmap")
     if not os.path.isdir(docmap_root):
         return []
     committed = {
-        f"build-{b['build_id']}" for b in Manifest(index_dir).data.get("builds", [])
+        f"build-{b['build_id']}"
+        for b in (manifest or Manifest(index_dir)).data.get("builds", [])
     }
     return [
         os.path.join(docmap_root, d)
@@ -38,10 +44,10 @@ def committed_docmap_dirs(index_dir: str) -> list[str]:
     ]
 
 
-def committed_docmap_files(index_dir: str) -> list[str]:
+def committed_docmap_files(index_dir: str, manifest=None) -> list[str]:
     """Every parquet file of every committed build's docmap."""
     files: list[str] = []
-    for bd in committed_docmap_dirs(index_dir):
+    for bd in committed_docmap_dirs(index_dir, manifest=manifest):
         for root, _d, fs in os.walk(bd):
             files.extend(os.path.join(root, f) for f in sorted(fs) if f.endswith(".parquet"))
     return files

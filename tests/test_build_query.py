@@ -288,6 +288,30 @@ class TestDocKeyAudit:
         out = audit_doc_keys(d)
         assert out["collisions"] == 50
 
+    def test_orphan_docmap_ignored(self, tmp_path, corpus, ray_session):
+        """An UNCOMMITTED (crashed / in-flight) build's docmap dir must not
+        feed the audit: its rows duplicate committed keys and would report
+        false collisions (ADVICE r2). The audit must walk
+        committed_docmap_dirs, not os.listdir(docmap/)."""
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from engine.index.build import audit_doc_keys
+
+        t, _ = corpus
+        d = str(tmp_path / "orphidx")
+        build_index(rd.from_arrow(t), d, num_shards=4, build_id="real")
+        # simulate a crashed second build: docmap written, manifest NOT
+        # committed — exact duplicate of the committed docmap
+        src = os.path.join(d, "docmap", "build-real")
+        shutil.copytree(src, os.path.join(d, "docmap", "build-crashed"))
+        out = audit_doc_keys(d)
+        assert out["collisions"] == 0
+        assert out["n_docs"] == t.num_rows
+
 
 class TestNFKCAnalyzer:
     def test_nfkc_unicode_build_query_rank_identical(self, tmp_path, ray_session):
