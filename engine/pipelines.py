@@ -148,11 +148,20 @@ def documents_corpus(sf_dir: str):
 def documents_index(sf_dir: str, num_shards: int = 8) -> str:
     """Build (once per corpus CONTENT) the documents BM25 index."""
     fp = _src_fp(f"{sf_dir}/documents.parquet")
-    key = hashlib.md5(f"{sf_dir}|{num_shards}|{fp}|v1".encode()).hexdigest()[:10]
+    # v2: layout now includes the post-build compaction — a v1 (uncompacted)
+    # cache dir must not satisfy this key
+    key = hashlib.md5(f"{sf_dir}|{num_shards}|{fp}|v2".encode()).hexdigest()[:10]
     idx = os.path.join(INDEX_ROOT, f"docs-{key}")
     with _index_lock(idx):
         if _needs_build(idx):
             build_index(documents_corpus(sf_dir), idx, num_shards=num_shards, build_id="docs")
+            # the runs exchange emits one segment per shard per run; left
+            # unmerged, every ft_* query pays per-run segment fan-out
+            # (measured 3-4x on bm25_documents, VERDICT r2 #1) — compact to
+            # one segment per shard while we still hold the build lock
+            from engine.index.merge import run_merge
+
+            run_merge(idx, compact=True)
             _gc_stale_generations("docs", idx)
     return idx
 
