@@ -507,6 +507,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
+        # tr_bm25_topk10 runs the SAME materialized corpus + query set through
+        # the query_index surface, so the same SQL value-checks both entries
+        "tr_bm25_topk10": _tr_bm25_oracle_sql(10),
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "tr_text_identity": _tr_text_identity_sql(),
         "ft_term_stats": f"""

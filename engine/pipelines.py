@@ -325,28 +325,29 @@ def ft_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
-# -- transcripts-corpus pipelines (no SQL view exists → rows-only checks) ----
-
-def transcripts_index(n_convs: int = 150, seed: int = 42) -> str:
-    from engine.io.synth import synth_transcripts
-
-    key = hashlib.md5(f"tr|{n_convs}|{seed}|v1".encode()).hexdigest()[:10]
-    idx = os.path.join(INDEX_ROOT, f"tr-{key}")
-    with _index_lock(idx):
-        if _needs_build(idx):
-            build_index(synth_transcripts(n_convs, seed=seed), idx, num_shards=8, build_id="tr")
-    return idx
-
+# -- transcripts-corpus pipelines --------------------------------------------
 
 def tr_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Flagship transcript pipeline: synth corpus → build → BM25 top-k with
-    docID hydration (docID = conv_id:turn_idx)."""
+    """Flagship transcript pipeline through the FULL ``query_index`` surface
+    (P5 sorted-output Dataset + J1 hydration), driver-oracle-checked: runs
+    over the MATERIALIZED oracle corpus (tr_oracle_index) so the same DuckDB
+    SQL that checks tr_bm25_oracle value-checks this path too — the two
+    entries now differ only in which engine surface they exercise
+    (query_index vs raw SegmentServer map_batches), which is the point
+    (VERDICT r2 #4). Columns: qid, rank, doc_id, doc_key, score_micro."""
     from engine.oracle.bm25 import seeded_query_set
     from engine.query.engine import query_index
 
-    idx = transcripts_index()
-    res = query_index(idx, seeded_query_set(20, seed=7), k=k, concurrency=2).to_pandas()
-    return res[["qid", "rank", "doc_id", "doc_key", "score"]].reset_index(drop=True)
+    _path, idx = tr_oracle_index()
+    res = query_index(
+        idx, seeded_query_set(20, seed=7), k=k, concurrency=2, score_micro=True
+    ).to_pandas()
+    res = res.rename(columns={"score": "score_micro"})
+    out = res[["qid", "rank", "doc_id", "doc_key", "score_micro"]]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype(
+        {"qid": "int64", "rank": "int64", "doc_key": "int64", "score_micro": "int64"}
+    )
 
 
 # -- oracle-checked transcript path -----------------------------------------

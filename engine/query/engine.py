@@ -452,6 +452,7 @@ def query_index(
     hydrate: bool = True,
     sort_output: bool = True,
     conjunctive: bool = False,
+    score_micro: bool = False,
 ):
     """queries: Dataset(qid, text) or list[(qid, text)] → results Dataset
     (qid, rank, doc_id?, doc_key, score), sorted by (qid, rank) unless
@@ -465,6 +466,7 @@ def query_index(
         SegmentServer,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode,
                                "conjunctive": conjunctive,
+                               "score_micro": score_micro,
                                "analyzer_obj": _driver_analyzer(index_dir)},
         batch_format="pyarrow",
         zero_copy_batch=True,
