@@ -225,6 +225,44 @@ FROM g ORDER BY doc_id
 """
 
 
+def _ann_ivf_topk_sql() -> str:
+    """Oracle for the APPROXIMATE IVF path (nprobe < n_lists): brute-force
+    cosine restricted to each query's probed lists, recomputed by DuckDB
+    from the engine's own persisted artifacts — the hive assignment parquet
+    (vec_id, lid) and a probe table (qid, lid) materialized with the same
+    numpy routing expression ivf_query uses. Pinned to the driver's
+    correctness scale (sf0.01), like the lang-ID profile oracle; raises
+    OSError when that dataset is absent so the caller degrades this entry
+    to rows-only."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        raise OSError("driver correctness dataset absent")
+    from engine.ops.ann import ivf_probe_artifacts
+
+    index_dir, probe_path = ivf_probe_artifacts(sf, n_queries=5, nprobe=4)
+    lists_glob = f"{index_dir}/lists/*/*.parquet"
+    return f"""
+WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+probe AS (SELECT qid, lid FROM read_parquet('{probe_path}')),
+assign AS (SELECT vec_id, lid FROM read_parquet('{lists_glob}')),
+cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (lid)),
+sims AS (
+  SELECT c.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id AND e.vec_id <> c.qid
+  JOIN q ON q.qid = c.qid
+)
+SELECT qid, rank, vec_id, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
+  FROM sims
+) WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+
 def _lang_id_scored_sql() -> str:
     """ta_lang_id_scored oracle: trigram extraction, integer scoring, argmax
     and confidence recomputed by DuckDB against the SAME materialized profile
@@ -700,6 +738,12 @@ FROM documents ORDER BY doc_id
     # breaking every oracle in the dict.
     try:
         sql["ta_lang_id_scored"] = _lang_id_scored_sql()
+    except OSError:
+        pass
+    # same degrade rule: the approximate-IVF oracle reads the engine's
+    # persisted assignments for the pinned correctness dataset (sf0.01)
+    try:
+        sql["ann_ivf_topk"] = _ann_ivf_topk_sql()
     except OSError:
         pass
     return sql

@@ -318,6 +318,50 @@ def ivf_query(index_dir: str, q_ids: np.ndarray, qm: np.ndarray, *, k: int = 10,
     return out.sort_values(["qid", "rank"]).reset_index(drop=True).astype("int64")
 
 
+def ivf_probe_artifacts(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
+                        n_lists: int = 16, seed: int = 13) -> tuple[str, str]:
+    """(index_dir, probe_parquet_path) for the SQL oracle of the APPROXIMATE
+    IVF path (VERDICT r2 #2): build (idempotent, locked) the persisted IVF
+    artifact, then materialize the per-query probed-list table (qid, lid)
+    with the SAME numpy routing expression ivf_query uses — DuckDB can then
+    rerun "brute-force cosine restricted to each query's probed lists" from
+    the engine's own persisted hive assignments. The probe file is keyed by
+    the source fingerprint (same hazard as the index cache: a regenerated
+    corpus re-trains centroids, so stale probes must never be served)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_lists}|{seed}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/engine_indexes/ivf-{tag}"
+    meta = build_ivf_index(sf_dir, index_dir, n_lists=n_lists, seed=seed)
+    probe_path = os.path.join(
+        index_dir, f"probe_q{n_queries}_np{nprobe}_{meta['source_fingerprint']}.parquet"
+    )
+    if not os.path.exists(probe_path):
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t["vec_id"], n_queries)).sort_by("vec_id")
+        qm = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        )
+        centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+        qids = t["vec_id"].to_numpy().astype(np.int64)
+        rows = pa.table(
+            {
+                "qid": pa.array(np.repeat(qids, probe.shape[1]), type=pa.int64()),
+                "lid": pa.array(probe.ravel().astype(np.int64), type=pa.int64()),
+            }
+        )
+        tmp = f"{probe_path}.tmp-{os.getpid()}"
+        pq.write_table(rows, tmp)
+        os.replace(tmp, probe_path)
+    return index_dir, probe_path
+
+
 def ivf_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10, n_lists: int = 16, nprobe: int = 4,
              seed: int = 13, index_dir: str | None = None):
     """Driver-facing IVF ANN: build the persisted artifact once per

@@ -224,6 +224,45 @@ class TestANNRecall:
                     )
         assert set(res["vec_id"]).issubset(allowed), (probed, set(res["vec_id"]) - allowed)
 
+    def test_ivf_probe_artifacts_match_query_routing(self, ray_session):
+        """The SQL-oracle probe table must list, per query, EXACTLY the
+        lists ivf_query routes to — and DuckDB replaying 'brute-force cosine
+        restricted to those lists' over the persisted assignments must
+        reproduce ivf_topk (the ann_ivf_topk oracle, VERDICT r2 #2)."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from engine.ops.ann import ivf_probe_artifacts, ivf_topk
+
+        sf = "/root/testdata/sf0.001"
+        idx, probe_path = ivf_probe_artifacts(sf, n_queries=5, nprobe=4)
+        probes = pq.read_table(probe_path).to_pandas()
+        assert sorted(probes["qid"].unique()) == [0, 1, 2, 3, 4]
+        assert (probes.groupby("qid").size() == 4).all()
+
+        got = ivf_topk(sf, n_queries=5, k=10, nprobe=4)
+        want = duckdb.sql(f"""
+WITH q AS (SELECT vec_id qid, embedding
+           FROM read_parquet('{sf}/embeddings.parquet') WHERE vec_id < 5),
+probe AS (SELECT qid, lid FROM read_parquet('{probe_path}')),
+assign AS (SELECT vec_id, lid FROM read_parquet('{idx}/lists/*/*.parquet')),
+cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (lid)),
+sims AS (
+  SELECT c.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM cand c
+  JOIN read_parquet('{sf}/embeddings.parquet') e
+    ON e.vec_id = c.vec_id AND e.vec_id <> c.qid
+  JOIN q ON q.qid = c.qid
+)
+SELECT qid, rank, vec_id, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
+  FROM sims
+) WHERE rank <= 10 ORDER BY qid, rank
+""").df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want.astype("int64"))
+
 
 class TestMultimodal:
     def test_fake_decoder_pipeline(self, ray_session):
