@@ -225,6 +225,58 @@ FROM g ORDER BY doc_id
 """
 
 
+def _dedup_simhash_sql() -> str:
+    """PARTIAL oracle for simhash banding (VERDICT r2 #8): the signature
+    function is engine-defined (Jaccard-SQL equivalence is measured
+    infeasible — engine/ops/dedup.py simhash_pairs docstring), but the pair
+    LOGIC — 4×16-bit band explode, bucket-size guard, hamming≤3 verify,
+    pair dedup — is replayed by DuckDB from the materialized signature
+    parquet. Pinned to the driver's correctness scale (sf0.01); OSError
+    degrades this entry to rows-only."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        raise OSError("driver correctness dataset absent")
+    from engine.ops.dedup import simhash_signature_parquet
+
+    sig_path = simhash_signature_parquet(sf)
+    # uval: the int64 signature reinterpreted as its unsigned 64-bit value
+    # (HUGEINT, exact) so the band extraction matches numpy's uint64 shifts
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         simhash,
+         CASE WHEN simhash < 0
+              THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+              ELSE simhash::HUGEINT END AS uval
+  FROM read_parquet('{sig_path}')
+),
+b AS (
+  -- divisor spelled as exact HUGEINT literals: ^ is pow() returning DOUBLE,
+  -- which loses bits against 2^64-scale uval
+  SELECT doc_id, simhash, band,
+         ((uval // divisor) % 65536)::BIGINT AS band_val
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band,
+                  unnest([1::HUGEINT, 65536::HUGEINT,
+                          4294967296::HUGEINT, 281474976710656::HUGEINT]) AS divisor) bands
+),
+ok_buckets AS (
+  SELECT band, band_val FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 2000
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
+         bit_count(xor(x.simhash, y.simhash))::BIGINT hamming
+  FROM b x
+  JOIN ok_buckets USING (band, band_val)
+  JOIN b y USING (band, band_val)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a::BIGINT doc_a, doc_b::BIGINT doc_b, hamming
+FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b
+"""
+
+
 def _ann_ivf_topk_sql() -> str:
     """Oracle for the APPROXIMATE IVF path (nprobe < n_lists): brute-force
     cosine restricted to each query's probed lists, recomputed by DuckDB
@@ -744,6 +796,11 @@ FROM documents ORDER BY doc_id
     # persisted assignments for the pinned correctness dataset (sf0.01)
     try:
         sql["ann_ivf_topk"] = _ann_ivf_topk_sql()
+    except OSError:
+        pass
+    # partial oracle: pair logic replayed from the materialized signatures
+    try:
+        sql["dedup_simhash_pairs"] = _dedup_simhash_sql()
     except OSError:
         pass
     return sql

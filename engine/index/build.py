@@ -45,6 +45,45 @@ def _default_concurrency():
     return (1, max(2, cpus))
 
 
+def plan_read_units(files: list[str], n_units: int) -> list[list[list]]:
+    """Row-balanced CONTIGUOUS partition of the fragments' row groups into
+    ``n_units`` work units (each a list of [file, rg_lo, rg_hi] spans).
+    Units are cut at prefix-sum boundaries, so imbalance is at most one row
+    group — this is what makes the runs-exchange waves even (see
+    triples.run_unit_fn). Driver cost: one footer read per fragment."""
+    spans: list[tuple[str, int, int]] = []  # (file, rg, rows)
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            if n:
+                spans.append((f, rg, n))
+    total = sum(s[2] for s in spans)
+    if not spans or total == 0:
+        return []
+    n_units = max(1, min(n_units, len(spans)))
+    cuts = [total * k // n_units for k in range(1, n_units)]
+    units: list[list[list]] = []
+    cur: list[list] = []
+    acc = 0
+    ci = 0
+    for f, rg, n in spans:
+        if cur and cur[-1][0] == f and cur[-1][2] == rg:
+            cur[-1][2] = rg + 1
+        else:
+            cur.append([f, rg, rg + 1])
+        acc += n
+        while ci < len(cuts) and acc >= cuts[ci]:
+            # while, not if: one coarse row group can straddle several cut
+            # points (empty units are dropped below)
+            units.append(cur)
+            cur = []
+            ci += 1
+    if cur:
+        units.append(cur)
+    return [u for u in units if u]
+
+
 def _as_dataset(source, columns: list[str] | None = None, override_num_blocks: int | None = None):
     """Column-pruned Dataset view of the source; keeps an externally supplied
     doc_key column when present (see triples.py)."""
@@ -102,11 +141,28 @@ def build_index(
     ts_max=None,
     dedup_input: bool = False,
 ) -> Manifest:
+    import time as _time
+
+    _phase_t = [_time.monotonic()]
+
+    def _phase(name: str) -> None:
+        # opt-in phase telemetry (GRAFT_TIMING=1): serial driver sections are
+        # invisible in stage wall-times but set the scaling ceiling (Amdahl) —
+        # this is how they get found and kept small
+        now = _time.monotonic()
+        if os.environ.get("GRAFT_TIMING"):
+            import sys as _sys
+
+            print(f'{{"build_phase": "{name}", "sec": {now - _phase_t[0]:.3f}}}',
+                  file=_sys.stderr, flush=True)
+        _phase_t[0] = now
+
     if salt_map == "auto":
         # A4 head-term sketch over a bounded sample → dedicated salt ranges
         from engine.index.skew import sketch_salt_map
 
         salt_map = sketch_salt_map(source, num_shards, analyzer=analyzer)
+        _phase("salt_sketch")
     manifest = Manifest(index_dir)
     if manifest.data["num_base_shards"] is None:
         manifest.data["num_base_shards"] = num_shards
@@ -227,12 +283,14 @@ def build_index(
     manifest.data["docmap_parts"] = docmap_parts
     import functools as _ft
 
+    _phase("plan_inputs")
     ds_a, _ = _as_dataset(source, columns=["conv_id", "turn_idx"] + extra_cols)
     _prepare(ds_a).map_batches(
         _ft.partial(docmap_rows, num_parts=docmap_parts),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).write_parquet(docmap_dir, partition_cols=["part"])
+    _phase("docmap_write")
     n_docs = 0
     for root, _dirs, files in os.walk(docmap_dir):
         n_docs += sum(
@@ -240,6 +298,7 @@ def build_index(
             for f in files
             if f.endswith(".parquet")
         )
+    _phase("docmap_footer_scan")
 
     # -- pass B: triples → exchange → segments ------------------------------
     from contextlib import nullcontext
@@ -265,15 +324,29 @@ def build_index(
     # the tiered merge compacts (engine/index/merge.py).
     run_eff = run_rows
     onb = None
+    cpus = _default_concurrency()[1]
     if exchange == "runs" and isinstance(source, list):
         total_rows = sum(pq.read_metadata(f).num_rows for f in source)
-        cpus = _default_concurrency()[1]
         run_eff = int(min(run_rows, max(32_768, total_rows // max(1, 2 * cpus))))
         onb = max(1, total_rows // run_eff)
-    ds_b, _ = _as_dataset(
-        source, columns=["conv_id", "turn_idx", "text"] + extra_cols, override_num_blocks=onb
+    # planned-unit fast path (see triples.run_unit_fn): reads its own row
+    # groups, so it must NOT be used when _prepare needs a Dataset-level
+    # pass (input dedup) or when the analyzer wants an actor pool
+    from engine.text.analyzer import analyzer_is_expensive as _is_exp
+
+    unit_path = (
+        exchange == "runs"
+        and isinstance(source, list)
+        and not dedup_input
+        and not _is_exp(analyzer)
     )
-    ds_b = _prepare(ds_b)
+    if unit_path:
+        ds_b = None
+    else:
+        ds_b, _ = _as_dataset(
+            source, columns=["conv_id", "turn_idx", "text"] + extra_cols, override_num_blocks=onb
+        )
+        ds_b = _prepare(ds_b)
     import functools
 
     # ship the analyzer CLASS (not its registry name) to workers: the
@@ -307,12 +380,40 @@ def build_index(
     #   blocks (best straggler behavior) but materializes the full triple
     #   set through the object store; fastest at small scale only.
     if exchange == "runs":
-        from engine.index.triples import EmitAssemble, emit_assemble_fn
+        from engine.index.triples import EmitAssemble, emit_assemble_fn, run_unit_fn
 
         fused_kwargs = dict(
             emit_kwargs, segments_dir=segments_dir, build_id=build_id, lineage=lineage
         )
-        if analyzer_is_expensive(analyzer):
+        if unit_path:
+            import json as _json
+
+            import ray.data as rd
+
+            # cap units by the min-run floor: a tiny corpus must not shatter
+            # into 2×cpus dust runs (and their segments); large corpora get
+            # exactly 2 tasks/core (the A/B-measured optimum)
+            units = plan_read_units(
+                source, min(2 * cpus, max(1, total_rows // 32_768))
+            )
+            metrics_ds = rd.from_items(
+                [{"unit": _json.dumps(u)} for u in units],
+                override_num_blocks=max(1, len(units)),
+            ).map_batches(
+                functools.partial(
+                    run_unit_fn,
+                    columns=["conv_id", "turn_idx", "text"] + extra_cols,
+                    run_rows=run_eff,
+                    roles=roles,
+                    ts_min=ts_min,
+                    ts_max=ts_max,
+                    **fused_kwargs,
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=1,
+            )
+        elif analyzer_is_expensive(analyzer):
             metrics_ds = ds_b.map_batches(
                 EmitAssemble,
                 fn_constructor_kwargs=fused_kwargs,
@@ -372,6 +473,11 @@ def build_index(
         metrics = metrics_ds.to_pandas()  # one row per segment — small
     finally:
         _exchange_ctx.__exit__(None, None, None)
+    _phase("exchange")
+    if os.environ.get("GRAFT_TIMING_STATS"):
+        import sys as _sys
+
+        print(metrics_ds.stats(), file=_sys.stderr, flush=True)
 
     segments = [
         {
@@ -388,6 +494,7 @@ def build_index(
     sum_dl = int(metrics["sum_cf"].sum()) if len(metrics) else 0
     manifest.add_build(build_id, segments, n_docs=n_docs, sum_dl=sum_dl, lineage=lineage)
     manifest.commit()
+    _phase("manifest_commit")
     if doc_buckets > 1:
         # bucketed layout: per-term GLOBAL df/cf live across buckets → roll
         # up the segment dictionaries into the term_stats artifact that

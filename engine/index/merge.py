@@ -155,9 +155,22 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
     Ray-Data mapping: the merge work-list becomes a Dataset; each plan runs
     as one task (map_batches with batch_size=1 over plan rows)."""
     import json
+    import time
     import uuid
 
     import ray.data as rd
+
+    _t = [time.monotonic()]
+
+    def _phase(name: str) -> None:
+        # opt-in serial-section telemetry, same contract as build_index
+        now = time.monotonic()
+        if os.environ.get("GRAFT_TIMING"):
+            import sys
+
+            print(f'{{"merge_phase": "{name}", "sec": {now - _t[0]:.3f}}}',
+                  file=sys.stderr, flush=True)
+        _t[0] = now
 
     manifest = Manifest(index_dir)
     rebucket = doc_buckets is not None and doc_buckets > 1
@@ -184,6 +197,7 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
         doc_buckets = 1
         s_total = 0
     plans = plan_merges(manifest, fanin, compact=compact, rebucket=rebucket)
+    _phase("plan")
     if not plans:
         return 0
     merge_id = merge_id or ("m" + uuid.uuid4().hex[:7])
@@ -216,6 +230,7 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
         .map_batches(do_merge, batch_format="pyarrow", batch_size=1)
         .to_pandas()
     )
+    _phase("merge_tasks")
 
     # atomic manifest swap: add merged segments, tombstone inputs
     merged_names: set[str] = set().union(*(p["segments"] for p in plans))
@@ -246,7 +261,9 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
     if rebucket:
         manifest.data["doc_buckets"] = int(doc_buckets)
     manifest.commit()
+    _phase("manifest_commit")
     gc_tombstoned(index_dir, only=merged_names)
+    _phase("gc_tombstoned")
     if rebucket:
         # bucketed queries need GLOBAL per-term df (a bucket's dict df only
         # counts its own docs) — refresh the term_stats artifact
@@ -314,14 +331,25 @@ def gc_tombstoned(index_dir: str, only: set[str] | None = None) -> int:
     if only is not None:
         dead &= set(only)
     segments_dir = os.path.join(index_dir, "segments")
-    n = 0
     dense_root = os.path.join(index_dir, "dense")
-    for d in dead:
+
+    def _rm(d: str) -> int:
+        k = 0
         p = os.path.join(segments_dir, d)
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
-            n += 1
+            k = 1
         dp = os.path.join(dense_root, d)
         if os.path.isdir(dp):  # the segment's dense sidecar dies with it
             shutil.rmtree(dp, ignore_errors=True)
-    return n
+        return k
+
+    # a compaction tombstones runs×shards directories (measured ~1-1.7s of
+    # SERIAL driver unlinking after every merge — pure Amdahl overhead on
+    # the scaling legs); unlink is IO-bound, so a thread pool hides it
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dead) > 8:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return sum(ex.map(_rm, dead))
+    return sum(map(_rm, dead))

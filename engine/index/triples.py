@@ -154,6 +154,70 @@ def emit_assemble_fn(batch: pa.Table, **kw) -> pa.Table:
     return em(batch)
 
 
+def run_unit_fn(batch: pa.Table, *, columns: list[str], run_rows: int,
+                roles=None, ts_min=None, ts_max=None, **fused_kw) -> pa.Table:
+    """Planned-unit variant of the runs exchange: each input row is ONE
+    task's work unit — a JSON list of (file, rg_lo, rg_hi) row-group spans,
+    row-balanced by the driver (engine/index/build.py plan_read_units). The
+    task reads its own row groups (page cache, column-pruned), applies the
+    input predicates table-level, slices into ≈run_rows runs and emits
+    segments via the fused EmitAssemble.
+
+    Why not read_parquet + map_batches: Ray's block bundling coalesces read
+    blocks that fall just under batch_size, which produced 11 ragged tasks
+    (6.5–16.5s remote wall) from 16 even blocks on the 8-CPU scaling leg —
+    ~30% of the exchange lost to wave imbalance. Explicit units pin one
+    task per run bundle with ±1-row-group balance, and the text column
+    never transits the object store at all."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from engine.text.filters import filter_roles, filter_time
+
+    out = []
+    for unit_json in batch["unit"].to_pylist():
+        spans = json.loads(unit_json)
+        parts = []
+        cols = None
+        for f, rg_lo, rg_hi in spans:
+            pf = pq.ParquetFile(f)
+            if cols is None:
+                names = set(pf.schema_arrow.names)
+                cols = [c for c in columns if c in names]
+                if "doc_key" in names and "doc_key" not in cols:
+                    cols.append("doc_key")
+            # use_threads=False: the task owns ONE cpu; snappy+arrow decode
+            # is fast enough single-threaded and oversubscription would
+            # steal cycles from sibling tasks' tokenize/sort
+            parts.append(
+                pf.read_row_groups(list(range(rg_lo, rg_hi)), columns=cols,
+                                   use_threads=False)
+            )
+        t = pa.concat_tables(parts) if parts else None
+        if t is None or t.num_rows == 0:
+            continue
+        if roles is not None:
+            t = filter_roles(t, roles)
+        if ts_min is not None or ts_max is not None:
+            t = filter_time(t, ts_min, ts_max)
+        if t.num_rows == 0:
+            continue
+        # EVEN slicing (round, not fixed-size+tail): a unit a hair over
+        # run_rows must stay ONE run, not a full run plus a 64-segment dust
+        # remainder
+        n_runs = max(1, round(t.num_rows / max(1, run_rows)))
+        bounds = [t.num_rows * i // n_runs for i in range(n_runs + 1)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            if hi > lo:
+                out.append(emit_assemble_fn(t.slice(lo, hi - lo), **fused_kw))
+    if not out:
+        from engine.index.postings import METRICS_SCHEMA
+
+        return METRICS_SCHEMA.empty_table()
+    return pa.concat_tables(out)
+
+
 def docmap_rows(batch: pa.Table, num_parts: int = 0) -> pa.Table:
     """Cheap stateless pass (NO tokenisation — column-pruned to
     conv_id/turn_idx): docmap rows (doc_key, conv_id, turn_idx[, part]).

@@ -70,22 +70,26 @@ class LangId:
     built once per actor in __init__). The fixture corpus shares one
     vocabulary across lang labels, so this demonstrates the op (profile
     build, cosine over trigram counts) rather than real discrimination; no
-    SQL oracle (rows-only check)."""
+    SQL oracle (rows-only check). Scoring shares the vectorised
+    ``trigram_codes`` scan (VERDICT r2 #6) — the trigram grammar is the
+    langid cleaner's [a-z0-9] alphabet (the r1 variant kept non-ASCII
+    alnum, a distinction without a difference for this demo's contract)."""
 
     def __init__(self, profiles: dict[str, dict[str, float]]):
-        self.profiles = {
-            lang: (list(p.keys()), np.array(list(p.values())))
-            for lang, p in profiles.items()
-        }
+        # insertion order = tie-break order (argmax keeps the first max,
+        # matching the former sequential strict-> scan over dict order)
+        self.langs = list(profiles)
+        self.W = np.zeros((_TRI_SPACE, len(self.langs)), dtype=np.float64)
+        for j, lang in enumerate(self.langs):
+            for g, w in profiles[lang].items():
+                if len(g) == 3:
+                    self.W[trigram_code(g), j] = float(w)
+        pn = np.sqrt((self.W**2).sum(axis=0))
+        self.pnorm = np.where(pn > 0, pn, 1.0)
 
     @staticmethod
     def trigrams(text: str) -> dict[str, int]:
-        s = " " + "".join(c if c.isalnum() else " " for c in text.lower()) + " "
-        out: dict[str, int] = {}
-        for i in range(len(s) - 2):
-            g = s[i : i + 3]
-            out[g] = out.get(g, 0) + 1
-        return out
+        return dict(langid_trigrams(text))
 
     @classmethod
     def build_profiles(cls, texts_by_lang: dict[str, list[str]], top: int = 300):
@@ -101,19 +105,27 @@ class LangId:
         return profiles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for text in batch["text"].to_pylist():
-            tg = self.trigrams(text or "")
-            norm = np.sqrt(sum(v * v for v in tg.values())) or 1.0
-            best_lang, best_sim = "und", -1.0
-            for lang, (grams, weights) in self.profiles.items():
-                dot = sum(tg.get(g, 0) * w for g, w in zip(grams, weights))
-                pnorm = np.sqrt((weights**2).sum()) or 1.0
-                sim = dot / (norm * pnorm)
-                if sim > best_sim:
-                    best_lang, best_sim = lang, sim
-            preds.append(best_lang)
-            confs.append(round(float(best_sim), 6))
+        n = batch.num_rows
+        codes, nw = trigram_codes(batch["text"])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+        k = len(self.langs)
+        dots = np.zeros((n, max(k, 1)), dtype=np.float64)
+        for j in range(k):
+            dots[:, j] = np.bincount(doc_idx, weights=self.W[codes, j], minlength=n)
+        key = doc_idx * np.int64(_TRI_SPACE) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        sq = np.bincount(
+            uk // np.int64(_TRI_SPACE), weights=cnt.astype(np.float64) ** 2, minlength=n
+        )
+        norm = np.where(sq > 0, np.sqrt(sq), 1.0)
+        sims = dots / (norm[:, None] * self.pnorm) if k else np.full((n, 1), -1.0)
+        best = np.argmax(sims, axis=1)
+        preds = (
+            np.asarray(self.langs, dtype=object)[best]
+            if k
+            else np.full(n, "und", dtype=object)
+        )
+        confs = np.round(sims[np.arange(n), best], 6)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -385,7 +397,9 @@ _LANGID_CLEAN_RE = None
 
 
 def langid_trigrams(text: str):
-    """Counter of 3-codepoint windows over ' ' + clean(text) + ' '."""
+    """Counter of 3-codepoint windows over ' ' + clean(text) + ' ' (the
+    single-doc REFERENCE used to build profiles and by tests; the batch scan
+    path is the vectorised ``trigram_codes``)."""
     import re
     from collections import Counter
 
@@ -397,6 +411,61 @@ def langid_trigrams(text: str):
     s = _LANGID_CLEAN_RE.sub(" ", (text or "").translate(_SIMPLE_LOWER_FIX).lower())
     s = f" {s} "
     return Counter(s[i : i + 3] for i in range(len(s) - 2))
+
+
+# vectorised trigram machinery: after the langid cleaner every character is
+# one of 37 ASCII symbols, so a trigram is a base-37 code < 50653 and the
+# whole batch's window stream is pure numpy (VERDICT r2 #6: the per-row
+# Counter loops were the last per-row Python in a full-corpus scan)
+_TRI_SYMS = " 0123456789abcdefghijklmnopqrstuvwxyz"
+_TRI_LUT = np.zeros(256, dtype=np.int64)
+for _i, _ch in enumerate(_TRI_SYMS):
+    _TRI_LUT[ord(_ch)] = _i
+_TRI_SPACE = 50653  # 37**3
+
+
+def trigram_code(gram: str) -> int:
+    """base-37 code of one 3-char gram from the cleaned alphabet."""
+    return int(
+        _TRI_LUT[ord(gram[0])] * 1369 + _TRI_LUT[ord(gram[1])] * 37 + _TRI_LUT[ord(gram[2])]
+    )
+
+
+def trigram_codes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch trigram stream, no per-row Python: Arrow-kernel cleaning
+    (U+0130 pre-map + utf8_lower + [^a-z0-9]→space — character-identical to
+    ``langid_trigrams``; parity guarded by the hypothesis test in
+    tests/test_ops.py), then 3-byte window codes over the flat ASCII buffer.
+    Returns (flat base-37 window codes, windows-per-doc int64)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    clean = pc.replace_substring_regex(
+        pc.utf8_lower(pc.replace_substring(pc.coalesce(texts, ""), "İ", "i")),
+        "[^a-z0-9]",
+        " ",
+    )
+    padded = pc.binary_join_element_wise(" ", clean, " ", "")
+    if isinstance(padded, pa.ChunkedArray):
+        padded = padded.combine_chunks()
+    offs = np.frombuffer(padded.buffers()[1], dtype=np.int32)[
+        padded.offset : padded.offset + len(padded) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(padded.buffers()[2], dtype=np.uint8)
+    nw = np.maximum(offs[1:] - offs[:-1] - 2, 0)
+    total = int(nw.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), nw
+    t = _TRI_LUT[data]
+    code3 = t[:-2] * 1369 + t[1:-1] * 37 + t[2:]
+    w0 = np.concatenate(([0], np.cumsum(nw)))[:-1]
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(w0, nw)
+        + np.repeat(offs[:-1], nw)
+    )
+    return code3[pos], nw
 
 
 def build_langid_profiles(src: str = LANGID_PROFILE_SRC) -> dict[str, dict[str, int]]:
@@ -470,38 +539,53 @@ class LangIdScorer:
         import math
 
         # ascending lang order = the tie-break order (SQL: ORDER BY ... ,
-        # lang ASC; here: strict > keeps the earliest lang on equal values)
+        # lang ASC; argmax keeps the FIRST maximum — same semantics as the
+        # former sequential strict-> scan)
         self.langs = sorted(profiles)
-        self.weights = [profiles[l] for l in self.langs]
-        self.sqrt_pn = [
-            math.sqrt(sum(w * w for w in profiles[l].values())) for l in self.langs
-        ]
+        # dense (gram-code × lang) weight matrix: scores become positional
+        # gathers + one bincount per lang. Weights ≤ 1e6 and docs are
+        # < 2^40 windows, so float64 sums of these ints stay EXACT (< 2^53)
+        # — the single-division IEEE parity with SQL is untouched.
+        self.W = np.zeros((_TRI_SPACE, len(self.langs)), dtype=np.float64)
+        for j, lang in enumerate(self.langs):
+            for g, w in profiles[lang].items():
+                self.W[trigram_code(g), j] = float(w)
+        self.sqrt_pn = np.array(
+            [math.sqrt(sum(w * w for w in profiles[l].values())) for l in self.langs],
+            dtype=np.float64,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import math
-
-        preds, confs = [], []
-        for text in batch["text"].to_pylist():
-            tg = langid_trigrams(text)
-            dn = sum(c * c for c in tg.values())
-            best_lang, best_val, best_score, best_sp = self.langs[0], -1.0, 0, 1.0
-            for lang, w, sp in zip(self.langs, self.weights, self.sqrt_pn):
-                score = sum(c * w[g] for g, c in tg.items() if g in w)
-                val = score / sp  # single IEEE div of exact ints — SQL-equal
-                if val > best_val:
-                    best_lang, best_val, best_score, best_sp = lang, val, score, sp
-            if best_score == 0 or dn == 0:
-                confs.append(0)
-            else:
-                confs.append(
-                    int(math.floor(best_score / (best_sp * math.sqrt(dn)) * 1e6 + 0.5))
-                )
-            preds.append(best_lang)
+        n = batch.num_rows
+        codes, nw = trigram_codes(batch["text"])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+        k = len(self.langs)
+        scores = np.zeros((n, k), dtype=np.float64)
+        for j in range(k):
+            # Σ_grams count·w == Σ_window-positions w[gram at position]
+            scores[:, j] = np.bincount(doc_idx, weights=self.W[codes, j], minlength=n)
+        # dn = Σ count² per doc needs per-(doc,gram) counts
+        key = doc_idx * np.int64(_TRI_SPACE) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        dn = np.bincount(
+            uk // np.int64(_TRI_SPACE), weights=cnt.astype(np.float64) ** 2, minlength=n
+        )
+        vals = scores / self.sqrt_pn
+        best = np.argmax(vals, axis=1) if k else np.zeros(n, dtype=np.int64)
+        bs = scores[np.arange(n), best]
+        sp = self.sqrt_pn[best]
+        conf = np.zeros(n, dtype=np.int64)
+        ok = (bs != 0) & (dn != 0)
+        if ok.any():
+            conf[ok] = np.floor(
+                bs[ok] / (sp[ok] * np.sqrt(dn[ok])) * 1e6 + 0.5
+            ).astype(np.int64)
+        preds = np.asarray(self.langs, dtype=object)[best]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(preds, type=pa.string()),
-                "confidence_micro": pa.array(confs, type=pa.int64()),
+                "confidence_micro": pa.array(conf, type=pa.int64()),
             }
         )
 
