@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_minhash_verified": lambda sf: dedup.minhash_verified(sf, threshold_micro=900_000),
         "dedup_simhash_pairs": dedup.simhash_pairs,
+        # connected components over the verified pair graph (the "keep one
+        # representative per duplicate cluster" action)
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold_micro=900_000),
         "dedup_embedding_pairs": lambda sf: dedup.embedding_pairs(sf, threshold_micro=400_000),
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
@@ -702,6 +705,30 @@ SELECT doc_a, doc_b, jaccard_micro FROM (
   FROM t a JOIN t b ON a.doc_id < b.doc_id
 ) WHERE jaccard_micro >= 900000
 ORDER BY doc_a, doc_b
+""",
+        # components of the same verified pair graph, as a recursive CTE:
+        # walk seeds every endpoint with its own id and propagates labels
+        # along edges until closure; min reachable id == component min ==
+        # the engine's min-label-propagation fixpoint
+        "dedup_clusters": f"""
+WITH RECURSIVE t AS (SELECT doc_id, list_distinct({_TOKS}) s FROM documents),
+p AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id doc_a, b.doc_id doc_b,
+           floor((len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5)::BIGINT jm
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+  ) WHERE jm >= 900000
+),
+e AS (SELECT doc_a a, doc_b b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+walk(doc, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, w.lab FROM e JOIN walk w ON w.doc = e.b
+)
+SELECT doc::BIGINT doc_id, min(lab)::BIGINT cluster_id,
+       (CASE WHEN doc = min(lab) THEN 1 ELSE 0 END)::BIGINT keep
+FROM walk GROUP BY doc ORDER BY doc_id
 """,
         "dedup_embedding_pairs": """
 SELECT vec_a, vec_b, sim_micro FROM (

@@ -63,3 +63,30 @@ def hash_strategy():
 # at Ray's default sort shuffle).
 def ensure_hash_shuffle(ds=None) -> None:
     tune_shuffle(ds)
+
+
+def join_args(n_joins: int = 1) -> dict:
+    """kwargs for ``Dataset.join`` sized so a plan's aggregator actors can
+    never starve its actor-pool map stages. Each join spawns
+    min(num_partitions, max_hash_shuffle_aggregators) DEDICATED actors that
+    hold their CPUs for the plan's lifetime; on a 4-CPU test cluster a plan
+    with two joins at the default 1 CPU/aggregator pins every core, the
+    upstream map pool can't schedule, no input flows, and the executor
+    deadlocks (observed: minhash_verified hang). Fractional CPUs
+    oversubscribe gracefully — aggregators are threaded and exchange-bound
+    at small scale — while big clusters keep the 1-CPU default.
+
+    ``n_joins``: how many join operators run CONCURRENTLY in the plan this
+    call feeds (streaming execution overlaps them all)."""
+    tune_shuffle()
+    cpus = _cluster_cpus()
+    aggs = max(2, cpus // 2) * max(1, n_joins)
+    # aggregators together get ≤ ¼ of the cluster: they are exchange-bound,
+    # while the actor-pool map stages and the read tasks that FEED the join
+    # need whole cores (measured deadlock at 4 CPUs: 4 aggregators × 0.5 +
+    # 2 map actors × 1 = 4.0/4.0, feeding read task pends forever)
+    num_cpus = max(0.1, min(1.0, round(cpus / (4 * aggs), 2)))
+    return {
+        "num_partitions": max(8, 2 * cpus),
+        "aggregator_ray_remote_args": {"num_cpus": num_cpus},
+    }

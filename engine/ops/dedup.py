@@ -430,10 +430,13 @@ def minhash_verified(
     # attach each side's token set by KEYED HASH JOIN (doc_id), replacing
     # the r2 driver-side take_all() + broadcast dict — on a 50%-duplicate
     # crawl the involved-docs population is corpus-sized and must never be
-    # materialized on the driver (VERDICT r2 #5). Two joins, partitions
-    # sized to the cluster like the relational layer's.
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    n_parts = max(8, 2 * cpus)
+    # materialized on the driver (VERDICT r2 #5). Two joins run
+    # concurrently in this plan; join_args sizes their aggregator actors so
+    # they can't pin every CPU (deadlock on small clusters).
+    from engine.core.context import join_args
+
+    jargs = join_args(n_joins=2)
+    n_parts = jargs.pop("num_partitions")
 
     def _rename(ds_in, frm: str, to: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -444,11 +447,11 @@ def minhash_verified(
         return ds_in.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
     joined = _rename(
-        pairs_ds.join(sets_ds, "inner", n_parts, on=("doc_a",), right_on=("doc_id",)),
+        pairs_ds.join(sets_ds, "inner", n_parts, on=("doc_a",), right_on=("doc_id",), **jargs),
         "tokens", "tokens_a",
     )
     joined = _rename(
-        joined.join(sets_ds, "inner", n_parts, on=("doc_b",), right_on=("doc_id",)),
+        joined.join(sets_ds, "inner", n_parts, on=("doc_b",), right_on=("doc_id",), **jargs),
         "tokens", "tokens_b",
     )
 
@@ -645,6 +648,93 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 # exact token-set Jaccard (the small-scale oracle for the LSH paths)
 # ---------------------------------------------------------------------------
+
+
+def dedup_clusters(sf_dir: str, *, threshold_micro: int = 900_000, max_iters: int = 64):
+    """Connected components over the VERIFIED near-dup pair graph →
+    (doc_id, cluster_id, keep): cluster_id is the component's minimum doc_id
+    (the canonical representative a training-data dedup keeps; keep=1 marks
+    it). Pairs come through the LSH scale path (minhash_verified).
+
+    Components by DISTRIBUTED min-label propagation: each round scatters
+    labels across the edge Dataset (hash join), folds min-per-doc (groupby),
+    and stops when Σlabel stops decreasing (labels are monotone non-
+    increasing, so an unchanged sum IS the fixpoint) — ≤ component-diameter
+    rounds, each a linear pass + hash exchange. No driver-side union-find;
+    the only driver structure is the (tiny) per-round sum. SQL oracle: the
+    same closure as a DuckDB recursive CTE (__ray_entry__)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from engine.core.context import join_args
+
+    pairs = minhash_verified(sf_dir, threshold_micro=threshold_micro)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "cluster_id": pd.Series([], dtype="int64"),
+            "keep": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(pairs) == 0:
+        return empty
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    # arrow blocks on BOTH sides: union refuses to mix pandas/arrow blocks
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]).astype(np.int64), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]).astype(np.int64), type=pa.int64()),
+            }
+        )
+    )
+    involved = np.unique(np.concatenate([a, b])).astype(np.int64)
+    labels = rd.from_arrow(
+        pa.table({"doc": pa.array(involved, type=pa.int64()),
+                  "lab": pa.array(involved, type=pa.int64())})
+    )
+    jargs = join_args(n_joins=1)
+    n_parts = jargs.pop("num_partitions")
+
+    def _as_doc_lab(ds_in):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"doc": t["dst"].cast(pa.int64()), "lab": t["lab"].cast(pa.int64())})
+
+        return ds_in.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _norm(t: pa.Table) -> pa.Table:
+        # empty sort-shuffle reducer blocks carry ONLY the key column;
+        # joining such a block fails schema resolution — rebuild both cols
+        if "lab" not in t.column_names:
+            return pa.table({"doc": pa.array([], type=pa.int64()),
+                             "lab": pa.array([], type=pa.int64())})
+        return pa.table({"doc": t["doc"].cast(pa.int64()), "lab": t["lab"].cast(pa.int64())})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = _as_doc_lab(
+            edges.join(labels, "inner", n_parts, on=("src",), right_on=("doc",), **jargs)
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("doc")
+            .aggregate(Min("lab", alias_name="lab"))
+            .map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+            # compact away zero-row reducer blocks: an EMPTY block on the
+            # right side of Dataset.join fails acero schema resolution
+            # ("no match for FieldRef doc") even when its schema is correct
+            .repartition(max(2, n_parts // 4))
+            .materialize()  # involved-docs-sized, reused twice per round
+        )
+        cur = labels.sum("lab")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    out = labels.to_pandas().rename(columns={"doc": "doc_id", "lab": "cluster_id"})
+    out["keep"] = (out["doc_id"] == out["cluster_id"]).astype("int64")
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "cluster_id": "int64", "keep": "int64"})
 
 
 def jaccard_pairs(sf_dir: str, threshold_micro: int = 500_000):

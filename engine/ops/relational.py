@@ -104,11 +104,14 @@ def nation_revenue(sf_dir: str):
         )
 
     # join partitions sized to the cluster (a hardcoded 8 becomes the
-    # bottleneck the moment the cluster outgrows it — VERDICT r01 #9)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # bottleneck the moment the cluster outgrows it — VERDICT r01 #9);
+    # aggregator CPUs sized so the join pool can't starve map stages
+    from engine.core.context import join_args
+
+    jargs = join_args(n_joins=1)
     joined = orders.map_batches(orders_cents, batch_format="pyarrow", zero_copy_batch=True).join(
-        cust, join_type="inner", num_partitions=max(8, 2 * cpus),
-        on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=jargs.pop("num_partitions"),
+        on=("o_custkey",), right_on=("c_custkey",), **jargs
     )
 
     def attach_nation(batch: pa.Table) -> pd.DataFrame:

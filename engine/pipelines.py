@@ -248,36 +248,58 @@ def ft_bm25_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
             {c: pd.Series([], dtype="int64") for c in ["qid", "rank", "doc_id", "score_micro"]}
         )
 
-    # distributed adjacency verification over ONLY the candidate rows
+    # distributed adjacency verification over ONLY the candidate rows; the
+    # phrase-containment decision happens INSIDE the stage (r2 finished it
+    # as a driver-side list comprehension over candidates) — the driver
+    # only merges surviving (qid, doc_id) pairs back onto the scores
     an = Analyzer()
-    keys_ref = ray.put(np.unique(cand["doc_id"].to_numpy()))
+    p = cand[["qid", "doc_id"]].sort_values(["doc_id", "qid"])
+    pairs_ref = ray.put((p["qid"].to_numpy(), p["doc_id"].to_numpy()))
+    needles_ref = ray.put({q: " " + " ".join(an.tokens(t)) + " " for q, t in PHRASE_QUERIES})
 
     def verify(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        ids = batch["doc_id"].to_numpy()
-        pos = np.searchsorted(keys, ids)
-        pos[pos >= keys.size] = 0
-        m = keys[pos] == ids
-        if not m.any():
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "canon": pa.array([], type=pa.string())})
-        sub = batch.filter(pa.array(m))
-        canon = [" " + " ".join(an.tokens(t or "")) + " " for t in sub["text"].to_pylist()]
-        return pa.table({"doc_id": sub["doc_id"].cast(pa.int64()),
-                         "canon": pa.array(canon, type=pa.string())})
+        import pyarrow.compute as pc
 
-    canon = (
+        qids, dids = ray.get(pairs_ref)  # sorted by doc_id
+        ids = batch["doc_id"].to_numpy()
+        lo = np.searchsorted(dids, ids, "left")
+        hi = np.searchsorted(dids, ids, "right")
+        m = hi > lo
+        empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64())})
+        if not m.any():
+            return empty
+        sub = batch.filter(pa.array(m))
+        canon = pa.array(
+            [" " + " ".join(an.tokens(t or "")) + " " for t in sub["text"].to_pylist()],
+            type=pa.string(),
+        )
+        counts = (hi - lo)[m]
+        pair_idx = np.repeat(lo[m], counts) + (
+            np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        doc_row = np.repeat(np.arange(counts.size), counts)
+        pq = qids[pair_idx]
+        keep = np.zeros(pair_idx.size, dtype=bool)
+        for q, needle in ray.get(needles_ref).items():
+            qm = pq == q
+            if qm.any():
+                keep[qm] = pc.match_substring(
+                    canon.take(pa.array(doc_row[qm])), needle
+                ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "qid": pa.array(pq[keep].astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(dids[pair_idx][keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    surv = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
-        .set_index("doc_id")["canon"]
     )
-    needles = {q: " " + " ".join(an.tokens(t)) + " " for q, t in PHRASE_QUERIES}
-    keep = [
-        needles[r.qid] in canon.loc[r.doc_id]
-        for r in cand.itertuples()
-    ]
-    out = cand[np.asarray(keep, dtype=bool)].copy()
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
     out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
     out["rank"] = out.groupby("qid").cumcount() + 1
     out = out[out["rank"] <= k][["qid", "rank", "doc_id", "score_micro"]]
@@ -450,9 +472,11 @@ def tr_text_identity(sf_dir: str) -> pd.DataFrame:
     # fingerprints attach by KEYED JOIN on doc_key — the r2 version built a
     # corpus-sized driver dict and broadcast it (VERDICT r2 #7); at scale
     # the invariant check must shuffle, not materialize
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    from engine.core.context import join_args
+
+    jargs = join_args(n_joins=1)
     out = (
-        dm.join(fps_ds, "inner", max(8, 2 * cpus), on=("doc_key",))
+        dm.join(fps_ds, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs)
         .to_pandas()
         .sort_values("doc_key")
         .reset_index(drop=True)

@@ -71,6 +71,50 @@ class TestDedupRecall:
             by_text.setdefault(r.text, r.doc_id)
         assert exact_pairs and all(p in pairs for p in exact_pairs)
 
+    def test_dedup_clusters_chain_topology(self, tmp_path_factory, ray_session):
+        """Connected components must close over CHAINS (A~B, B~C, A!~C):
+        min-label propagation needs more than one round here, and the
+        cluster id must be the component MIN even for the far end. Also
+        checks the representative flag and the isolated-pair case."""
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i:03d}" for i in range(400)]
+        # 60 UNIQUE tokens so set-jaccard is exact arithmetic: each chain
+        # step swaps 2 positions for brand-new tokens → adjacent 58/62 ≈
+        # .935 (≥ .9 pair), 2-apart 56/64 = .875 and ends 54/66 ≈ .818
+        # (< .9, no edge) — a true CHAIN
+        base = list(rng.choice(vocab, size=60, replace=False))
+        docs = {}
+        cur = list(base)
+        for i, did in enumerate([10, 20, 30, 40]):
+            docs[did] = " ".join(cur)
+            cur = list(cur)
+            for k in range(2):
+                cur[8 * i + k] = f"chg{i}{k}"
+        # isolated exact pair
+        docs[100] = docs[101] = " ".join(rng.choice(vocab, size=60, replace=False))
+        # singleton (no pairs)
+        docs[200] = " ".join(rng.choice(vocab, size=60, replace=False))
+        d = tmp_path_factory.mktemp("chain")
+        ids = sorted(docs)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": [docs[i] for i in ids]}),
+            str(d / "documents.parquet"),
+        )
+        from engine.ops.dedup import dedup_clusters, minhash_verified
+
+        pairs = minhash_verified(str(d), threshold_micro=900_000)
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (10, 20) in got and (20, 30) in got and (30, 40) in got
+        assert (10, 40) not in got  # ends are NOT a direct pair
+        out = dedup_clusters(str(d), threshold_micro=900_000)
+        by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert by_doc[10] == by_doc[20] == by_doc[30] == by_doc[40] == 10
+        assert by_doc[100] == by_doc[101] == 100
+        assert 200 not in by_doc  # singletons are not involved in any pair
+        keep = dict(zip(out["doc_id"], out["keep"]))
+        assert keep[10] == 1 and keep[40] == 0 and keep[100] == 1 and keep[101] == 0
+
     def test_simhash_finds_near_dups(self, dup_dir, ray_session):
         from engine.ops.dedup import simhash_pairs
 
