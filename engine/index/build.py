@@ -140,6 +140,7 @@ def build_index(
     ts_min=None,
     ts_max=None,
     dedup_input: bool = False,
+    docmap_parts: int | None = None,
 ) -> Manifest:
     import time as _time
 
@@ -279,7 +280,12 @@ def build_index(
     # -- pass A: docmap (no text column read) -------------------------------
     # hive-partitioned by part = doc_key % DOCMAP_PARTS so hydration reads
     # only the partitions holding candidate keys (engine/query/hydrate.py)
-    docmap_parts = int(manifest.data.get("docmap_parts") or DOCMAP_PARTS)
+    # a resumed build must keep the committed partitioning; otherwise the
+    # caller may size parts to the corpus (64 hive dirs of tiny files cost
+    # ~2s of serialized file creation on a 50k-doc corpus)
+    docmap_parts = int(
+        manifest.data.get("docmap_parts") or docmap_parts or DOCMAP_PARTS
+    )
     manifest.data["docmap_parts"] = docmap_parts
     import functools as _ft
 
