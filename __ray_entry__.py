@@ -366,6 +366,52 @@ WHERE r.rn = 1 ORDER BY r.doc_id
 """
 
 
+def _clean_corpus_sql() -> str:
+    """clean_corpus oracle: the full cleaning decision recomputed by DuckDB —
+    exact-dup group min over the canonical fingerprint, near-dup component
+    min via the recursive-CTE closure over the exact Jaccard pair graph
+    (same closure as the dedup_clusters oracle), the ta_quality ratio
+    arithmetic, and the scored lang-ID embedded as a derived table (same
+    materialized profile artifact as ta_lang_id_scored, hence the same
+    OSError degrade). CASE order == engine/ops/clean.py reason precedence."""
+    lang_sql = _lang_id_scored_sql()
+    return f"""
+WITH RECURSIVE
+tk AS (SELECT doc_id, {_TOKS} toks FROM documents),
+fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) f,
+              len(toks)::BIGINT n_tokens,
+              floor(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE * 1e6 + 0.5)::BIGINT uniq
+       FROM tk),
+er AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) rep, n_tokens, uniq FROM fp),
+ts AS (SELECT doc_id, list_distinct(toks) s FROM tk),
+p AS (SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id doc_a, b.doc_id doc_b,
+               floor((len(list_intersect(a.s, b.s))::DOUBLE
+                      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5)::BIGINT jm
+        FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+      ) WHERE jm >= 900000),
+e AS (SELECT doc_a a, doc_b b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+walk(doc, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, w.lab FROM e JOIN walk w ON w.doc = e.b
+),
+clus AS (SELECT doc, min(lab) cid FROM walk GROUP BY doc),
+lang AS (SELECT doc_id, lang_pred FROM ({lang_sql})),
+sel AS (
+  SELECT er.doc_id,
+         CASE WHEN er.doc_id <> er.rep THEN 'exact_dup'
+              WHEN c.doc IS NOT NULL AND er.doc_id <> c.cid THEN 'near_dup'
+              WHEN er.n_tokens < 20 OR er.uniq < 330000 THEN 'low_quality'
+              WHEN l.lang_pred <> 'en' THEN 'lang_other'
+              ELSE 'kept' END reason
+  FROM er LEFT JOIN clus c ON c.doc = er.doc_id
+          LEFT JOIN lang l ON l.doc_id = er.doc_id)
+SELECT doc_id::BIGINT doc_id, (reason = 'kept')::BIGINT keep, reason
+FROM sel ORDER BY doc_id
+"""
+
+
 def _phrase_queries_values() -> str:
     from engine.pipelines import PHRASE_QUERIES
 
@@ -528,6 +574,12 @@ def entry() -> Any:
     return ft_bm25_topk("/root/testdata/sf0.001", k=10)
 
 
+def _q_clean(sf: str):
+    from engine.ops.clean import clean_corpus
+
+    return clean_corpus(sf)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import ann, dedup, multimodal, relational, sampling, textstats
     from engine import pipelines as P
@@ -561,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # representative per duplicate cluster" action)
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold_micro=900_000),
         "dedup_embedding_pairs": lambda sf: dedup.embedding_pairs(sf, threshold_micro=400_000),
+        # the end-to-end cleaning decision pipeline (dedup → quality → lang)
+        "clean_corpus": _q_clean,
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
@@ -817,6 +871,12 @@ FROM documents ORDER BY doc_id
     # breaking every oracle in the dict.
     try:
         sql["ta_lang_id_scored"] = _lang_id_scored_sql()
+    except OSError:
+        pass
+    # clean_corpus embeds the lang-ID oracle as a derived table, so it
+    # degrades with it
+    try:
+        sql["clean_corpus"] = _clean_corpus_sql()
     except OSError:
         pass
     # same degrade rule: the approximate-IVF oracle reads the engine's

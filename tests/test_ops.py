@@ -876,3 +876,54 @@ class TestConjunctiveEdges:
         # AND-NOT composition: exclude removes the window doc
         dk, _ = srv.topk("hash join", exclude="window")
         assert dk.tolist() == [1]
+
+
+class TestCleanCorpus:
+    """clean_corpus: the composed cleaning decision must agree with its
+    component operators and with itself (keep ⇔ reason == 'kept')."""
+
+    def test_decisions_consistent_with_components(self, ray_session):
+        sf = "/root/testdata/sf0.001"
+        from engine.ops.clean import REASONS, clean_corpus
+        from engine.ops.dedup import dedup_clusters, dedup_exact
+        from engine.ops.textstats import lang_id_scored, quality
+
+        out = clean_corpus(sf)
+        assert list(out.columns) == ["doc_id", "keep", "reason"]
+        assert set(out["reason"]).issubset(set(REASONS))
+        assert ((out["keep"] == 1) == (out["reason"] == "kept")).all()
+        # one decision per document, all documents covered
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        assert len(out) == n_docs and out["doc_id"].is_unique
+
+        by_doc = dict(zip(out["doc_id"], out["reason"]))
+        # exact_dup ⇔ not the group representative of dedup_exact
+        kept_exact = set(dedup_exact(sf)["doc_id"])
+        assert {d for d, r in by_doc.items() if r == "exact_dup"} == (
+            set(out["doc_id"]) - kept_exact
+        )
+        # every near_dup decision is a keep=0 member of a verified cluster
+        # that survived the exact stage
+        cl = dedup_clusters(sf, threshold_micro=900_000)
+        cluster_drop = set(cl.loc[cl["keep"] == 0, "doc_id"])
+        near = {d for d, r in by_doc.items() if r == "near_dup"}
+        assert near == {d for d in cluster_drop if d in kept_exact}
+        # low_quality matches the ta_quality thresholds among survivors
+        q = quality(sf).set_index("doc_id")
+        lowq = {d for d, r in by_doc.items() if r == "low_quality"}
+        expect_lowq = {
+            d
+            for d in kept_exact - near
+            if q.loc[d, "n_tokens"] < 20 or q.loc[d, "uniq_ratio_micro"] < 330_000
+        }
+        assert lowq == expect_lowq
+        # lang_other matches the scored lang-ID among remaining survivors
+        lp = dict(zip(*(lambda f: (f["doc_id"], f["lang_pred"]))(lang_id_scored(sf))))
+        lang_other = {d for d, r in by_doc.items() if r == "lang_other"}
+        assert lang_other == {
+            d for d in kept_exact - near - lowq if lp[d] != "en"
+        }
+        # the pipeline must actually exercise every stage on this data
+        assert all(any(r == x for r in by_doc.values()) for x in ("kept", "lang_other"))
