@@ -630,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_token_count": textstats.token_count,
         "ta_fingerprint": textstats.fingerprint,
         "ta_corpus_stats": textstats.corpus_stats,
+        # per-doc characteristic terms (tf·idf, rational idf surrogate)
+        "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # multimodal binary-column dataflow (actor-pool metadata decode)
@@ -694,6 +696,20 @@ FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
+        # integer-division score: tf*1e6 // df on both sides, no float ln()
+        "ta_tfidf_topk": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT df FROM tok GROUP BY 1),
+s AS (SELECT doc_id, tf.term, (tf * 1000000) // df AS score_micro
+      FROM tf JOIN df ON df.term = tf.term),
+r AS (SELECT doc_id, term, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, term ASC)::BIGINT rank
+      FROM s)
+SELECT doc_id, rank, term, score_micro FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,
        sum(len({_TOKS}))::BIGINT sum_tokens,

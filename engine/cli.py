@@ -86,6 +86,18 @@ def main(argv=None):
     s.add_argument("--convs", type=int, required=True)
     s.add_argument("--seed", type=int, default=42)
 
+    c = sub.add_parser("clean")
+    c.add_argument("--input", required=True,
+                   help="directory containing documents.parquet")
+    c.add_argument("--out", default=None,
+                   help="write the (doc_id, keep, reason) decisions parquet here")
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument("--min-uniq-micro", type=int, default=330_000,
+                   help="minimum unique-token ratio, micro units")
+    c.add_argument("--lang", default="en", help="language to keep")
+    c.add_argument("--threshold-micro", type=int, default=900_000,
+                   help="near-dup Jaccard threshold, micro units")
+
     sv = sub.add_parser("serve")
     sv.add_argument("--index", required=True)
     sv.add_argument("--servers", type=int, default=4)
@@ -162,6 +174,28 @@ def main(argv=None):
             from engine.query.densify import densify_index
 
             print(json.dumps(densify_index(args.index)))
+        elif args.verb == "clean":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from engine.ops.clean import clean_corpus
+
+            res = clean_corpus(
+                args.input,
+                min_tokens=args.min_tokens,
+                min_uniq_ratio_micro=args.min_uniq_micro,
+                keep_lang=args.lang,
+                threshold_micro=args.threshold_micro,
+            )
+            summary = {
+                "n_docs": int(len(res)),
+                "kept": int(res["keep"].sum()),
+                "reasons": {k: int(v) for k, v in res["reason"].value_counts().items()},
+            }
+            if args.out:
+                pq.write_table(pa.Table.from_pandas(res, preserve_index=False), args.out)
+                summary["written"] = args.out
+            print(json.dumps(summary))
         elif args.verb == "serve":
             from engine.query.hydrate import hydrate_table
             from engine.query.service import QueryService

@@ -607,3 +607,99 @@ def lang_id_scored(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "confidence_micro": "int64"}
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+class _TfTriples:
+    """Per-batch (doc_id, term, tf) triples, fully vectorized: Arrow
+    tokenize → dictionary-encode → one np.unique over (doc, code) keys.
+    Rows for a document stay CONTIGUOUS inside the emitting batch (the
+    unique keys are doc-major), which the top-k stage relies on."""
+
+    def __init__(self) -> None:
+        from engine.text.analyzer import Analyzer
+
+        self.an = Analyzer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, dl = self.an.tokenize_arrow(batch["text"])
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.large_string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        nv = np.int64(len(vocab))
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), dl)
+        uk, tf = np.unique(doc_idx * nv + codes, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(uk // nv)).cast(pa.int64()),
+                "term": vocab.take(pa.array(uk % nv)),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+
+def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k characteristic terms per document, ranked by tf·idf with the
+    RATIONAL idf surrogate ``score_micro = tf * 1_000_000 // df`` (rank-
+    equivalent to tf/df; pure int64 arithmetic so DuckDB reproduces every
+    value bit-exactly — a float ln() would gamble on libm parity).
+    Tie-break: score desc, term asc (ASCII tokens, so NumPy unicode order ==
+    DuckDB UTF-8 byte order). Columns: doc_id, rank, term, score_micro.
+
+    Shape: one scan to (doc, term, tf) triples (materialized, reused),
+    a term-keyed count for df (vocab-sized result → broadcast — the
+    standard small-side pattern; at web vocab sizes this becomes a keyed
+    join), then a second pass over the SAME triples computing scores and
+    per-doc top-k inside each batch (doc rows are batch-contiguous by
+    construction)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_TfTriples, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .materialize()
+    )
+    # tf rows are unique per (doc, term): row count per term IS the df
+    df_pd = ds.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    terms_sorted = np.sort(df_pd["term"].to_numpy().astype(str))
+    df_sorted = df_pd.set_index("term").loc[terms_sorted, "df"].to_numpy().astype(np.int64)
+    df_ref = ray.put((terms_sorted, df_sorted))
+
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        terms, dfs = ray.get(df_ref)
+        t = batch["term"].to_numpy().astype(str)
+        pos = np.searchsorted(terms, t)
+        score = batch["tf"].to_numpy().astype(np.int64) * 1_000_000 // dfs[pos]
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "term": t, "score_micro": score}
+        )
+        out = out.sort_values(
+            ["doc_id", "score_micro", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        out["rank"] = out.groupby("doc_id").cumcount() + 1
+        out = out[out["rank"] <= k]
+        return out[["doc_id", "rank", "term", "score_micro"]]
+
+    res = ds.map_batches(topk, batch_format="pandas", batch_size=None).to_pandas()
+    res = res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    res["term"] = res["term"].astype(str)
+    return res.astype({"doc_id": "int64", "rank": "int64", "score_micro": "int64"})

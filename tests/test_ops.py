@@ -927,3 +927,67 @@ class TestCleanCorpus:
         }
         # the pipeline must actually exercise every stage on this data
         assert all(any(r == x for r in by_doc.values()) for x in ("kept", "lang_other"))
+
+    def test_clean_verb(self, tmp_path, ray_session, capsys):
+        """CLI clean: decisions parquet + JSON summary whose reason counts
+        sum to the corpus size."""
+        import json
+
+        from engine.cli import main
+
+        out_path = str(tmp_path / "decisions.parquet")
+        main(["clean", "--input", "/root/testdata/sf0.001", "--out", out_path])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["written"] == out_path
+        assert sum(summary["reasons"].values()) == summary["n_docs"] == 500
+        assert summary["kept"] == summary["reasons"].get("kept", 0) > 0
+        t = pq.read_table(out_path)
+        assert t.num_rows == 500
+        assert set(t.column_names) == {"doc_id", "keep", "reason"}
+
+
+class TestTfidfTopk:
+    def test_formula_and_tiebreak(self, tmp_path_factory, ray_session):
+        """score_micro = tf*1e6 // df; ranking score desc then term asc;
+        docs with no tokens emit no rows."""
+        d = tmp_path_factory.mktemp("tfidf")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    # df: aa=2, bb=2, cc=1 (doc 3 tokenizes to nothing)
+                    "text": ["aa aa bb", "aa cc cc bb", "!!!"],
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        from engine.ops.textstats import tfidf_topk
+
+        out = tfidf_topk(str(d), k=2)
+        rows = {(r.doc_id, r.rank): (r.term, r.score_micro) for r in out.itertuples()}
+        # doc 1: aa tf=2 df=2 -> 1_000_000; bb tf=1 df=2 -> 500_000
+        assert rows[(1, 1)] == ("aa", 1_000_000)
+        assert rows[(1, 2)] == ("bb", 500_000)
+        # doc 2: cc tf=2 df=1 -> 2_000_000 beats everything
+        assert rows[(2, 1)] == ("cc", 2_000_000)
+        # doc 2 second: aa and bb tie at 500_000 -> term asc picks aa
+        assert rows[(2, 2)] == ("aa", 500_000)
+        # doc 3 has no tokens -> absent
+        assert not any(doc == 3 for doc, _ in rows)
+
+    def test_equal_scores_tiebreak_term_asc(self, tmp_path_factory, ray_session):
+        d = tmp_path_factory.mktemp("tfidf2")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([7], type=pa.int64()),
+                    "text": ["zz yy xx"],  # all tf=1 df=1 -> equal scores
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        from engine.ops.textstats import tfidf_topk
+
+        out = tfidf_topk(str(d), k=3)
+        assert list(out["term"]) == ["xx", "yy", "zz"]
+        assert list(out["rank"]) == [1, 2, 3]
