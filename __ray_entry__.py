@@ -632,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_corpus_stats": textstats.corpus_stats,
         # per-doc characteristic terms (tf·idf, rational idf surrogate)
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
+        # corpus-wide adjacent-bigram counts (partial-combine → one groupby)
+        "ta_top_bigrams": lambda sf: textstats.top_bigrams(sf, k=20),
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # multimodal binary-column dataflow (actor-pool metadata decode)
@@ -709,6 +711,18 @@ r AS (SELECT doc_id, term, score_micro,
       FROM s)
 SELECT doc_id, rank, term, score_micro FROM r WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        # DuckDB lists are 1-indexed; range(1, len) yields 1..len-1 so
+        # toks[i+1] stays in bounds — adjacent pairs within each doc only
+        "ta_top_bigrams": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, count(*)::BIGINT cnt FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC LIMIT 20
 """,
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,

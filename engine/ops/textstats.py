@@ -703,3 +703,92 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     res = res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
     res["term"] = res["term"].astype(str)
     return res.astype({"doc_id": "int64", "rank": "int64", "score_micro": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# n-gram counting
+# ---------------------------------------------------------------------------
+
+
+class _BigramPartial:
+    """Per-batch partial bigram counts, fully vectorized: one Arrow tokenize,
+    adjacent-pair join via pc.binary_join_element_wise over the flat token
+    stream with document boundaries masked out, pc.value_counts for the
+    in-batch combine. The partial (the classic map-side combiner) is what
+    keeps the bigram groupby's exchange proportional to the batch VOCAB, not
+    the token stream."""
+
+    def __init__(self) -> None:
+        from engine.text.analyzer import Analyzer
+
+        self.an = Analyzer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, dl = self.an.tokenize_arrow(batch["text"])
+        empty = pa.table(
+            {
+                "bigram": pa.array([], type=pa.large_string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # position i pairs token i with token i+1; drop pairs that straddle
+        # a document boundary (i+1 is the first token of the next doc)
+        ends = np.cumsum(dl.astype(np.int64))
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        # last token of each doc (except the final one) must not pair with
+        # the next doc's first token; empty docs make boundary indices
+        # repeat / fall outside [0, len-2] — clamp instead of touching
+        # keep[-1]/keep[len] by accident
+        bound = ends[:-1] - 1
+        bound = bound[(bound >= 0) & (bound < keep.size)]
+        keep[bound] = False
+        if not keep.any():
+            return empty
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(keep))
+        vc = pairs.value_counts()
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k adjacent token bigrams (cnt desc, bigram asc).
+    Shape: per-batch vectorized partial counts → ONE bigram-keyed groupby sum
+    (the only exchange, over combined partials) → per-block top-k → tiny
+    driver merge (no global sort). Columns: bigram, cnt."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_BigramPartial, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if "cnt" not in b.columns or not len(b):
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return b.sort_values(["cnt", "bigram"], ascending=[False, True]).head(k)
+
+    out = ds.map_batches(block_topk, batch_format="pandas", batch_size=None).to_pandas()
+    out = (
+        out.sort_values(["cnt", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["bigram"] = out["bigram"].astype(str)
+    return out.astype({"cnt": "int64"})

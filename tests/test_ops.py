@@ -991,3 +991,32 @@ class TestTfidfTopk:
         out = tfidf_topk(str(d), k=3)
         assert list(out["term"]) == ["xx", "yy", "zz"]
         assert list(out["rank"]) == [1, 2, 3]
+
+
+class TestTopBigrams:
+    def test_boundaries_and_counts(self, tmp_path_factory, ray_session):
+        """Bigrams never straddle documents; counts combine across docs;
+        empty/1-token docs contribute nothing; tie-break bigram asc."""
+        d = tmp_path_factory.mktemp("bigrams")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                    "text": [
+                        "x y z",        # x y, y z
+                        "a b a b",      # a b ×2, b a
+                        "z x",          # z x — NOT y z->... and no z..x from doc1
+                        "solo",         # 1 token → nothing
+                        "!!!",          # 0 tokens → nothing
+                    ],
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        from engine.ops.textstats import top_bigrams
+
+        out = top_bigrams(str(d), k=10)
+        got = dict(zip(out["bigram"], out["cnt"]))
+        assert got == {"a b": 2, "b a": 1, "x y": 1, "y z": 1, "z x": 1}
+        # rank order: cnt desc then bigram asc
+        assert list(out["bigram"]) == ["a b", "b a", "x y", "y z", "z x"]
