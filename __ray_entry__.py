@@ -636,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_top_bigrams": lambda sf: textstats.top_bigrams(sf, k=20),
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
+        # deterministic k-per-language sample (hash-order 'reservoir')
+        "sample_stratified": lambda sf: sampling.stratified_sample(sf, k=30),
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
@@ -741,6 +743,21 @@ SELECT doc_id, bucket,
             WHEN bucket < 20 THEN 'test'
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id
+""",
+        # same md5 purity as hash_split, 64-bit hash; row_number == the
+        # engine's global k-smallest-per-stratum selection
+        "sample_stratified": """
+WITH h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT hv
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)::BIGINT rank
+  FROM h
+)
+SELECT lang, rank, doc_id FROM r WHERE rank <= 30 ORDER BY lang, rank
 """,
         "ev_sessions": """
 WITH e AS (

@@ -1020,3 +1020,48 @@ class TestTopBigrams:
         assert got == {"a b": 2, "b a": 1, "x y": 1, "y z": 1, "z x": 1}
         # rank order: cnt desc then bigram asc
         assert list(out["bigram"]) == ["a b", "b a", "x y", "y z", "z x"]
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_stable_under_growth(self, tmp_path_factory, ray_session):
+        """The sample is a pure function of the keys: re-runs are identical,
+        k >= stratum size returns the whole stratum, and ADDING documents
+        never swaps an already-sampled doc for a larger-hash one (the
+        property that makes incremental corpus growth resumable)."""
+        from engine.ops.sampling import sample_hashes, stratified_sample
+
+        d = tmp_path_factory.mktemp("strat")
+        ids = np.arange(100, dtype=np.int64)
+        langs = ["en" if i % 2 == 0 else "de" for i in ids]
+        pq.write_table(
+            pa.table({"doc_id": ids, "text": ["t"] * 100, "lang": langs}),
+            str(d / "documents.parquet"),
+        )
+        out1 = stratified_sample(str(d), k=5)
+        out2 = stratified_sample(str(d), k=5)
+        assert out1.equals(out2)
+        assert (out1.groupby("lang").size() == 5).all()
+        # engine selection == numpy k-smallest-hash per stratum
+        for lang in ("en", "de"):
+            members = ids[(ids % 2 == 0) == (lang == "en")]
+            h = sample_hashes(members)
+            expect = members[np.lexsort((members, h))][:5]
+            got = out1.loc[out1["lang"] == lang].sort_values("rank")["doc_id"].to_numpy()
+            assert list(got) == list(expect)
+        # whole stratum when k >= size
+        full = stratified_sample(str(d), k=60)
+        assert (full.groupby("lang").size() == 50).all()
+        # growth: add docs; the original sample members that survive are a
+        # superset-stable prefix (any change can only come from NEW docs
+        # hashing smaller)
+        ids2 = np.arange(200, dtype=np.int64)
+        pq.write_table(
+            pa.table({"doc_id": ids2, "text": ["t"] * 200,
+                      "lang": ["en" if i % 2 == 0 else "de" for i in ids2]}),
+            str(d / "documents.parquet"),
+        )
+        out3 = stratified_sample(str(d), k=5)
+        for lang in ("en", "de"):
+            s1 = set(out1.loc[out1["lang"] == lang, "doc_id"])
+            s3 = set(out3.loc[out3["lang"] == lang, "doc_id"])
+            assert s3 - s1 <= set(range(100, 200))  # only new docs displace
