@@ -114,6 +114,12 @@ class TestDedupRecall:
         assert 200 not in by_doc  # singletons are not involved in any pair
         keep = dict(zip(out["doc_id"], out["keep"]))
         assert keep[10] == 1 and keep[40] == 0 and keep[100] == 1 and keep[101] == 0
+        # the DISTRIBUTED label-propagation loop (auto-selected only beyond
+        # the driver-size bound) must produce the identical closure
+        dist = dedup_clusters(str(d), threshold_micro=900_000, distributed=True)
+        assert dist.sort_values("doc_id").reset_index(drop=True).equals(
+            out.sort_values("doc_id").reset_index(drop=True)
+        )
 
     def test_simhash_finds_near_dups(self, dup_dir, ray_session):
         from engine.ops.dedup import simhash_pairs
