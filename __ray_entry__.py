@@ -509,20 +509,23 @@ ORDER BY qid, rank
 """
 
 
-def _tr_bm25_oracle_sql(k: int) -> str:
+def _tr_bm25_oracle_sql(k: int, where: str = "") -> str:
     """Oracle for tr_bm25_oracle: BM25 recomputed by DuckDB over the SAME
     materialized transcript parquet the engine indexes (engine/pipelines.py::
     tr_oracle_corpus_path — called here so the file exists regardless of
     whether the driver runs SQL or the Ray pipeline first). Ties break on the
     precomputed doc_key column, which equals the engine's internal
-    hash(conv_id)<<20|turn_idx key."""
+    hash(conv_id)<<20|turn_idx key. ``where``: optional corpus predicate —
+    tr_bm25_purged excludes the deleted convs here, so stats (n_docs/df/
+    avgdl) are the FILTERED corpus's, proving run_purge rewrote them."""
     from engine.oracle.bm25 import seeded_query_set
     from engine.pipelines import tr_oracle_corpus_path
 
     path = tr_oracle_corpus_path()
     rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    wsql = f"WHERE {where}" if where else ""
     return f"""
-WITH src AS (SELECT doc_key, doc_id, text FROM read_parquet('{path}')),
+WITH src AS (SELECT doc_key, doc_id, text FROM read_parquet('{path}') {wsql}),
 tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
 tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
@@ -603,6 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_bm25_oracle": lambda sf: P.tr_bm25_oracle(sf, k=10),
         # the spec's per-row invariant as a driver-checked entry
         "tr_text_identity": P.tr_text_identity,
+        # delete+purge lifecycle: ~10% of convs tombstoned then folded by
+        # run_purge; the oracle recomputes BM25 over the FILTERED corpus,
+        # proving stats/df/docmap all moved (engine/index/deletes.py)
+        "tr_bm25_purged": lambda sf: P.tr_bm25_purged(sf, k=10),
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -664,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         # the query_index surface, so the same SQL value-checks both entries
         "tr_bm25_topk10": _tr_bm25_oracle_sql(10),
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
+        "tr_bm25_purged": _tr_bm25_oracle_sql(10, where="conv_id NOT LIKE '%7'"),
         "tr_text_identity": _tr_text_identity_sql(),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}

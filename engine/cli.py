@@ -9,6 +9,8 @@ Verbs:
   build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto] [--analyzer nfkc]
   query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand] [--and]
   merge  --index DIR [--fanin 4] [--densify]
+  delete --index DIR (--keys K1,K2,... | --conv CONV_ID) [--id ID]
+  purge  --index DIR — fold the delete log: rewrite segments+docmap+stats
   synth  --out DIR --convs N [--seed 42]
   serve  --index DIR [--servers N] — interactive: one query per stdin line,
          one JSON result line per rank on stdout (resident actor pool, warm
@@ -74,6 +76,20 @@ def main(argv=None):
 
     g = sub.add_parser("gc")
     g.add_argument("--index", required=True)
+
+    dl = sub.add_parser("delete", help="commit a doc-level delete set (takes "
+                        "effect at query time immediately; fold with purge)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--keys", default=None,
+                    help="comma-separated int64 doc_keys")
+    dl.add_argument("--conv", default=None,
+                    help="delete every turn of this conv_id (doc keys are "
+                    "resolved from the docmap)")
+    dl.add_argument("--id", default=None, help="idempotency id for this delete set")
+
+    pg = sub.add_parser("purge", help="fold the delete log into the index: "
+                        "rewrite segments+docmap, recompute stats, clear log")
+    pg.add_argument("--index", required=True)
 
     a = sub.add_parser("audit")
     a.add_argument("--index", required=True)
@@ -158,6 +174,36 @@ def main(argv=None):
 
                 out["densify"] = densify_index(args.index)
             print(json.dumps(out))
+        elif args.verb == "delete":
+            import numpy as np
+
+            from engine.index.deletes import delete_doc_keys
+
+            if args.keys:
+                keys = np.array([int(x) for x in args.keys.split(",")], dtype=np.int64)
+            elif args.conv:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq_
+
+                from engine.query.hydrate import committed_docmap_files
+
+                parts = []
+                for f in committed_docmap_files(args.index):
+                    t = pq_.read_table(f, columns=["doc_key", "conv_id"])
+                    parts.append(
+                        t.filter(pc.equal(t["conv_id"], args.conv))["doc_key"].to_numpy()
+                    )
+                keys = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+                if keys.size == 0:
+                    p.error(f"conv_id {args.conv!r} not found in the docmap")
+            else:
+                p.error("need --keys or --conv")
+            n = delete_doc_keys(args.index, keys, delete_id=args.id)
+            print(json.dumps({"deleted": n}))
+        elif args.verb == "purge":
+            from engine.index.merge import run_purge
+
+            print(json.dumps(run_purge(args.index)))
         elif args.verb == "gc":
             from engine.index.merge import gc_orphans, gc_tombstoned
 

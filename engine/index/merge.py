@@ -32,7 +32,7 @@ DEFAULT_FANIN = 4
 
 def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
                          merge_id: str, tier: int, *, doc_buckets: int = 1,
-                         s_total: int = 0) -> list[dict]:
+                         s_total: int = 0, deletes: np.ndarray | None = None) -> list[dict]:
     """Merge the given segments of one shard → one segment, or — when
     ``doc_buckets=D > 1`` — D doc-bucketed segments (bucket b gets the
     postings with ``doc_key % D == b``, under shard id
@@ -61,6 +61,13 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
     dks = np.concatenate(dk_parts)
     tfs = np.concatenate(tf_parts)
     dls = np.concatenate(dl_parts)
+    if deletes is not None and deletes.size and dks.size:
+        # purge path (run_purge): drop deleted docs' postings BEFORE the
+        # sort; per-term df/cf recompute naturally in assemble
+        from engine.index.deletes import live_mask
+
+        keep = live_mask(dks, deletes)
+        ids, dks, tfs, dls = ids[keep], dks[keep], tfs[keep], dls[keep]
     order = np.lexsort((dks, ids))
     ids, dks, tfs, dls = ids[order], dks[order], tfs[order], dls[order]
 
@@ -72,7 +79,9 @@ def merge_shard_segments(segments_dir: str, seg_names: list[str], shard: int,
     )
     for out_shard, sel in buckets:
         b_ids, b_dks, b_tfs, b_dls = ids[sel], dks[sel], tfs[sel], dls[sel]
-        if b_ids.size == 0 and doc_buckets > 1:
+        if b_ids.size == 0 and (doc_buckets > 1 or deletes is not None):
+            # a fully-purged shard writes no segment (queries treat a
+            # missing shard as "no postings")
             continue
         dict_table, skips_table, blob = assemble_shard_tables(
             b_ids, b_dks, b_tfs, b_dls, vocab=vocab
@@ -271,6 +280,173 @@ def run_merge(index_dir: str, *, fanin: int = DEFAULT_FANIN, merge_id: str | Non
 
         build_term_stats(index_dir)
     return len(plans)
+
+
+def run_purge(index_dir: str, *, purge_id: str | None = None) -> dict:
+    """Fold the committed delete log into the index (phase 2 of
+    engine/index/deletes.py): rewrite EVERY live segment without the deleted
+    postings, rewrite the docmap, recompute n_docs/sum_dl/avgdl, and clear
+    the log — after this the index is bit-identical (scores and artifacts)
+    to a fresh build over the filtered corpus.
+
+    Shuffle-free like run_merge: one Ray task per shard (postings never
+    leave their shard), one streaming filter pass over the docmap. The
+    delete set is ray.put once and read by every task.
+
+    Atomicity: new segments and the new docmap dir are written BEFORE the
+    single manifest commit that (a) tombstones the old segments, (b) adds
+    the purge build, (c) marks prior builds' docmaps dead
+    (``docmap_tombstone``), (d) rewrites stats, (e) drops the delete log.
+    A crash before the commit leaves orphans no reader loads; after it,
+    stale dirs are garbage a later gc sweeps. term_stats and dense sidecars
+    self-invalidate via the (n_docs, sum_dl) fingerprint change.
+
+    Returns {"shards": n, "n_docs": new_n_docs, "purged_docs": removed}.
+    """
+    import json
+    import shutil
+    import time
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from engine.index.deletes import live_mask, load_deletes
+    from engine.query.hydrate import committed_docmap_dirs
+
+    manifest = Manifest(index_dir)
+    deleted = load_deletes(index_dir, manifest=manifest)
+    if deleted.size == 0:
+        return {"shards": 0, "n_docs": int(manifest.stats["n_docs"]), "purged_docs": 0}
+    purge_id = purge_id or ("p" + uuid.uuid4().hex[:7])
+    segments_dir = os.path.join(index_dir, "segments")
+
+    # -- pass 1: rewrite every shard's segments without deleted postings ----
+    by_shard: dict[int, list[dict]] = {}
+    for s in manifest.live_segments():
+        by_shard.setdefault(s["shard"], []).append(s)
+    plan_rows = [
+        {
+            "shard": shard,
+            "tier": max(int(x.get("tier", 0)) for x in segs) + 1,
+            "segments": json.dumps(sorted(x["name"] for x in segs)),
+        }
+        for shard, segs in sorted(by_shard.items())
+    ]
+    del_ref = ray.put(deleted)
+
+    def do_purge(batch: pa.Table) -> pa.Table:
+        dels = ray.get(del_ref)
+        out = []
+        for shard, tier, seg_json in zip(
+            batch["shard"].to_pylist(), batch["tier"].to_pylist(), batch["segments"].to_pylist()
+        ):
+            rows = merge_shard_segments(
+                segments_dir, json.loads(seg_json), int(shard), purge_id, int(tier),
+                deletes=dels,
+            )
+            for m in rows:
+                m["tier"] = int(tier)
+                out.append(m)
+        schema = METRICS_SCHEMA.append(pa.field("tier", pa.int64()))
+        return pa.Table.from_pylist(out, schema=schema)
+
+    results = (
+        rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
+        .map_batches(do_purge, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    ) if plan_rows else None
+
+    # -- pass 2: filtered docmap → docmap/build-<purge_id>/ -----------------
+    old_docmap_dirs = committed_docmap_dirs(index_dir, manifest=manifest)
+    docmap_files = []
+    for bd in old_docmap_dirs:
+        for root, _d, fs in os.walk(bd):
+            docmap_files.extend(os.path.join(root, f) for f in sorted(fs) if f.endswith(".parquet"))
+    new_docmap = os.path.join(index_dir, "docmap", f"build-{purge_id}")
+    num_parts = int(manifest.data.get("docmap_parts") or 0)
+    n_docs = 0
+    if docmap_files:
+        def keep_live(batch: pa.Table) -> pa.Table:
+            dels = ray.get(del_ref)
+            keys = batch["doc_key"].to_numpy()
+            tbl = batch.filter(pa.array(live_mask(keys, dels)))
+            if num_parts:
+                part = (tbl["doc_key"].to_numpy() % num_parts).astype(np.int32)
+                tbl = tbl.append_column("part", pa.array(part, type=pa.int32()))
+            return tbl
+
+        ds = rd.read_parquet(
+            docmap_files, columns=["doc_key", "conv_id", "turn_idx"]
+        ).map_batches(keep_live, batch_format="pyarrow", zero_copy_batch=True)
+        if num_parts:
+            ds.write_parquet(new_docmap, partition_cols=["part"])
+        else:
+            ds.write_parquet(new_docmap)
+        for root, _dirs, files in os.walk(new_docmap):
+            n_docs += sum(
+                pa.parquet.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+    # -- single atomic manifest swap -----------------------------------------
+    old_names = {s["name"] for segs in by_shard.values() for s in segs}
+    new_segments = [
+        {
+            "name": r.segment,
+            "shard": int(r.shard),
+            "tier": int(r.tier),
+            "n_terms": int(r.n_terms),
+            "n_postings": int(r.n_postings),
+            "sum_cf": int(r.sum_cf),
+            "bytes_compressed": int(r.bytes_compressed),
+        }
+        for r in (results.itertuples() if results is not None else ())
+    ]
+    sum_dl = int(sum(s["sum_cf"] for s in new_segments))
+    old_n_docs = int(manifest.stats["n_docs"])
+    manifest.tombstone_segments(old_names)
+    for b in manifest.data["builds"]:
+        b["docmap_tombstone"] = True  # superseded by the purge docmap
+    manifest.data["builds"].append(
+        {
+            "build_id": purge_id,
+            "kind": "purge",
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "lineage": {
+                "purged_deletes": [d["id"] for d in manifest.data.get("deletes", [])],
+                "merged": sorted(old_names),
+            },
+            "segments": new_segments,
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+        }
+    )
+    manifest.data["stats"] = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+    }
+    delete_entries = manifest.data.pop("deletes", [])  # log cleared in THIS commit
+    manifest.commit()
+    # payload unlink strictly AFTER the commit: a crash in between leaves
+    # orphan .npy files (harmless — nothing references them), never a
+    # committed manifest pointing at vanished files
+    for d in delete_entries:
+        try:
+            os.unlink(os.path.join(index_dir, "deletes", d["file"]))
+        except OSError:
+            pass
+    gc_tombstoned(index_dir, only=old_names)
+    for bd in old_docmap_dirs:
+        if os.path.abspath(bd) != os.path.abspath(new_docmap):
+            shutil.rmtree(bd, ignore_errors=True)
+    return {
+        "shards": len(plan_rows),
+        "n_docs": n_docs,
+        "purged_docs": old_n_docs - n_docs,
+    }
 
 
 def gc_orphans(index_dir: str) -> int:

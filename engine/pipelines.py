@@ -527,6 +527,72 @@ def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+TR_PURGE_SUFFIX = "7"  # delete every conv whose id ends in this digit (~10%)
+
+
+def tr_purged_index(num_shards: int = 8) -> tuple[str, str]:
+    """(corpus_path, index_dir) for the delete+purge lifecycle entry: build
+    the oracle corpus index fresh, commit a deterministic delete set (every
+    conv_id LIKE '%7'), then run_purge — idempotent per content version (the
+    manifest's purge build entry is the completion marker)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from engine.index.deletes import delete_doc_keys
+    from engine.index.merge import run_purge
+
+    path = tr_oracle_corpus_path()
+    key = hashlib.md5(f"trp|{path}|{num_shards}|{TR_PURGE_SUFFIX}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"trp-{key}")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+            build_index(ds, idx, num_shards=num_shards, build_id="trp")
+        m = Manifest(idx)
+        if not any(b.get("kind") == "purge" for b in m.data["builds"]):
+            t = pq.read_table(path, columns=["conv_id", "doc_key"])
+            dead = t.filter(
+                pc.ends_with(t["conv_id"].combine_chunks(), pattern=TR_PURGE_SUFFIX)
+            )["doc_key"].to_numpy()
+            delete_doc_keys(idx, dead, delete_id="trp-takedown")
+            run_purge(idx, purge_id="trpp")
+    return path, idx
+
+
+def tr_bm25_purged(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Delete+purge lifecycle, driver-oracle-checked: index the materialized
+    transcript corpus, tombstone ~10% of convs (deterministic suffix
+    predicate), fold the log with run_purge, then query — the SQL oracle
+    recomputes BM25 over the corpus WITH those convs excluded, so stats
+    (n_docs/df/avgdl) must have moved exactly to the filtered-corpus values.
+    Columns: qid, rank, doc_id, doc_key, score_micro."""
+    import ray.data as rd
+
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.hydrate import hydrate_table
+
+    _path, idx = tr_purged_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    res = qds.map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    tbl = hydrate_table(idx, pa.Table.from_pandas(res))
+    out = tbl.to_pandas().rename(columns={"score": "score_micro"})
+    out = out[["qid", "rank", "doc_id", "doc_key", "score_micro"]]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype(
+        {"qid": "int64", "rank": "int64", "doc_key": "int64", "score_micro": "int64"}
+    )
+
+
 def documents_as_transcripts(sf_dir: str):
     """documents → a DETERMINISTIC transcripts-shaped corpus that SQL can
     reproduce: conv_id 'd<doc_id>', turn_idx doc_id%4, role user/assistant by

@@ -87,6 +87,13 @@ class SegmentServer:
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
+        # committed doc-level delete set (engine/index/deletes.py): every
+        # scoring mode excludes these keys; stats stay the committed ones
+        # until run_purge folds the log into the segments (Lucene model)
+        from engine.index.deletes import load_deletes
+
+        _del = load_deletes(index_dir, manifest=self.manifest)
+        self.deleted: np.ndarray | None = _del if _del.size else None
         # custom analyzers are resolved in the DRIVER and shipped in (the
         # plugin registry is process-local — engine/text/analyzer.py)
         self.analyzer = analyzer_obj or get_analyzer(self.manifest.data["analyzer"])
@@ -200,9 +207,18 @@ class SegmentServer:
             buckets = [self.bucket]
         else:
             buckets = list(range(d_buckets))
+        self._dense_del: dict[int, np.ndarray] = {}
         for b in buckets:
             bk = per_bucket[b]
             self._dense[b] = [bk, np.zeros(bk.size, dtype=np.float64)]
+            if self.deleted is not None and bk.size:
+                # positions of committed-deleted keys in this bucket's key
+                # array, computed once per actor: dense scoring zeroes them
+                # after accumulation so deleted docs can never rank
+                pos = np.searchsorted(bk, self.deleted)
+                valid = pos < bk.size
+                pos = pos[valid]
+                self._dense_del[b] = pos[bk[pos] == self.deleted[valid]]
         self._d_buckets = d_buckets
         self._sidecars: dict[str, tuple | None] = {}
 
@@ -296,6 +312,16 @@ class SegmentServer:
                     self._dense[b][1][pos] = 0.0
             raise
 
+    def _filter_deleted(self, dk: np.ndarray, sc: np.ndarray):
+        """Drop committed-deleted doc_keys from a candidate set (live-delete
+        semantics — engine/index/deletes.py)."""
+        if self.deleted is None or dk.size == 0:
+            return dk, sc
+        from engine.index.deletes import live_mask
+
+        m = live_mask(dk, self.deleted)
+        return (dk, sc) if m.all() else (dk[m], sc[m])
+
     def _exclusion_keys(self, exclude_text: str) -> np.ndarray:
         """Sorted doc_keys matching any exclusion term (D4 NOT semantics)."""
         parts = []
@@ -345,6 +371,7 @@ class SegmentServer:
                 break
         keep = np.isin(dk, inter, assume_unique=True)
         dk, sc = dk[keep], sc[keep]
+        dk, sc = self._filter_deleted(dk, sc)
         if exclude:
             ex = self._exclusion_keys(exclude)
             if ex.size and dk.size:
@@ -373,6 +400,14 @@ class SegmentServer:
             kk = k or self.k
             parts = self.score_query_dense(text)
             try:
+                if self.deleted is not None:
+                    # zero deleted positions post-accumulation: topk drops
+                    # score<=0, and the restore loop re-zeroes touched
+                    # positions anyway, so the buffer invariant holds
+                    for b, (_keys, scores, _t) in zip(self._dense, parts):
+                        dp = self._dense_del.get(b)
+                        if dp is not None and dp.size:
+                            scores[dp] = 0.0
                 cand_k = [topk_postings(keys, scores, kk) for keys, scores, _ in parts]
                 dk = np.concatenate([c[0] for c in cand_k])
                 sc = np.concatenate([c[1] for c in cand_k])
@@ -384,6 +419,7 @@ class SegmentServer:
                     for pos in touched:
                         scores[pos] = 0.0
         dk, sc = self.score_query(text)
+        dk, sc = self._filter_deleted(dk, sc)
         if exclude:
             # NOT queries: sorted-set difference before top-k (block-max
             # bounds are not exclusion-aware, so this path is exhaustive)

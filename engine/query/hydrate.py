@@ -36,6 +36,9 @@ def committed_docmap_dirs(index_dir: str, manifest=None) -> list[str]:
     committed = {
         f"build-{b['build_id']}"
         for b in (manifest or Manifest(index_dir)).data.get("builds", [])
+        # a purge (engine/index/merge.py run_purge) rewrites the docmap into
+        # its own build dir and marks every prior build's docmap dead
+        if not b.get("docmap_tombstone")
     }
     return [
         os.path.join(docmap_root, d)

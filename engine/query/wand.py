@@ -143,6 +143,7 @@ def _kth_largest(x: np.ndarray, k: int) -> float:
 def wand_topk(server, text: str, k: int):
     terms = sorted(set(server.analyzer.tokens(text)))
     avgdl = server.avgdl
+    deleted = getattr(server, "deleted", None)  # committed delete set
     infos = []
     for t in terms:
         hits, df = server._term_hits(t)
@@ -158,20 +159,36 @@ def wand_topk(server, text: str, k: int):
         # single term: scores ARE the weights (tf/dl streams only — no gap
         # decode); per-list top-k positions (ties at the k-th weight kept)
         # are a superset of the global top-k, and only THEIR doc keys are
-        # block-decoded
+        # block-decoded. With deletes, a list's weight-heaviest docs may be
+        # dead — escalate the per-list cut (k → 4k → all) until it holds k
+        # LIVE docs or the list is exhausted (lists are doc-disjoint within
+        # a term, so per-list live top-k still covers the global top-k).
+        from engine.index.deletes import live_mask
+
         parts_k, parts_w = [], []
         for tl in infos[0]["lists"]:
             w = tl.weights(avgdl)
-            if w.size > k:
-                kth = np.partition(w, w.size - k)[w.size - k]
-                pos = np.nonzero(w >= kth)[0]
-            else:
-                pos = np.arange(w.size)
-            parts_k.append(tl.positions_keys(pos, avgdl))
-            parts_w.append(w[pos])
+            m = k
+            while True:
+                if w.size > m:
+                    kth = np.partition(w, w.size - m)[w.size - m]
+                    pos = np.nonzero(w >= kth)[0]
+                else:
+                    pos = np.arange(w.size)
+                dk = tl.positions_keys(pos, avgdl)
+                if deleted is not None:
+                    live = live_mask(dk, deleted)
+                    dk, wk = dk[live], w[pos][live]
+                else:
+                    wk = w[pos]
+                if dk.size >= k or pos.size >= w.size:
+                    break
+                m *= 4
+            parts_k.append(dk)
+            parts_w.append(wk)
         return topk_postings(np.concatenate(parts_k), np.concatenate(parts_w), k)
 
-    cand, scores = _multi_term(infos, k, avgdl)
+    cand, scores = _multi_term(infos, k, avgdl, deleted)
     if scores is None:
         # exact scoring of admitted candidates in sorted-term order (oracle
         # op order); cand is sorted unique; each list contributes via a
@@ -188,7 +205,7 @@ def wand_topk(server, text: str, k: int):
     return topk_postings(cand, scores, k)
 
 
-def _multi_term(infos, k: int, avgdl: float):
+def _multi_term(infos, k: int, avgdl: float, deleted=None):
     """→ (cand_keys sorted unique, None) — candidate ADMISSION by per-list
     exact-max thresholds (TAAT MaxScore with exact maxima).
 
@@ -210,7 +227,13 @@ def _multi_term(infos, k: int, avgdl: float):
     for info in infos:
         m = 0.0
         for tl in info["lists"]:
-            theta = max(theta, tl.seg.kth_weight(tl.idx, k, tl.idf, avgdl))
+            if deleted is None:
+                # single-list k-th weight is a valid θ lower bound only
+                # when those docs are guaranteed live — with deletes the
+                # probe (live-filtered below) is the sole θ source
+                theta = max(theta, tl.seg.kth_weight(tl.idx, k, tl.idf, avgdl))
+            # per-list MAX over any doc (deleted included) stays a valid
+            # upper bound on live weights — admission remains sound
             m = max(m, tl.seg.kth_weight(tl.idx, 1, tl.idf, avgdl))
         max_w.append(m)
     sum_ub = float(np.sum(max_w))
@@ -231,6 +254,10 @@ def _multi_term(infos, k: int, avgdl: float):
                 pos = np.arange(w.size)
             probe_keys.append(tl.positions_keys(pos, avgdl))
     probe = np.unique(np.concatenate(probe_keys))
+    if deleted is not None and probe.size:
+        from engine.index.deletes import live_mask
+
+        probe = probe[live_mask(probe, deleted)]
     psc = np.zeros(probe.size, dtype=np.float64)
     for info in infos:
         for tl in info["lists"]:
@@ -262,4 +289,9 @@ def _multi_term(infos, k: int, avgdl: float):
     # candidate set only — scores are recomputed exactly (oracle op order) by
     # the caller, so a plain sorted-unique union suffices; the weight-merging
     # accumulate_sorted_lists here was 1/3 of query wall time
-    return np.unique(np.concatenate(parts)), None
+    cand = np.unique(np.concatenate(parts))
+    if deleted is not None and cand.size:
+        from engine.index.deletes import live_mask
+
+        cand = cand[live_mask(cand, deleted)]
+    return cand, None
