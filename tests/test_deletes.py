@@ -156,6 +156,69 @@ class TestPurge:
         assert res["purged_docs"] == 0 and res["shards"] == 0
         assert Manifest(idx).data == m_before
 
+    def test_purge_on_bucketed_index(self, env, tmp_path_factory):
+        """Purge must preserve a doc-bucketed layout: shard ids already
+        encode the bucket offsets, so the per-shard rewrite is in-place and
+        bucketed dense queries stay oracle-identical."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        tmp, idx, keys, texts, dead_mask, dead_keys = env
+        t = synth_transcripts_table(N_CONVS, seed=11)
+        bidx = str(tmp_path_factory.mktemp("bk") / "idx")
+        build_index(rd.from_arrow(t), bidx, num_shards=4, build_id="bk", doc_buckets=2)
+        assert Manifest(bidx).data["doc_buckets"] == 2
+        delete_doc_keys(bidx, dead_keys, delete_id="bk-del")
+        res = run_purge(bidx)
+        assert res["purged_docs"] == len(np.unique(keys[dead_mask]))
+        assert Manifest(bidx).data["doc_buckets"] == 2  # layout survives
+        oracle = BM25Oracle(
+            list(keys[~dead_mask]),
+            [x for x, d in zip(texts, dead_mask) if not d],
+        )
+        for mode in ("exhaustive", "dense"):
+            srv = SegmentServer(bidx, k=K, mode=mode)
+            for qid, q in seeded_query_set(8, seed=5):
+                wk, ws = oracle.topk(q, K)
+                gk, gs = srv.topk(q, K)
+                np.testing.assert_array_equal(gk, wk, err_msg=f"mode={mode}")
+                np.testing.assert_array_equal(gs, ws, err_msg=f"mode={mode}")
+
+    def test_incremental_build_after_purge(self, env, purged, tmp_path_factory):
+        """A later build composes with a purge: stats accumulate on top of
+        the purge's rewritten absolutes, both docmaps are live, and queries
+        match an oracle over (filtered ∪ new) — the log-structured lifecycle
+        end to end."""
+        import pyarrow as pa
+
+        tmp, idx, keys, texts, dead_mask, dead_keys = env
+        extra = synth_transcripts_table(8, seed=77)
+        # synth conv ids collide across seeds at the same index — remap to a
+        # disjoint id range so (conv, turn) keys are unique across the union
+        import pyarrow.compute as pc
+
+        conv2 = pc.binary_join_element_wise(
+            pa.scalar("x"), extra["conv_id"].combine_chunks().cast(pa.string()), ""
+        )
+        extra = extra.set_column(
+            extra.column_names.index("conv_id"), "conv_id", conv2
+        )
+        d2 = tmp_path_factory.mktemp("inc")
+        p2 = str(d2 / "extra.parquet")
+        pq.write_table(extra, p2)
+        build_index(p2, idx, num_shards=4, build_id="b1")
+        ek = doc_key_batch(extra["conv_id"], extra["turn_idx"].to_numpy())
+        all_keys = np.concatenate([keys[~dead_mask], ek])
+        all_texts = [x for x, d in zip(texts, dead_mask) if not d] + extra["text"].to_pylist()
+        assert Manifest(idx).stats["n_docs"] == len(np.unique(all_keys))
+        oracle = BM25Oracle(list(all_keys), all_texts)
+        srv = SegmentServer(idx, k=K)
+        for qid, q in seeded_query_set(8, seed=6):
+            wk, ws = oracle.topk(q, K)
+            gk, gs = srv.topk(q, K)
+            np.testing.assert_array_equal(gk, wk)
+            np.testing.assert_array_equal(gs, ws)
+
     def test_dense_mode_after_purge(self, env, purged):
         """Stats fingerprint changed → stale sidecars must not poison dense
         scoring; dense == wand on the purged index."""
