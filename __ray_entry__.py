@@ -143,6 +143,69 @@ ORDER BY qid, rank
 """
 
 
+def _bool_queries_values() -> str:
+    from engine.pipelines import BOOL_QUERIES
+
+    rows = ", ".join(
+        f"({qid}, '{m}', '{s}', '{n}')" for qid, m, s, n in BOOL_QUERIES
+    )
+    return f"(VALUES {rows})"
+
+
+def _bm25_boolean_sql(k: int) -> str:
+    """Boolean must/should/must_not oracle (engine/query/boolean.py):
+    candidates contain ALL must terms (or >=1 should term when no must
+    clause), docs with any must_not term are excluded, and the score is the
+    BM25 sum over every matching positive (must ∪ should) term."""
+
+    def _terms(col: str) -> str:
+        return ("list_filter(regexp_split_to_array(lower(" + col + "), "
+                "'[^a-z0-9]+'), x -> x <> '')")
+
+    return f"""
+WITH {_TOK_CTE},
+q(qid, mtext, stext, ntext) AS {_bool_queries_values()},
+mterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({_terms('mtext')}) term FROM q),
+sterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({_terms('stext')}) term FROM q),
+nterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({_terms('ntext')}) term FROM q),
+mn AS (SELECT qid, count(*)::BIGINT n_must FROM mterm GROUP BY 1),
+posterm AS (SELECT qid, term FROM mterm UNION SELECT qid, term FROM sterm),
+mmatch AS (
+  SELECT m.qid, tf.doc_id
+  FROM mterm m JOIN tf ON tf.term = m.term JOIN mn ON mn.qid = m.qid
+  GROUP BY m.qid, tf.doc_id, mn.n_must
+  HAVING count(DISTINCT m.term) = mn.n_must
+),
+excluded AS (
+  SELECT DISTINCT n.qid, tf.doc_id FROM nterm n JOIN tf ON tf.term = n.term
+),
+contrib AS (
+  SELECT pt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM posterm pt
+  JOIN df ON df.term = pt.term
+  JOIN tf ON tf.term = pt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c
+  WHERE (c.qid NOT IN (SELECT qid FROM mn)
+         OR EXISTS (SELECT 1 FROM mmatch m WHERE m.qid = c.qid AND m.doc_id = c.doc_id))
+    AND NOT EXISTS (SELECT 1 FROM excluded x WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_and_sql(k: int) -> str:
     """Conjunctive BM25: a doc ranks only if it matched EVERY term of its
     query (count of distinct matched terms == the query's term count)."""
@@ -594,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
         "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
         "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
+        # Lucene-style +must/-not/should clause retrieval
+        "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
         # transcript-schema path (role/ts input filters + docID hydration)
         "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
@@ -666,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_not": _bm25_not_sql(10),
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
+        "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         # tr_bm25_topk10 runs the SAME materialized corpus + query set through
         # the query_index surface, so the same SQL value-checks both entries

@@ -7,7 +7,8 @@ contract).
 
 Verbs:
   build  --input DIR_OR_PARQUET --index DIR [--shards N] [--salt auto] [--analyzer nfkc]
-  query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand] [--and]
+  query  --index DIR [--queries PARQUET | --text "..."] [--k 10] [--mode wand]
+         [--and] [--boolean]  (boolean: Lucene-style "+must -not should")
   merge  --index DIR [--fanin 4] [--densify]
   delete --index DIR (--keys K1,K2,... | --conv CONV_ID) [--id ID]
   purge  --index DIR — fold the delete log: rewrite segments+docmap+stats
@@ -66,6 +67,8 @@ def main(argv=None):
     q.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "dense"])
     q.add_argument("--and", dest="conjunctive", action="store_true",
                    help="conjunctive retrieval: docs must match every term")
+    q.add_argument("--boolean", action="store_true",
+                   help="Lucene-style clauses: +must -not should")
     q.add_argument("--out", default=None, help="write results parquet here")
 
     m = sub.add_parser("merge")
@@ -146,7 +149,7 @@ def main(argv=None):
             else:
                 p.error("need --queries or --text")
             res = query_index(args.index, queries, k=args.k, mode=args.mode,
-                              conjunctive=args.conjunctive)
+                              conjunctive=args.conjunctive, boolean=args.boolean)
             if args.out:
                 # write_parquet APPENDS into an existing dir — a re-run with
                 # different --k or queries would mix both result sets, so

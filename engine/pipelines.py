@@ -219,6 +219,43 @@ def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+# boolean query set: (qid, must, should, must_not) clause texts — mirrored
+# literally in the oracle SQL. Edge coverage: missing must term (empty
+# result), missing must_not term (no-op), must-only, should-only + NOT,
+# overlapping must/should vocab.
+BOOL_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash", "join batch", ""),
+    (1, "window agg", "stream", ""),
+    (2, "", "customer value line", "order"),
+    (3, "scan", "", "filter"),
+    (4, "zzznosuchterm", "scan", ""),
+    (5, "", "merge sort key", "the"),
+    (6, "query", "slow filter", "zzznosuchterm"),
+    (7, "spark", "spark vector", ""),
+]
+
+
+def _bool_text(must: str, should: str, must_not: str) -> str:
+    """Compose the +/-/bare clause string parse_boolean round-trips."""
+    parts = [f"+{c}" for c in must.split()]
+    parts += should.split()
+    parts += [f"-{c}" for c in must_not.split()]
+    return " ".join(parts)
+
+
+def ft_bm25_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boolean structured retrieval (engine/query/boolean.py): +must / -not /
+    should clause queries, BM25-scored over every matching positive term,
+    candidates gated by the must-intersection. Columns: qid, rank, doc_id,
+    score_micro."""
+    return _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": _bool_text(m, s, n)} for q, m, s, n in BOOL_QUERIES],
+        k,
+        boolean=True,
+    )
+
+
 # phrase query set — mirrored literally in the oracle SQL; includes a
 # zero-match phrase and a no-such-term phrase as edge coverage
 PHRASE_QUERIES: list[tuple[int, str]] = [

@@ -48,7 +48,7 @@ class SegmentServer:
                  mode: str = "exhaustive", score_micro: bool = False,
                  bucket: int | None = None, df_overrides_ref=None,
                  analyzer_obj=None, cache_postings: int = 24_000_000,
-                 conjunctive: bool = False):
+                 conjunctive: bool = False, boolean: bool = False):
         import os
 
         from engine.index.segment import PostingLRU
@@ -67,6 +67,7 @@ class SegmentServer:
         # conjunctive (AND) retrieval: only docs matching EVERY query term
         # are candidates; scores stay plain BM25 sums over all terms
         self.conjunctive = conjunctive
+        self.boolean = boolean
         # bucketed layout (engine/query/bucketed.py): this server owns doc
         # bucket ``bucket``; its shard ids are base_shard + S_total*bucket and
         # per-term GLOBAL df comes from the broadcast term_stats overrides
@@ -385,6 +386,14 @@ class SegmentServer:
         return topk_postings(dk, sc, k)
 
     def topk(self, text: str, k: int | None = None, exclude: str | None = None):
+        if self.boolean:
+            # Lucene-style +must / -not / should clauses (engine/query/boolean.py)
+            from engine.query.boolean import boolean_topk, parse_boolean
+
+            must, should, must_not = parse_boolean(text)
+            if exclude:  # the exclude column composes as extra -clauses
+                must_not = f"{must_not} {exclude}".strip()
+            return boolean_topk(self, must, should, must_not, k or self.k)
         if self.conjunctive:
             return self._conjunctive_topk(text, k or self.k, exclude)
         if self.mode == "wand" and not exclude:
@@ -488,6 +497,7 @@ def query_index(
     hydrate: bool = True,
     sort_output: bool = True,
     conjunctive: bool = False,
+    boolean: bool = False,
     score_micro: bool = False,
 ):
     """queries: Dataset(qid, text) or list[(qid, text)] → results Dataset
@@ -501,7 +511,7 @@ def query_index(
     partials = queries.map_batches(
         SegmentServer,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode,
-                               "conjunctive": conjunctive,
+                               "conjunctive": conjunctive, "boolean": boolean,
                                "score_micro": score_micro,
                                "analyzer_obj": _driver_analyzer(index_dir)},
         batch_format="pyarrow",
