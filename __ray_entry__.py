@@ -143,6 +143,26 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_facets_sql() -> str:
+    """Facet counts: per query, matching-doc count per source/lang value."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term),
+j AS (SELECT m.qid, d.source, d.lang FROM m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT qid, facet, "value", count(*)::BIGINT n_matches FROM (
+  SELECT qid, 'source' facet, source AS "value" FROM j
+  UNION ALL
+  SELECT qid, 'lang' facet, lang AS "value" FROM j
+) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def _bool_queries_values() -> str:
     from engine.pipelines import BOOL_QUERIES
 
@@ -659,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
         # Lucene-style +must/-not/should clause retrieval
         "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
+        # facet counts over each query's FULL match set (match-stream →
+        # keyed attr join → multi-key groupby count)
+        "ft_bm25_facets": P.ft_bm25_facets,
         # transcript-schema path (role/ts input filters + docID hydration)
         "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
@@ -732,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
+        "ft_bm25_facets": _bm25_facets_sql(),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         # tr_bm25_topk10 runs the SAME materialized corpus + query set through
         # the query_index surface, so the same SQL value-checks both entries

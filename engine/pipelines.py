@@ -219,6 +219,68 @@ def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def ft_bm25_facets(sf_dir: str, facets: tuple[str, ...] = ("source", "lang")) -> pd.DataFrame:
+    """Faceted search: for every DOC_QUERY, the count of ALL matching docs
+    per attribute value (Elasticsearch-style facet/aggregation buckets).
+
+    Scale shape: the match set of a head term is a large corpus fraction, so
+    it is never collected — MatchServer streams (qid, doc_key) rows, a keyed
+    hash join attaches the attribute columns (the attr table is corpus-sized
+    at 100 TB; a broadcast would not survive), and a multi-key groupby count
+    reduces to |queries| × |facet values| rows. Columns: qid, facet,
+    value, n_matches."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", *facets]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", *facets]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    # one pass melts each attr column into (facet, value) pairs with an
+    # in-batch partial count, then ONE small groupby-sum finishes
+    def melt(b: pa.Table) -> pa.Table:
+        frames = []
+        df = b.to_pandas()
+        for f in facets:
+            g = df.groupby(["qid", f], as_index=False).size()
+            g = g.rename(columns={f: "value", "size": "n"})
+            g["facet"] = f
+            frames.append(g[["qid", "facet", "value", "n"]])
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(melt, batch_format="pyarrow")
+        .groupby(["qid", "facet", "value"])
+        .aggregate(Sum("n", alias_name="n_matches"))
+        .to_pandas()
+        .sort_values(["qid", "facet", "value"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"qid": "int64", "n_matches": "int64"})
+
+
 # boolean query set: (qid, must, should, must_not) clause texts — mirrored
 # literally in the oracle SQL. Edge coverage: missing must term (empty
 # result), missing must_not term (no-op), must-only, should-only + NOT,

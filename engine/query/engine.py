@@ -486,6 +486,37 @@ def _driver_analyzer(index_dir: str):
     return None if name == "default" else get_analyzer(name)
 
 
+class MatchServer(SegmentServer):
+    """Emits each query's FULL match set as (qid, doc_key) rows instead of a
+    scored top-k — the candidate stage for facet counting and other
+    match-set analytics (engine/pipelines.py::ft_bm25_facets). Honors the
+    committed delete set and the conjunctive/boolean constructor flags; for
+    boolean queries the match set is the gated candidate set (must
+    intersection minus must_not), for conjunctive the AND set, otherwise the
+    union of all term postings. Output is streamed per block — the match set
+    of a head term can be a large fraction of the corpus, so it is never
+    collected; downstream joins/groupbys consume it as a Dataset."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_qid, out_key = [], []
+        for qid, text in zip(qids, texts):
+            if self.boolean or self.conjunctive:
+                # top-k with k = everything: these paths gate candidates
+                dk, _sc = self.topk(text, k=2**62)
+            else:
+                dk, sc = self.score_query(text)
+                dk, _sc = self._filter_deleted(dk, sc)
+            out_qid.append(np.full(dk.size, qid, dtype=np.int64))
+            out_key.append(dk)
+        if not out_qid:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "doc_key": pa.array([], pa.int64())})
+        return pa.table({"qid": np.concatenate(out_qid),
+                         "doc_key": np.concatenate(out_key)})
+
+
 def query_index(
     index_dir: str,
     queries,

@@ -1,0 +1,104 @@
+"""MatchServer full-match-set semantics + faceted search
+(engine/query/engine.py::MatchServer, engine/pipelines.py::ft_bm25_facets)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from engine.core.dockey import doc_key_batch
+from engine.index.build import build_index
+from engine.io.synth import synth_transcripts_table
+from engine.oracle.bm25 import BM25Oracle
+from engine.query.engine import MatchServer
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("facets")
+    t = synth_transcripts_table(30, seed=31)
+    corpus = str(tmp / "c.parquet")
+    pq.write_table(t, corpus)
+    idx = str(tmp / "idx")
+    build_index(corpus, idx, num_shards=4, build_id="fc")
+    keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+    oracle = BM25Oracle(list(keys), t["text"].to_pylist())
+    return idx, oracle
+
+
+def _expected_matches(oracle, text):
+    terms = sorted(set(oracle.analyzer.tokens(text)))
+    idxs = [oracle.postings[t][0] for t in terms if t in oracle.postings]
+    if not idxs:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(oracle.doc_keys[np.unique(np.concatenate(idxs))])
+
+
+def test_match_server_full_set(env):
+    idx, oracle = env
+    srv = MatchServer(idx)
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t][0]))
+    text = f"{vocab[0]} {vocab[5]}"
+    out = srv(pa.table({"qid": pa.array([0], pa.int64()),
+                        "text": pa.array([text], pa.string())}))
+    got = np.sort(out["doc_key"].to_numpy())
+    np.testing.assert_array_equal(got, _expected_matches(oracle, text))
+
+
+def test_match_server_boolean_gate(env):
+    idx, oracle = env
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t][0]))
+    a, b = vocab[0], vocab[1]
+    srv = MatchServer(idx, boolean=True)
+    out = srv(pa.table({"qid": pa.array([0], pa.int64()),
+                        "text": pa.array([f"+{a} +{b}"], pa.string())}))
+    got = np.sort(out["doc_key"].to_numpy())
+    # expected: docs containing BOTH terms
+    ka = oracle.doc_keys[oracle.postings[a][0]]
+    kb = oracle.doc_keys[oracle.postings[b][0]]
+    np.testing.assert_array_equal(got, np.intersect1d(ka, kb))
+
+
+def test_match_server_respects_deletes(env):
+    from engine.index.deletes import delete_doc_keys
+
+    idx, oracle = env
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t][0]))
+    text = vocab[0]
+    pre = _expected_matches(oracle, text)
+    delete_doc_keys(idx, pre[:3], delete_id="fc-del")
+    srv = MatchServer(idx)
+    out = srv(pa.table({"qid": pa.array([0], pa.int64()),
+                        "text": pa.array([text], pa.string())}))
+    got = np.sort(out["doc_key"].to_numpy())
+    np.testing.assert_array_equal(got, pre[3:])
+
+
+def test_ft_bm25_facets_counts(ray_session):
+    """End-to-end facet pipeline at sf0.001 vs a pandas recomputation."""
+    import pandas as pd
+
+    from engine.pipelines import DOC_QUERIES, ft_bm25_facets
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_bm25_facets(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    attrs = docs.set_index("doc_id")[["source", "lang"]]
+    rows = []
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        matched = [d for d, ts in tok.items() if ts & terms]
+        for f in ("source", "lang"):
+            vc = attrs.loc[matched, f].value_counts()
+            for v, n in vc.items():
+                rows.append({"qid": qid, "facet": f, "value": v, "n_matches": n})
+    exp = (
+        pd.DataFrame(rows)
+        .sort_values(["qid", "facet", "value"])
+        .reset_index(drop=True)
+        .astype({"qid": "int64", "n_matches": "int64"})
+    )
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
