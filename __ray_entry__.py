@@ -143,6 +143,52 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_snippets_sql(k: int, window: int = 5) -> str:
+    """Top-k + snippet: the token window (±window) around the first
+    occurrence of any query term, recomputed from the same tokenization."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+topk AS (
+  SELECT qid, rank, doc_id, score_micro FROM (
+    SELECT qid, doc_id, score_micro,
+           row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+dtok AS (SELECT doc_id, {_TOKS} toks FROM documents),
+hitpos AS (
+  SELECT t.qid, t.rank, t.doc_id, t.score_micro, d.toks,
+         (SELECT min(list_position(d.toks, qt.term))
+          FROM qterm qt
+          WHERE qt.qid = t.qid AND list_position(d.toks, qt.term) > 0) p
+  FROM topk t JOIN dtok d ON d.doc_id = t.doc_id
+)
+SELECT qid, rank, doc_id, score_micro,
+       array_to_string(toks[greatest(1, p - {window}) : p + {window}], ' ') snippet
+FROM hitpos ORDER BY qid, rank
+"""
+
+
 def _bm25_facets_sql() -> str:
     """Facet counts: per query, matching-doc count per source/lang value."""
     return f"""
@@ -682,6 +728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facet counts over each query's FULL match set (match-stream →
         # keyed attr join → multi-key groupby count)
         "ft_bm25_facets": P.ft_bm25_facets,
+        # top-k + context-window snippets (bounded candidate-only scan)
+        "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # transcript-schema path (role/ts input filters + docID hydration)
         "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
@@ -756,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
+        "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         # tr_bm25_topk10 runs the SAME materialized corpus + query set through
         # the query_index surface, so the same SQL value-checks both entries

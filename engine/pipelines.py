@@ -219,6 +219,55 @@ def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def ft_bm25_snippets(sf_dir: str, k: int = 10, window: int = 5) -> pd.DataFrame:
+    """Search-result snippets: top-k BM25 plus, per hit, the token window
+    around the FIRST occurrence of any query term (``window`` tokens of
+    context each side, analyzer-token space).
+
+    Scale shape: the result set is queries × k rows, so snippet extraction
+    is bounded work regardless of corpus size — a column-pruned corpus scan
+    keeps ONLY candidate rows (vectorized isin filter, same pattern as the
+    phrase verifier), and the ≤ q·k surviving texts are tokenized once.
+    Columns: qid, rank, doc_id, score_micro, snippet."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    base = _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k)
+    cand = np.unique(base["doc_id"].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        w = ray.get(cand_ref)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= w.size] = 0
+        return b.filter(pa.array(w[pos] == ids))
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    an = Analyzer()
+    toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
+    qterms = {qid: set(an.tokens(t)) for qid, t in DOC_QUERIES}
+
+    def snippet(qid: int, doc_id: int) -> str:
+        ts = toks[doc_id]
+        qs = qterms[qid]
+        i = next(j for j, t in enumerate(ts) if t in qs)  # hit ⇒ exists
+        return " ".join(ts[max(0, i - window): i + window + 1])
+
+    out = base.copy()
+    out["snippet"] = [
+        snippet(int(q), int(d)) for q, d in zip(out["qid"], out["doc_id"])
+    ]
+    return out
+
+
 def ft_bm25_facets(sf_dir: str, facets: tuple[str, ...] = ("source", "lang")) -> pd.DataFrame:
     """Faceted search: for every DOC_QUERY, the count of ALL matching docs
     per attribute value (Elasticsearch-style facet/aggregation buckets).

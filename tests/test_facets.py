@@ -74,6 +74,27 @@ def test_match_server_respects_deletes(env):
     np.testing.assert_array_equal(got, pre[3:])
 
 
+def test_ft_bm25_snippets_windows(ray_session):
+    """Snippet = ±window tokens around the FIRST occurrence of any query
+    term, recomputed independently; edge clamping at doc start/end."""
+    from engine.pipelines import DOC_QUERIES, ft_bm25_snippets
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    w = 5
+    out = ft_bm25_snippets(sf, k=10, window=w)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas().set_index("doc_id")
+    an = Analyzer()
+    qterms = dict((q, set(an.tokens(t))) for q, t in DOC_QUERIES)
+    assert len(out) and (out["snippet"].str.len() > 0).all()
+    for r in out.itertuples():
+        ts = an.tokens(docs.loc[int(r.doc_id), "text"])
+        i = next(j for j, t in enumerate(ts) if t in qterms[int(r.qid)])
+        assert r.snippet == " ".join(ts[max(0, i - w): i + w + 1])
+        # the snippet contains the hit term and respects the window bound
+        assert len(r.snippet.split()) <= 2 * w + 1
+
+
 def test_ft_bm25_facets_counts(ray_session):
     """End-to-end facet pipeline at sf0.001 vs a pandas recomputation."""
     import pandas as pd
