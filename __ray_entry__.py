@@ -189,6 +189,50 @@ FROM hitpos ORDER BY qid, rank
 """
 
 
+def _bm25_postfilter_sql(k: int) -> str:
+    """Post-filter oracle: BM25 restricted to docs whose attribute column
+    equals the query's required value."""
+    from engine.pipelines import POSTFILTER_QUERIES
+
+    rows = ", ".join(
+        f"({q}, '{t}', '{c}', '{v}')" for q, t, c, v in POSTFILTER_QUERIES
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext, fcol, fval) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c
+  JOIN q ON q.qid = c.qid
+  JOIN documents d ON d.doc_id = c.doc_id
+  WHERE (q.fcol = 'lang' AND d.lang = q.fval)
+     OR (q.fcol = 'source' AND d.source = q.fval)
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _mlt_sql(k: int, n_terms: int = 3) -> str:
     """More-like-this oracle: per seed doc, its top-n tf·idf-surrogate terms
     (same integer arithmetic as ta_tfidf_topk) run as a BM25 query, seed
@@ -788,6 +832,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_facets": P.ft_bm25_facets,
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
+        # query-time attribute filter (filter-context search): scored match
+        # stream → attr hash join → predicate filter → per-block top-k
+        "ft_bm25_postfilter": lambda sf: P.ft_bm25_postfilter(sf, k=10),
         # more-like-this: seed doc → top tf·idf terms → BM25, seed excluded
         "ft_more_like_this": lambda sf: P.ft_more_like_this(sf, k=10),
         # prefix autocomplete from the vocab-sized term_stats artifact
@@ -867,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
+        "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_more_like_this": _mlt_sql(10),
         "ft_term_suggest": _term_suggest_sql(5),
         "ft_bm25_filtered": _bm25_filtered_sql(10),

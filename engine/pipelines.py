@@ -219,6 +219,91 @@ def ft_bm25_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+# post-filter query set: (qid, text, attr column, required value) — mirrored
+# in the oracle SQL. Edge coverage: head terms + selective attrs, a
+# no-such-term query, both attr columns.
+POSTFILTER_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join batch", "lang", "en"),
+    (1, "window agg stream", "lang", "de"),
+    (2, "scan", "source", "src3"),
+    (3, "customer order line value", "lang", "zh"),
+    (4, "merge sort key", "source", "src7"),
+    (5, "slow query filter the", "lang", "fr"),
+    (6, "zzz nosuchterm", "lang", "en"),
+]
+
+
+def ft_bm25_postfilter(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Query-time attribute-filtered retrieval: top-k BM25 among ONLY the
+    docs whose attribute matches the query's predicate (the filter-context
+    search pattern).
+
+    Scale shape: filter selectivity is unknown, so no top-k over-fetch
+    factor is safe — instead the scored match set streams out of
+    ScoredMatchServer, a keyed hash join attaches the attribute columns
+    (corpus-sized at 100 TB: no broadcast), a broadcast predicate map (tiny:
+    |queries| entries) filters, and per-block partial top-k reduces each
+    block to ≤ |queries|·k rows before the driver's final merge. Columns:
+    qid, rank, doc_id, score_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.query.engine import ScoredMatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t, _c, _v in POSTFILTER_QUERIES]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attr_cols = sorted({c for _q, _t, c, _v in POSTFILTER_QUERIES})
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", *attr_cols]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", *attr_cols]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+    pred_ref = ray.put({q: (c, v) for q, _t, c, v in POSTFILTER_QUERIES})
+
+    def filter_topk(df: pd.DataFrame) -> pd.DataFrame:
+        preds = ray.get(pred_ref)
+        keep = np.zeros(len(df), dtype=bool)
+        qs = df["qid"].to_numpy()
+        for q, (c, v) in preds.items():
+            keep |= (qs == q) & (df[c].to_numpy() == v)
+        df = df[keep]
+        df = df.sort_values(["qid", "score", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid").head(k)[["qid", "doc_key", "score"]]
+
+    out = (
+        joined.map_batches(filter_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score", "doc_key"], ascending=[True, False, True],
+                     kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    out = out[["qid", "rank", "doc_id", "score_micro"]]
+    return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64",
+                       "score_micro": "int64"})
+
+
 MLT_SEEDS = (1, 7, 23)  # mirrored in the oracle SQL
 
 

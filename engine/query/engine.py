@@ -517,6 +517,36 @@ class MatchServer(SegmentServer):
                          "doc_key": np.concatenate(out_key)})
 
 
+class ScoredMatchServer(SegmentServer):
+    """MatchServer with scores: streams (qid, doc_key, score) for EVERY
+    matching doc — the scored-candidate stage for query-time post-filtered
+    retrieval (top-k among docs passing an attribute predicate), where the
+    filter selectivity is unknown so no over-fetch factor is safe. Scores
+    are micro-ints when constructed with score_micro (exhaustive oracle op
+    order, same as the top-k paths). Honors deletes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_qid, out_key, out_sc = [], [], []
+        for qid, text in zip(qids, texts):
+            dk, sc = self.score_query(text)
+            dk, sc = self._filter_deleted(dk, sc)
+            if self.score_micro:
+                sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+            out_qid.append(np.full(dk.size, qid, dtype=np.int64))
+            out_key.append(dk)
+            out_sc.append(sc)
+        stype = pa.int64() if self.score_micro else pa.float64()
+        if not out_qid:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "doc_key": pa.array([], pa.int64()),
+                             "score": pa.array([], stype)})
+        return pa.table({"qid": np.concatenate(out_qid),
+                         "doc_key": np.concatenate(out_key),
+                         "score": np.concatenate(out_sc)})
+
+
 def query_index(
     index_dir: str,
     queries,

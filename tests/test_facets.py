@@ -147,3 +147,35 @@ def test_ft_bm25_facets_counts(ray_session):
         .astype({"qid": "int64", "n_matches": "int64"})
     )
     pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
+def test_ft_bm25_postfilter_vs_oracle(ray_session):
+    """Post-filtered retrieval at sf0.001 vs an independent recomputation:
+    BM25Oracle scores every doc, the attribute predicate zeroes the
+    non-matching docs, micro-rounded top-k with (score desc, doc_id asc)
+    tie-break — engine rows must match exactly."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import POSTFILTER_QUERIES, ft_bm25_postfilter
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    out = ft_bm25_postfilter(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    oracle = BM25Oracle(docs["doc_id"].tolist(), docs["text"].tolist())
+    attrs = docs.set_index("doc_id")
+    rows = []
+    for qid, text, col, val in POSTFILTER_QUERIES:
+        scores = oracle.score_query(text)
+        ok = attrs.loc[oracle.doc_keys, col].to_numpy() == val
+        scores = np.where(ok, scores, 0.0)
+        nz = np.nonzero(scores)[0]
+        micro = np.floor(scores[nz] * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((oracle.doc_keys[nz], -micro))[:k]
+        for r, i in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": r,
+                         "doc_id": int(oracle.doc_keys[nz][i]),
+                         "score_micro": int(micro[i])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
