@@ -233,6 +233,67 @@ ORDER BY qid, rank
 """
 
 
+def _hybrid_rrf_sql(k: int, n_each: int = 20) -> str:
+    """Hybrid BM25 + embedding-cosine retrieval fused by reciprocal-rank
+    fusion, all-integer: each side ranks by its micro score (desc, doc_id
+    asc), a doc at rank r contributes RRF_SCALE // (RRF_K + r), absent
+    sides contribute 0; fused order = (rrf_micro desc, doc_id asc)."""
+    from engine.pipelines import HYBRID_QUERIES, RRF_K, RRF_SCALE
+
+    rows = ", ".join(f"({q}, '{t}', {v})" for q, t, v in HYBRID_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext, seed) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tscore AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT s
+  FROM contrib GROUP BY 1, 2
+),
+trank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC)::BIGINT r
+  FROM tscore
+),
+vsim AS (
+  SELECT q.qid::BIGINT qid, e.vec_id::BIGINT doc_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], sv.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim
+  FROM q JOIN embeddings sv ON sv.vec_id = q.seed
+  CROSS JOIN embeddings e
+),
+vrank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id ASC)::BIGINT r
+  FROM vsim
+),
+both_sides AS (
+  SELECT qid, doc_id, {RRF_SCALE} // ({RRF_K} + r) c FROM trank WHERE r <= {n_each}
+  UNION ALL
+  SELECT qid, doc_id, {RRF_SCALE} // ({RRF_K} + r) c FROM vrank WHERE r <= {n_each}
+),
+fused AS (SELECT qid, doc_id, sum(c)::BIGINT rrf_micro FROM both_sides GROUP BY 1, 2)
+SELECT qid, rank, doc_id, rrf_micro FROM (
+  SELECT qid, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id ASC)::BIGINT rank
+  FROM fused
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _mlt_sql(k: int, n_terms: int = 3) -> str:
     """More-like-this oracle: per seed doc, its top-n tf·idf-surrogate terms
     (same integer arithmetic as ta_tfidf_topk) run as a BM25 query, seed
@@ -835,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-time attribute filter (filter-context search): scored match
         # stream → attr hash join → predicate filter → per-block top-k
         "ft_bm25_postfilter": lambda sf: P.ft_bm25_postfilter(sf, k=10),
+        # hybrid BM25 + embedding-cosine retrieval, integer RRF fusion
+        "ft_hybrid_rrf": lambda sf: P.ft_hybrid_rrf(sf, k=10),
         # more-like-this: seed doc → top tf·idf terms → BM25, seed excluded
         "ft_more_like_this": lambda sf: P.ft_more_like_this(sf, k=10),
         # prefix autocomplete from the vocab-sized term_stats artifact
@@ -915,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
+        "ft_hybrid_rrf": _hybrid_rrf_sql(10),
         "ft_more_like_this": _mlt_sql(10),
         "ft_term_suggest": _term_suggest_sql(5),
         "ft_bm25_filtered": _bm25_filtered_sql(10),

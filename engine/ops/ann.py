@@ -69,16 +69,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
-    """Exact top-k cosine neighbours of the first ``n_queries`` vectors
-    (excluding self). Output: (qid, rank, vec_id, sim_micro)."""
+def _brute_partial(q_ref, k: int, exclude_self: bool):
+    """Per-batch brute-force stage shared by the exact cosine paths:
+    normalized matmul against the broadcast query matrix, micro-int
+    similarities, per-batch partial top-k so only queries×k rows leave each
+    block. ``exclude_self`` drops the vector whose vec_id equals the query id
+    (cosine_topk's neighbour semantics); seeded queries keep everything."""
     import ray
-
-    ds = _read_embeddings(sf_dir)
-    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
-    q_ids = qdf["vec_id"].to_numpy()
-    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]))
-    q_ref = ray.put((q_ids, qm))
 
     def partial(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(q_ref)
@@ -88,8 +85,11 @@ def cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
         out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qids):
             col = sim_micro[:, j]
-            mask = ids != qid
-            vids, s = ids[mask], col[mask]
+            if exclude_self:
+                mask = ids != qid
+                vids, s = ids[mask], col[mask]
+            else:
+                vids, s = ids, col
             if s.size > k:
                 kth = np.partition(-s, k - 1)[k - 1]
                 keep = s >= -kth
@@ -106,7 +106,12 @@ def cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
             }
         )
 
-    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return partial
+
+
+def _merge_topk(cand: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact driver-side merge of per-block candidates (queries×k×blocks
+    rows — tiny at any corpus scale)."""
     out_rows = []
     for qid, g in cand.groupby("qid"):
         g = g.sort_values(["sim_micro", "vec_id"], ascending=[False, True]).head(k)
@@ -115,6 +120,57 @@ def cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
         out_rows.append(g)
     out = pd.concat(out_rows, ignore_index=True)[["qid", "rank", "vec_id", "sim_micro"]]
     return out.sort_values(["qid", "rank"]).reset_index(drop=True).astype("int64")
+
+
+def cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """Exact top-k cosine neighbours of the first ``n_queries`` vectors
+    (excluding self). Output: (qid, rank, vec_id, sim_micro)."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy()
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]))
+    q_ref = ray.put((q_ids, qm))
+    cand = ds.map_batches(
+        _brute_partial(q_ref, k, exclude_self=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    return _merge_topk(cand, k)
+
+
+def seeded_cosine_topk(sf_dir: str, pairs: list[tuple[int, int]], k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k where each query is the embedding of an EXISTING
+    vector: ``pairs`` = [(qid, seed_vec_id), ...]. The seed itself is not
+    excluded (it is a query embedding standing in for 'docs like this one' —
+    the caller decides any exclusion). Same scale shape as cosine_topk:
+    one bounded scan gathers the seed vectors, the query matrix is broadcast
+    once, per-batch partial top-k, tiny exact driver merge. Feeds the
+    hybrid-RRF fusion pipeline (engine/pipelines.py::ft_hybrid_rrf).
+    Output: (qid, rank, vec_id, sim_micro) int64."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = _read_embeddings(sf_dir)
+    seeds = sorted({v for _q, v in pairs})
+    seed_set = pa.array(seeds, pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=seed_set))
+
+    sdf = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    missing = set(seeds) - set(int(v) for v in sdf["vec_id"])
+    if missing:
+        raise ValueError(f"seed vec_ids not in embeddings table: {sorted(missing)}")
+    svec = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in sdf.itertuples()}
+    q_ids = np.array([q for q, _v in pairs], dtype=np.int64)
+    qm = _normalize(np.stack([svec[v] for _q, v in pairs]))
+    q_ref = ray.put((q_ids, qm))
+    cand = ds.map_batches(
+        _brute_partial(q_ref, k, exclude_self=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    return _merge_topk(cand, k)
 
 
 def _train_centroids(ds, n_lists: int, seed: int) -> np.ndarray:

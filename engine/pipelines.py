@@ -304,6 +304,60 @@ def ft_bm25_postfilter(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+# hybrid query set: (qid, text, seed vec_id) — the vector side queries with
+# the seed's embedding. Mirrored in the oracle SQL. Edge coverage: a
+# no-such-term query (qid 4: pure vector ranking) and a head term (qid 3).
+HYBRID_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join batch", 3),
+    (1, "window agg stream", 11),
+    (2, "customer order line value", 42),
+    (3, "scan", 7),
+    (4, "zzz nosuchterm", 19),
+    (5, "merge sort key", 101),
+]
+
+RRF_K = 60                 # standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000_000  # integer surrogate: contribution = SCALE // (K + rank)
+
+
+def ft_hybrid_rrf(sf_dir: str, k: int = 10, n_each: int = 20) -> pd.DataFrame:
+    """Hybrid retrieval: BM25 top-n and embedding-cosine top-n fused by
+    reciprocal-rank fusion. Contribution of a list placing a doc at rank r
+    is ``RRF_SCALE // (RRF_K + r)`` — integer arithmetic, so the fused
+    ranking is bit-reproducible in SQL (no float RRF divergence); a doc
+    absent from a side contributes 0 from it.
+
+    Scale shape: both sides are independently distributed (BM25 actor-pool
+    index query; broadcast-matrix brute cosine with per-batch partial
+    top-k) and each emits ≤ |queries|·n_each rows, so the fusion itself is
+    a driver-side merge of two tiny frames at ANY corpus scale. Columns:
+    qid, rank, doc_id, rrf_micro."""
+    from engine.ops.ann import seeded_cosine_topk
+
+    text = _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t} for q, t, _v in HYBRID_QUERIES], n_each
+    )
+    vec = seeded_cosine_topk(
+        sf_dir, [(q, v) for q, _t, v in HYBRID_QUERIES], k=n_each
+    ).rename(columns={"vec_id": "doc_id"})
+    both = pd.concat(
+        [df.assign(rrf=RRF_SCALE // (RRF_K + df["rank"]))[["qid", "doc_id", "rrf"]]
+         for df in (text, vec)],
+        ignore_index=True,
+    )
+    fused = (
+        both.groupby(["qid", "doc_id"], as_index=False)["rrf"].sum()
+        .rename(columns={"rrf": "rrf_micro"})
+        .sort_values(["qid", "rrf_micro", "doc_id"],
+                     ascending=[True, False, True], kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    fused["rank"] = fused.groupby("qid").cumcount() + 1
+    return fused[["qid", "rank", "doc_id", "rrf_micro"]].astype("int64")
+
+
 MLT_SEEDS = (1, 7, 23)  # mirrored in the oracle SQL
 
 

@@ -179,3 +179,40 @@ def test_ft_bm25_postfilter_vs_oracle(ray_session):
                          "score_micro": int(micro[i])})
     exp = pd.DataFrame(rows).astype("int64")
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_ft_hybrid_rrf_vs_independent_recompute(ray_session):
+    """Hybrid RRF at sf0.001 vs a from-scratch recomputation: BM25Oracle
+    text ranks + raw-numpy cosine ranks, integer RRF fusion — no engine
+    retrieval code on the expected side."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import HYBRID_QUERIES, RRF_K, RRF_SCALE, ft_hybrid_rrf
+
+    sf = "/root/testdata/sf0.001"
+    k, n_each = 10, 20
+    out = ft_hybrid_rrf(sf, k=k, n_each=n_each)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    oracle = BM25Oracle(docs["doc_id"].tolist(), docs["text"].tolist())
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    vids = emb["vec_id"].to_numpy()
+    rows = []
+    for qid, text, seed in HYBRID_QUERIES:
+        contrib: dict[int, int] = {}
+        tk, ts = oracle.topk(text, n_each)
+        tmicro = np.floor(ts * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((tk, -tmicro))  # re-rank on micro ints like the engine
+        for r, i in enumerate(order, 1):
+            contrib[int(tk[i])] = contrib.get(int(tk[i]), 0) + RRF_SCALE // (RRF_K + r)
+        sims = np.floor((m @ m[np.where(vids == seed)[0][0]]) * 1e6 + 0.5).astype(np.int64)
+        vorder = np.lexsort((vids, -sims))[:n_each]
+        for r, i in enumerate(vorder, 1):
+            contrib[int(vids[i])] = contrib.get(int(vids[i]), 0) + RRF_SCALE // (RRF_K + r)
+        fused = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (d, c) in enumerate(fused, 1):
+            rows.append({"qid": qid, "rank": r, "doc_id": d, "rrf_micro": c})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
