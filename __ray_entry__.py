@@ -233,6 +233,57 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_wildcard_sql(k: int, max_expand: int = 5) -> str:
+    """Wildcard oracle: trailing-* tokens expand to their max_expand
+    highest-df vocabulary terms (df desc, term asc), literals pass through;
+    the union scores as standard BM25."""
+    from engine.pipelines import WILDCARD_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}')" for q, t in WILDCARD_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS (VALUES {rows}),
+rawtok AS (
+  SELECT qid::BIGINT qid, unnest(regexp_split_to_array(qtext, ' ')) tok FROM q
+),
+lit AS (SELECT qid, tok term FROM rawtok WHERE tok NOT LIKE '%*'),
+pfx AS (SELECT qid, rtrim(tok, '*') p FROM rawtok WHERE tok LIKE '%*'),
+expand AS (
+  SELECT qid, term FROM (
+    SELECT pfx.qid, df.term,
+           row_number() OVER (PARTITION BY pfx.qid, pfx.p
+                              ORDER BY df.df DESC, df.term ASC) r
+    FROM pfx JOIN df ON df.term LIKE pfx.p || '%'
+  ) WHERE r <= {max_expand}
+),
+qterm AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT * FROM lit UNION ALL SELECT * FROM expand
+  )
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _hybrid_rrf_sql(k: int, n_each: int = 20) -> str:
     """Hybrid BM25 + embedding-cosine retrieval fused by reciprocal-rank
     fusion, all-integer: each side ranks by its micro score (desc, doc_id
@@ -898,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_postfilter": lambda sf: P.ft_bm25_postfilter(sf, k=10),
         # hybrid BM25 + embedding-cosine retrieval, integer RRF fusion
         "ft_hybrid_rrf": lambda sf: P.ft_hybrid_rrf(sf, k=10),
+        # trailing-* wildcard expansion against the term dictionary
+        "ft_bm25_wildcard": lambda sf: P.ft_bm25_wildcard(sf, k=10),
         # more-like-this: seed doc → top tf·idf terms → BM25, seed excluded
         "ft_more_like_this": lambda sf: P.ft_more_like_this(sf, k=10),
         # prefix autocomplete from the vocab-sized term_stats artifact
@@ -979,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),
+        "ft_bm25_wildcard": _bm25_wildcard_sql(10),
         "ft_more_like_this": _mlt_sql(10),
         "ft_term_suggest": _term_suggest_sql(5),
         "ft_bm25_filtered": _bm25_filtered_sql(10),

@@ -304,6 +304,49 @@ def ft_bm25_postfilter(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+# wildcard query set (trailing-* terms) — mirrored in the oracle SQL.
+# Edge coverage: multi-wildcard (3), dead prefix + literal (4), head prefix (2).
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "hash jo*"),
+    (1, "wind* stream"),
+    (2, "sc*"),
+    (3, "quer* filt*"),
+    (4, "zzz* merge"),
+]
+MAX_EXPAND = 5  # per-wildcard expansion cap, df desc / term asc (top-terms rewrite)
+
+
+def ft_bm25_wildcard(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.DataFrame:
+    """Wildcard retrieval: query terms with a trailing ``*`` expand against
+    the vocab-sized term_stats artifact to their ``max_expand`` highest-df
+    matching terms (df desc, term asc — the top-terms rewrite), and the
+    expanded disjunction scores as plain BM25. Expansion never touches
+    postings — the dictionary artifact is vocab-sized, not corpus-sized, so
+    the rewrite is cheap at any corpus scale. Columns: qid, rank, doc_id,
+    score_micro."""
+    import pyarrow.parquet as pq
+
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_index(sf_dir)
+    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    items = []
+    for qid, qtext in WILDCARD_QUERIES:
+        terms: list[str] = []
+        for tok in qtext.split():
+            if tok.endswith("*"):
+                p = tok.rstrip("*")
+                hit = stats[stats["term"].str.startswith(p)]
+                hit = hit.sort_values(["df", "term"], ascending=[False, True],
+                                      kind="stable").head(max_expand)
+                terms.extend(hit["term"])
+            else:
+                terms.append(tok)
+        items.append({"qid": qid, "text": " ".join(terms)})
+    return _run_doc_queries(sf_dir, items, k)
+
+
 # hybrid query set: (qid, text, seed vec_id) — the vector side queries with
 # the seed's embedding. Mirrored in the oracle SQL. Edge coverage: a
 # no-such-term query (qid 4: pure vector ranking) and a head term (qid 3).

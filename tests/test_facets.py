@@ -216,3 +216,46 @@ def test_ft_hybrid_rrf_vs_independent_recompute(ray_session):
             rows.append({"qid": qid, "rank": r, "doc_id": d, "rrf_micro": c})
     exp = pd.DataFrame(rows).astype("int64")
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_ft_bm25_wildcard_expansion_semantics(ray_session):
+    """Wildcard expansion at sf0.001: expected = BM25Oracle over the query
+    with each trailing-* token replaced by its top-df prefix matches
+    (df desc, term asc, capped), recomputed from the corpus directly."""
+    import pandas as pd
+    from collections import Counter
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import MAX_EXPAND, WILDCARD_QUERIES, ft_bm25_wildcard
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    out = ft_bm25_wildcard(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    oracle = BM25Oracle(docs["doc_id"].tolist(), docs["text"].tolist())
+    an = Analyzer()
+    df = Counter()
+    for text in docs["text"]:
+        df.update(set(an.tokens(text)))
+    rows = []
+    for qid, qtext in WILDCARD_QUERIES:
+        terms = []
+        for tok in qtext.split():
+            if tok.endswith("*"):
+                p = tok.rstrip("*")
+                hits = sorted((t for t in df if t.startswith(p)),
+                              key=lambda t: (-df[t], t))[:MAX_EXPAND]
+                terms.extend(hits)
+            else:
+                terms.append(tok)
+        dk, sc = oracle.topk(" ".join(terms) if terms else "", k)
+        micro = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((dk, -micro))
+        for r, i in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": r, "doc_id": int(dk[i]),
+                         "score_micro": int(micro[i])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    # the dead-prefix query (zzz*) degrades to its literal terms only
+    assert set(out[out["qid"] == 4]["doc_id"]) == set(exp[exp["qid"] == 4]["doc_id"])
