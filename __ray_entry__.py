@@ -189,6 +189,31 @@ FROM hitpos ORDER BY qid, rank
 """
 
 
+def _tr_match_histogram_sql() -> str:
+    """Date-histogram oracle: a doc matches a query iff it shares ≥1 term;
+    daily counts of each query's full match set over the same materialized
+    transcript parquet."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, ts, text FROM read_parquet('{path}')),
+tok AS (SELECT DISTINCT doc_key, unnest({_TOKS}) AS term FROM src),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tok.doc_key FROM qterm qt JOIN tok ON tok.term = qt.term)
+SELECT m.qid, epoch(date_trunc('day', src.ts))::BIGINT day_epoch, count(*)::BIGINT n_matches
+FROM m JOIN src ON src.doc_key = m.doc_key
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _bm25_postfilter_sql(k: int) -> str:
     """Post-filter oracle: BM25 restricted to docs whose attribute column
     equals the query's required value."""
@@ -971,6 +996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # run_purge; the oracle recomputes BM25 over the FILTERED corpus,
         # proving stats/df/docmap all moved (engine/index/deletes.py)
         "tr_bm25_purged": lambda sf: P.tr_bm25_purged(sf, k=10),
+        # daily date-histogram of each query's full match set (match stream
+        # → keyed ts join → partial day counts → one small groupby)
+        "tr_match_histogram": P.tr_match_histogram,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -1042,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "tr_bm25_purged": _tr_bm25_oracle_sql(10, where="conv_id NOT LIKE '%7'"),
         "tr_text_identity": _tr_text_identity_sql(),
+        "tr_match_histogram": _tr_match_histogram_sql(),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

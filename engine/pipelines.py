@@ -953,6 +953,61 @@ def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def tr_match_histogram(sf_dir: str) -> pd.DataFrame:
+    """Retrieval × time analytics over the transcript corpus: per query, the
+    DAILY histogram of its FULL match set (the Elasticsearch date_histogram
+    aggregation shape).
+
+    Scale shape: a head term's match set is a large corpus fraction, so it
+    is never collected — MatchServer streams (qid, doc_key) rows, a keyed
+    hash join attaches each matched turn's timestamp (corpus-sized side at
+    100 TB: no broadcast), per-batch partial day counts reduce inside
+    map_batches, and ONE small (qid, day) groupby-sum finishes (output is
+    |queries| × |days| rows). Columns: qid, day_epoch, n_matches."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import MatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    ts_ds = rd.read_parquet(path, columns=["doc_key", "ts"])
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        ts_ds, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        day_epoch = day.cast(pa.int64()).to_numpy() // 1_000_000
+        df = pd.DataFrame({"qid": batch["qid"].to_numpy(), "day_epoch": day_epoch})
+        g = df.groupby(["qid", "day_epoch"], as_index=False).size()
+        return g.rename(columns={"size": "n_matches"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["qid", "day_epoch"])
+        .aggregate(Sum("n_matches", alias_name="n_matches"))
+        .to_pandas()
+        .sort_values(["qid", "day_epoch"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"qid": "int64", "day_epoch": "int64", "n_matches": "int64"})
+
+
 TR_PURGE_SUFFIX = "7"  # delete every conv whose id ends in this digit (~10%)
 
 

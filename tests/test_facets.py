@@ -259,3 +259,31 @@ def test_ft_bm25_wildcard_expansion_semantics(ray_session):
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
     # the dead-prefix query (zzz*) degrades to its literal terms only
     assert set(out[out["qid"] == 4]["doc_id"]) == set(exp[exp["qid"] == 4]["doc_id"])
+
+
+def test_tr_match_histogram_vs_pandas(ray_session):
+    """Daily match histogram vs a pandas recomputation over the same
+    materialized transcript corpus (match = shares ≥1 analyzer term)."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import tr_match_histogram, tr_oracle_corpus_path
+    from engine.text.analyzer import Analyzer
+
+    out = tr_match_histogram("/root/testdata/sf0.001")
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    an = Analyzer()
+    toks = [set(an.tokens(t)) for t in src["text"]]
+    # parquet timestamp[us] survives into pandas as datetime64[us]
+    day_epoch = (src["ts"].dt.floor("D").astype("datetime64[us]").astype("int64")
+                 // 1_000_000).to_numpy()
+    rows = []
+    for qid, qtext in seeded_query_set(20, seed=7):
+        terms = set(an.tokens(qtext))
+        hit = np.array([bool(ts & terms) for ts in toks])
+        days, counts = np.unique(day_epoch[hit], return_counts=True)
+        for d, c in zip(days, counts):
+            rows.append({"qid": qid, "day_epoch": int(d), "n_matches": int(c)})
+    exp = (pd.DataFrame(rows).sort_values(["qid", "day_epoch"])
+           .reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(out, exp)
