@@ -189,6 +189,57 @@ FROM hitpos ORDER BY qid, rank
 """
 
 
+def _tr_bm25_boosted_sql(k: int) -> str:
+    """Role-boosted oracle: standard BM25 sum per (query, turn), scaled by
+    the turn's role boost (exact binary fractions — lossless float scaling)
+    before micro-rounding and ranking."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import ROLE_BOOSTS, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    case = " ".join(f"WHEN '{r}' THEN {w}" for r, w in ROLE_BOOSTS.items())
+    return f"""
+WITH src AS (SELECT doc_key, role, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_key,
+         floor((CASE src.role {case} ELSE 1.0 END * sum(c.w)) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN src ON src.doc_key = c.doc_key
+  GROUP BY c.qid, c.doc_key, src.role
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_match_histogram_sql() -> str:
     """Date-histogram oracle: a doc matches a query iff it shares ≥1 term;
     daily counts of each query's full match set over the same materialized
@@ -999,6 +1050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # daily date-histogram of each query's full match set (match stream
         # → keyed ts join → partial day counts → one small groupby)
         "tr_match_histogram": P.tr_match_histogram,
+        # role-boosted ranking: scored match stream × corpus role join
+        "tr_bm25_boosted": lambda sf: P.tr_bm25_boosted(sf, k=10),
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -1071,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_purged": _tr_bm25_oracle_sql(10, where="conv_id NOT LIKE '%7'"),
         "tr_text_identity": _tr_text_identity_sql(),
         "tr_match_histogram": _tr_match_histogram_sql(),
+        "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

@@ -1008,6 +1008,71 @@ def tr_match_histogram(sf_dir: str) -> pd.DataFrame:
     return out.astype({"qid": "int64", "day_epoch": "int64", "n_matches": "int64"})
 
 
+# role → document boost. Exact binary fractions: multiplying the float BM25
+# sum by a power of two is lossless, so engine and SQL stay bit-identical
+# through the boost and the final micro-rounding. Mirrored in the oracle SQL.
+ROLE_BOOSTS: dict[str, float] = {"user": 1.0, "assistant": 0.5, "tool": 0.25}
+
+
+def tr_bm25_boosted(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Role-boosted transcript retrieval (document boosting): each turn's
+    BM25 score is scaled by its role's boost before ranking — assistant and
+    tool turns are down-weighted relative to user turns.
+
+    Scale shape: the boost attribute lives in the corpus, not the index, so
+    this composes the scored match stream (ScoredMatchServer — selectivity-
+    proof, never collected) with a keyed role join (corpus-sized side: no
+    broadcast) and per-block partial top-k; the boost itself is one
+    vectorized multiply. Columns: qid, rank, doc_key, score_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import ScoredMatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    roles = rd.read_parquet(path, columns=["doc_key", "role"])
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        roles, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+    boost_ref = ray.put(dict(ROLE_BOOSTS))
+
+    def boost_topk(df: pd.DataFrame) -> pd.DataFrame:
+        boosts = ray.get(boost_ref)
+        b = df["role"].map(boosts).fillna(1.0).to_numpy(dtype=np.float64)
+        df = df.assign(
+            score_micro=np.floor(b * df["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        )
+        df = df.sort_values(["qid", "score_micro", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid").head(k)[["qid", "doc_key", "score_micro"]]
+
+    out = (
+        joined.map_batches(boost_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score_micro", "doc_key"],
+                     ascending=[True, False, True], kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    return out[["qid", "rank", "doc_key", "score_micro"]].astype("int64")
+
+
 TR_PURGE_SUFFIX = "7"  # delete every conv whose id ends in this digit (~10%)
 
 

@@ -287,3 +287,38 @@ def test_tr_match_histogram_vs_pandas(ray_session):
     exp = (pd.DataFrame(rows).sort_values(["qid", "day_epoch"])
            .reset_index(drop=True).astype("int64"))
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_tr_bm25_boosted_vs_oracle(ray_session):
+    """Role-boosted ranking vs BM25Oracle × boost recompute over the
+    materialized transcript corpus."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+    from engine.pipelines import ROLE_BOOSTS, tr_bm25_boosted, tr_oracle_corpus_path
+
+    k = 10
+    out = tr_bm25_boosted("/root/testdata/sf0.001", k=k)
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    oracle = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    boost = (src.set_index("doc_key")["role"].map(ROLE_BOOSTS).fillna(1.0)
+             .loc[oracle.doc_keys].to_numpy())
+    rows = []
+    for qid, qtext in seeded_query_set(20, seed=7):
+        s = oracle.score_query(qtext)
+        micro = np.floor(boost * s * 1e6 + 0.5).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        order = nz[np.lexsort((oracle.doc_keys[nz], -micro[nz]))][:k]
+        for r, i in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": r, "doc_key": int(oracle.doc_keys[i]),
+                         "score_micro": int(micro[i])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    # the boost actually reorders: some query must rank a user turn above a
+    # higher-raw-score assistant turn (sanity that the op isn't a no-op)
+    raw = pd.concat([
+        pd.DataFrame({"qid": qid, "doc_key": oracle.topk(t, k)[0]})
+        for qid, t in seeded_query_set(20, seed=7)
+    ])
+    assert not raw.reset_index(drop=True).equals(
+        out[["qid", "doc_key"]].reset_index(drop=True))
