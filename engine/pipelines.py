@@ -304,6 +304,35 @@ def ft_bm25_postfilter(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+def ft_bm25_search_after(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Deep pagination via search_after: page 2 (global ranks k+1..2k) is
+    fetched with the (score_micro, doc_key) cursor of page 1's last hit —
+    the server considers only candidates strictly after the cursor in the
+    total order, so page N+1 costs one top-k pass, not a k·(N+1) over-fetch
+    re-ranked (the Elasticsearch search_after contract). Queries whose page
+    1 was short have no further hits and are skipped. Columns: qid, rank,
+    doc_id, score_micro — rank is the GLOBAL rank (k+1..2k)."""
+    page1 = ft_bm25_topk(sf_dir, k=k)
+    full = page1.groupby("qid").size()
+    cursors = page1.groupby("qid").tail(1).set_index("qid")
+    items = []
+    for qid, text in DOC_QUERIES:
+        if qid in cursors.index and full.get(qid, 0) == k:
+            items.append({
+                "qid": qid, "text": text,
+                "after_score": int(cursors.loc[qid, "score_micro"]),
+                "after_key": int(cursors.loc[qid, "doc_id"]),
+            })
+    if not items:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ["qid", "rank", "doc_id", "score_micro"]}
+        )
+    page2 = _run_doc_queries(sf_dir, items, k)
+    page2["rank"] += k
+    return page2
+
+
 # wildcard query set (trailing-* terms) — mirrored in the oracle SQL.
 # Edge coverage: multi-wildcard (3), dead prefix + literal (4), head prefix (2).
 WILDCARD_QUERIES: list[tuple[int, str]] = [

@@ -385,7 +385,16 @@ class SegmentServer:
             return topk_postings(dk, sc, k, keep_zero=True)
         return topk_postings(dk, sc, k)
 
-    def topk(self, text: str, k: int | None = None, exclude: str | None = None):
+    def topk(self, text: str, k: int | None = None, exclude: str | None = None,
+             after: tuple[int, int] | None = None):
+        """``after``: search-after pagination cursor — (score_micro, doc_key)
+        of the LAST hit of the previous page; only hits strictly after it in
+        the total order (score desc, doc_key asc) are candidates, so page N+1
+        costs one top-k pass, not a k·(N+1) over-fetch. Micro-score
+        exhaustive mode only (the cursor is defined on the integer order)."""
+        if after is not None:
+            assert self.score_micro and not (self.boolean or self.conjunctive), \
+                "search_after requires score_micro exhaustive mode"
         if self.boolean:
             # Lucene-style +must / -not / should clauses (engine/query/boolean.py)
             from engine.query.boolean import boolean_topk, parse_boolean
@@ -443,6 +452,10 @@ class SegmentServer:
             # keep micro==0 rows — they matched a term and the SQL oracle
             # ranks them (engine/query/topk.py keep_zero)
             sc = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+            if after is not None:
+                a_s, a_k = after
+                keep = (sc < a_s) | ((sc == a_s) & (dk > a_k))
+                dk, sc = dk[keep], sc[keep]
             return topk_postings(dk, sc, k or self.k, keep_zero=True)
         return topk_postings(dk, sc, k or self.k)
 
@@ -454,9 +467,17 @@ class SegmentServer:
             if "exclude" in batch.column_names
             else [None] * len(texts)
         )
+        if "after_score" in batch.column_names:
+            afters = [
+                None if s is None else (s, dk)
+                for s, dk in zip(batch["after_score"].to_pylist(),
+                                 batch["after_key"].to_pylist())
+            ]
+        else:
+            afters = [None] * len(texts)
         out_qid, out_rank, out_key, out_score = [], [], [], []
-        for qid, text, excl in zip(qids, texts, excludes):
-            dk, sc = self.topk(text, exclude=excl or None)
+        for qid, text, excl, after in zip(qids, texts, excludes, afters):
+            dk, sc = self.topk(text, exclude=excl or None, after=after)
             n = len(dk)
             out_qid.append(np.full(n, qid, dtype=np.int64))
             out_rank.append(np.arange(1, n + 1, dtype=np.int32))

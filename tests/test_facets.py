@@ -322,3 +322,26 @@ def test_tr_bm25_boosted_vs_oracle(ray_session):
     ])
     assert not raw.reset_index(drop=True).equals(
         out[["qid", "doc_key"]].reset_index(drop=True))
+
+
+def test_ft_bm25_search_after_equals_top2k(ray_session):
+    """Cursor-walk identity: page1 ∪ page2 (search_after) must equal the
+    single-shot top-2k, rank for rank."""
+    import pandas as pd
+
+    from engine.pipelines import ft_bm25_search_after, ft_bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    page1 = ft_bm25_topk(sf, k=k)
+    page2 = ft_bm25_search_after(sf, k=k)
+    walked = (pd.concat([page1, page2], ignore_index=True)
+              .sort_values(["qid", "rank"]).reset_index(drop=True))
+    top2k = ft_bm25_topk(sf, k=2 * k)
+    # queries with short page 1 never get a page 2; compare the qids the
+    # walk covers fully plus assert short queries gained nothing
+    full_q = set(page1.groupby("qid").size()[lambda s: s == k].index)
+    assert set(page2["qid"]) <= full_q
+    lhs = walked[walked["qid"].isin(full_q)].reset_index(drop=True)
+    rhs = top2k[top2k["qid"].isin(full_q)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
