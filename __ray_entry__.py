@@ -1102,6 +1102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean,
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
+        # per-label embedding centroids (order-free integer-exact sums)
+        "emb_label_centroids": ann.label_centroids,
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
         # full probe (nprobe = n_lists) is EXACT: proves the persisted-IVF
         # read path (partition routing, per-list scan, merge) against the
@@ -1335,6 +1337,19 @@ SELECT vec_a, vec_b, sim_micro FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ) WHERE sim_micro >= 400000
 ORDER BY vec_a, vec_b
+""",
+        "emb_label_centroids": """
+WITH ex AS (
+  SELECT label::BIGINT AS "label",
+         unnest(range(1, len(embedding)+1))::BIGINT AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+)
+SELECT "label", dim,
+       sum(floor(v * 1e6 + 0.5)::BIGINT)::BIGINT sum_micro,
+       count(*)::BIGINT n_vecs,
+       floor(sum(floor(v * 1e6 + 0.5)::BIGINT) / count(*))::BIGINT mean_micro
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),

@@ -173,6 +173,62 @@ def seeded_cosine_topk(sf_dir: str, pairs: list[tuple[int, int]], k: int = 10) -
     return _merge_topk(cand, k)
 
 
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid of the embedding column — the vector-aggregation
+    primitive (class prototypes / cluster summaries) in integer-exact form:
+    every component is micro-quantized BEFORE summation
+    (floor(v·1e6+0.5)), so the distributed sum is addition-order-free and
+    SQL-reproducible bit-exactly; the mean is floor(sum/n) (exact: sums are
+    far below 2^53). Per-batch partials reduce each block to ≤ labels×dim
+    rows (np.add.at scatter — no per-row Python), then ONE small
+    (label, dim) groupby-sum finishes. Columns: label, dim (1-based),
+    sum_micro, n_vecs, mean_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy().astype(np.int64)
+        n = len(labels)
+        if not n:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["label", "dim", "sum_micro", "n_vecs"]})
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor(flat * 1e6 + 0.5).astype(np.int64).reshape(n, -1)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = micro.shape[1]
+        sums = np.zeros((uniq.size, d), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv, minlength=uniq.size)
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), uniq.size),
+            "sum_micro": sums.ravel(),
+            "n_vecs": np.repeat(counts, d).astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"),
+                   Sum("n_vecs", alias_name="n_vecs"))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    out["mean_micro"] = np.floor(
+        out["sum_micro"].to_numpy() / out["n_vecs"].to_numpy()
+    ).astype(np.int64)
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def _train_centroids(ds, n_lists: int, seed: int) -> np.ndarray:
     """Seeded k-means-ish coarse centroids from one bounded sample pass."""
     sample = ds.limit(max(512, n_lists * 8)).to_pandas()

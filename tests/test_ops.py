@@ -1071,3 +1071,27 @@ class TestStratifiedSample:
             s1 = set(out1.loc[out1["lang"] == lang, "doc_id"])
             s3 = set(out3.loc[out3["lang"] == lang, "doc_id"])
             assert s3 - s1 <= set(range(100, 200))  # only new docs displace
+
+
+def test_label_centroids_numpy_identity(ray_session):
+    """label_centroids vs a single-process numpy recomputation, including
+    the quantize-before-sum and floor-mean contracts."""
+    import pandas as pd
+
+    from engine.ops.ann import label_centroids
+
+    sf = "/root/testdata/sf0.001"
+    out = label_centroids(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    micro = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    rows = []
+    for lab in sorted(t["label"].unique()):
+        sub = micro[(t["label"] == lab).to_numpy()]
+        s = sub.sum(axis=0)
+        for d in range(m.shape[1]):
+            rows.append({"label": int(lab), "dim": d + 1,
+                         "sum_micro": int(s[d]), "n_vecs": len(sub),
+                         "mean_micro": int(np.floor(s[d] / len(sub)))})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out, exp)
