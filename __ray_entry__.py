@@ -649,6 +649,21 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _feature_hash_sql() -> str:
+    """Hashing-trick oracle: bucket = md5(token)[:8 hex] % FH_BUCKETS
+    (constant imported so engine and SQL can never drift), per-doc bucket
+    counts, sparse rows."""
+    from engine.ops.textstats import FH_BUCKETS
+
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) term FROM documents)
+SELECT doc_id,
+       (('0x' || substr(md5(term), 1, 8))::UBIGINT % {FH_BUCKETS})::BIGINT bucket,
+       count(*)::BIGINT tf
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _fingerprint_sql() -> str:
     """ta_fingerprint oracle: the SAME md5-token-hash + mod-prime rolling
     polynomial as engine/ops/textstats.Fingerprinter (constants imported so
@@ -1116,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_lang_id_scored": textstats.lang_id_scored,
         "ta_token_count": textstats.token_count,
         "ta_fingerprint": textstats.fingerprint,
+        # hashing-trick vectorizer: sparse (doc, bucket, tf) features
+        "ta_feature_hash": textstats.feature_hash,
         "ta_corpus_stats": textstats.corpus_stats,
         # per-doc characteristic terms (tf·idf, rational idf surrogate)
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
@@ -1199,6 +1216,7 @@ FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
+        "ta_feature_hash": _feature_hash_sql(),
         # integer-division score: tf*1e6 // df on both sides, no float ln()
         "ta_tfidf_topk": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),

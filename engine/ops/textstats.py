@@ -367,6 +367,54 @@ def fingerprint(sf_dir: str) -> pd.DataFrame:
     )
 
 
+FH_BUCKETS = 1024  # feature-hashing dimensionality (power of two, tiny header)
+
+
+class FeatureHasher:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): every token maps
+    to bucket = int(md5(token)[:8 hex], 16) % FH_BUCKETS and the document's
+    feature vector is the per-bucket token count, emitted SPARSE as
+    (doc_id, bucket, tf) rows — the fixed-width ML feature representation
+    no vocabulary shuffle can bloat (the map is stateless, so the operator
+    is one embarrassingly-parallel pass at any corpus scale).
+
+    md5 per UNIQUE token via the shared `_TokenHashes` cache; the per-doc
+    bucket counts come from ONE np.unique over (doc, bucket) keys packed
+    into int64 — no per-row Python."""
+
+    def __init__(self) -> None:
+        from engine.ops.dedup import _TokenHashes
+
+        self._th = _TokenHashes(
+            hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FH_BUCKETS,
+            dtype=np.int64,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, dl = self._th.flat_hashes(batch["text"])
+        doc_ids = batch["doc_id"].to_numpy()
+        doc_idx = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+        packed = doc_idx * FH_BUCKETS + hs
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "doc_id": doc_ids[uniq // FH_BUCKETS],
+            "bucket": (uniq % FH_BUCKETS).astype(np.int64),
+            "tf": counts.astype(np.int64),
+        })
+
+
+def feature_hash(sf_dir: str) -> pd.DataFrame:
+    """Sparse hashed feature vectors for every document: (doc_id, bucket,
+    tf), sorted. Single map_batches pass, no shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        FeatureHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True).astype("int64")
+
+
 # --- oracle-checkable language-ID (integer-exact scoring) --------------------
 #
 # `lang_id` above demonstrates the op shape but its float cosine (Unicode

@@ -1095,3 +1095,29 @@ def test_label_centroids_numpy_identity(ray_session):
                          "mean_micro": int(np.floor(s[d] / len(sub)))})
     exp = pd.DataFrame(rows).astype("int64")
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_feature_hash_semantics(ray_session):
+    """FeatureHasher vs a per-doc Python recomputation: bucket mapping,
+    sparse layout, tf totals (Σtf per doc == token count)."""
+    import hashlib
+
+    from engine.ops.textstats import FH_BUCKETS, feature_hash
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = feature_hash(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    rows = {}
+    for r in docs.itertuples():
+        for t in an.tokens(r.text):
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FH_BUCKETS
+            rows[(r.doc_id, b)] = rows.get((r.doc_id, b), 0) + 1
+    exp = pd.DataFrame(
+        [{"doc_id": d, "bucket": b, "tf": c} for (d, b), c in rows.items()]
+    ).sort_values(["doc_id", "bucket"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(out, exp)
+    tok_counts = {r.doc_id: len(an.tokens(r.text)) for r in docs.itertuples()}
+    got_totals = out.groupby("doc_id")["tf"].sum().to_dict()
+    assert all(got_totals.get(d, 0) == n for d, n in tok_counts.items())
