@@ -309,6 +309,53 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_synonyms_sql(k: int) -> str:
+    """Synonym oracle: a (term → class member) mapping table expands each
+    query token via LEFT JOIN (unmapped tokens pass through), then standard
+    BM25 over the expanded disjunction. The mapping rows are generated from
+    the SAME SYNONYM_GROUPS the engine uses."""
+    from engine.pipelines import SYN_QUERIES, SYNONYM_GROUPS
+
+    qrows = ", ".join(f"({q}, '{t}')" for q, t in SYN_QUERIES)
+    srows = ", ".join(
+        f"('{t}', '{s}')" for grp in SYNONYM_GROUPS for t in grp for s in grp
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS (VALUES {qrows}),
+syn(t, s) AS (VALUES {srows}),
+base AS (
+  SELECT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) t
+  FROM q
+),
+qterm AS (
+  SELECT DISTINCT b.qid, coalesce(syn.s, b.t) term
+  FROM base b LEFT JOIN syn ON syn.t = b.t
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_search_after_sql(k: int) -> str:
     """Page-2 oracle: global ranks k+1..2k of the standard BM25 ranking —
     what a correct search_after cursor walk must reproduce exactly."""
@@ -1078,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_wildcard": lambda sf: P.ft_bm25_wildcard(sf, k=10),
         # deep pagination: page 2 via a (score, key) search_after cursor
         "ft_bm25_search_after": lambda sf: P.ft_bm25_search_after(sf, k=10),
+        # synonym-class query expansion (SynonymQuery-as-disjunction)
+        "ft_bm25_synonyms": lambda sf: P.ft_bm25_synonyms(sf, k=10),
         # more-like-this: seed doc → top tf·idf terms → BM25, seed excluded
         "ft_more_like_this": lambda sf: P.ft_more_like_this(sf, k=10),
         # prefix autocomplete from the vocab-sized term_stats artifact
@@ -1170,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),
         "ft_bm25_wildcard": _bm25_wildcard_sql(10),
         "ft_bm25_search_after": _bm25_search_after_sql(10),
+        "ft_bm25_synonyms": _bm25_synonyms_sql(10),
         "ft_more_like_this": _mlt_sql(10),
         "ft_term_suggest": _term_suggest_sql(5),
         "ft_bm25_filtered": _bm25_filtered_sql(10),

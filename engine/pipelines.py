@@ -376,6 +376,42 @@ def ft_bm25_wildcard(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> 
     return _run_doc_queries(sf_dir, items, k)
 
 
+# symmetric synonym classes (every member expands to the whole class) and
+# the synonym query set — both mirrored in the oracle SQL.
+SYNONYM_GROUPS: list[tuple[str, ...]] = [
+    ("join", "merge"),
+    ("agg", "aggregate", "aggregation"),
+    ("stream", "streaming"),
+    ("scan", "read"),
+]
+SYN_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "window agg"),
+    (2, "stream scan"),
+    (3, "merge sort key"),
+    (4, "zzz nosuchterm join"),
+]
+
+
+def ft_bm25_synonyms(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Synonym-expanded retrieval: each query term expands to its symmetric
+    synonym class (Lucene SynonymQuery-as-disjunction semantics) before
+    standard BM25 scoring. The synonym map is static query-rewrite state —
+    broadcast-tiny, never a corpus-side join. Columns: qid, rank, doc_id,
+    score_micro."""
+    syn: dict[str, tuple[str, ...]] = {}
+    for grp in SYNONYM_GROUPS:
+        for t in grp:
+            syn[t] = grp
+    items = []
+    for qid, text in SYN_QUERIES:
+        terms: list[str] = []
+        for tok in text.split():
+            terms.extend(syn.get(tok, (tok,)))
+        items.append({"qid": qid, "text": " ".join(terms)})
+    return _run_doc_queries(sf_dir, items, k)
+
+
 # hybrid query set: (qid, text, seed vec_id) — the vector side queries with
 # the seed's embedding. Mirrored in the oracle SQL. Edge coverage: a
 # no-such-term query (qid 4: pure vector ranking) and a head term (qid 3).

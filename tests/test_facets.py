@@ -345,3 +345,40 @@ def test_ft_bm25_search_after_equals_top2k(ray_session):
     lhs = walked[walked["qid"].isin(full_q)].reset_index(drop=True)
     rhs = top2k[top2k["qid"].isin(full_q)].reset_index(drop=True)
     pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_ft_bm25_synonyms_expansion(ray_session):
+    """Synonym expansion equals BM25Oracle over the manually expanded term
+    set; a query whose term belongs to a class must surface docs containing
+    ONLY a sibling synonym."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import SYN_QUERIES, SYNONYM_GROUPS, ft_bm25_synonyms
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    out = ft_bm25_synonyms(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    oracle = BM25Oracle(docs["doc_id"].tolist(), docs["text"].tolist())
+    syn = {t: grp for grp in SYNONYM_GROUPS for t in grp}
+    rows = []
+    for qid, text in SYN_QUERIES:
+        terms = []
+        for tok in text.split():
+            terms.extend(syn.get(tok, (tok,)))
+        dk, sc = oracle.topk(" ".join(terms), k)
+        micro = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((dk, -micro))
+        for r, i in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": r, "doc_id": int(dk[i]),
+                         "score_micro": int(micro[i])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    # expansion is live: the expanded ranking must differ from the
+    # unexpanded one for at least one query
+    unexpanded = pd.concat([
+        pd.DataFrame({"qid": qid, "doc_id": oracle.topk(text, k)[0]})
+        for qid, text in SYN_QUERIES
+    ]).reset_index(drop=True)
+    assert not unexpanded.equals(out[["qid", "doc_id"]].reset_index(drop=True))
