@@ -1182,6 +1182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_fingerprint": textstats.fingerprint,
         # hashing-trick vectorizer: sparse (doc, bucket, tf) features
         "ta_feature_hash": textstats.feature_hash,
+        # group-wise top-k: best docs per source by unique-token ratio
+        "ta_top_per_source": lambda sf: textstats.top_quality_per_source(sf, k=3),
         "ta_corpus_stats": textstats.corpus_stats,
         # per-doc characteristic terms (tf·idf, rational idf surrogate)
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
@@ -1267,6 +1269,18 @@ FROM s ORDER BY doc_id
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_feature_hash": _feature_hash_sql(),
+        "ta_top_per_source": f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} toks FROM documents),
+s AS (SELECT doc_id, source,
+             floor(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE * 1e6 + 0.5)::BIGINT uniq_ratio_micro
+      FROM t)
+SELECT source, rank, doc_id, uniq_ratio_micro FROM (
+  SELECT source, doc_id, uniq_ratio_micro,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY uniq_ratio_micro DESC, doc_id ASC)::BIGINT rank
+  FROM s
+) WHERE rank <= 3 ORDER BY source, rank
+""",
         # integer-division score: tf*1e6 // df on both sides, no float ln()
         "ta_tfidf_topk": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),

@@ -367,6 +367,56 @@ def fingerprint(sf_dir: str) -> pd.DataFrame:
     )
 
 
+class _TopQualityPartial:
+    """Per-block partial for group-wise top-k: compute uniq-ratio quality
+    inside the block (shared DocStats scan) and keep only each source's k
+    best rows — ≤ |sources|·k rows leave every block, so the driver merge
+    is tiny at any corpus scale (no global sort, no corpus shuffle)."""
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self._stats = DocStats()
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        st = self._stats(batch)
+        n = np.maximum(st["n_tokens"].to_numpy().astype(np.float64), 1.0)
+        uniq = np.floor(st["n_uniq_tokens"].to_numpy() / n * 1e6 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "doc_id": batch["doc_id"].to_numpy(),
+            "uniq_ratio_micro": uniq,
+        })
+        df = df.sort_values(["source", "uniq_ratio_micro", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("source").head(self.k)
+
+
+def top_quality_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Group-wise top-k (the window-function `row_number() OVER (PARTITION
+    BY ...)` shape): per source, the k docs with the highest unique-token
+    ratio (micro ints; tie doc_id asc). Columns: source, rank, doc_id,
+    uniq_ratio_micro."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    cand = ds.map_batches(
+        _TopQualityPartial, fn_constructor_args=(k,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    ).to_pandas()
+    out = (
+        cand.sort_values(["source", "uniq_ratio_micro", "doc_id"],
+                         ascending=[True, False, True], kind="stable")
+        .groupby("source")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out = out[["source", "rank", "doc_id", "uniq_ratio_micro"]]
+    return out.astype({"rank": "int64", "doc_id": "int64",
+                       "uniq_ratio_micro": "int64"})
+
+
 FH_BUCKETS = 1024  # feature-hashing dimensionality (power of two, tiny header)
 
 

@@ -1121,3 +1121,31 @@ def test_feature_hash_semantics(ray_session):
     tok_counts = {r.doc_id: len(an.tokens(r.text)) for r in docs.itertuples()}
     got_totals = out.groupby("doc_id")["tf"].sum().to_dict()
     assert all(got_totals.get(d, 0) == n for d, n in tok_counts.items())
+
+
+def test_top_quality_per_source_partial_merge(ray_session):
+    """Group-wise top-k: distributed partial-merge result equals a direct
+    pandas window recomputation; every group has dense ranks 1..k."""
+    from engine.ops.textstats import top_quality_per_source
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    k = 3
+    out = top_quality_per_source(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    toks = [an.tokens(t) for t in docs["text"]]
+    ratio = np.array([
+        np.floor(len(set(ts)) / max(len(ts), 1) * 1e6 + 0.5) for ts in toks
+    ], dtype=np.int64)
+    df = pd.DataFrame({"source": docs["source"], "doc_id": docs["doc_id"],
+                       "uniq_ratio_micro": ratio})
+    exp = (df.sort_values(["source", "uniq_ratio_micro", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+           .groupby("source").head(k).reset_index(drop=True))
+    exp["rank"] = exp.groupby("source").cumcount() + 1
+    exp = exp[["source", "rank", "doc_id", "uniq_ratio_micro"]].astype(
+        {"rank": "int64", "doc_id": "int64", "uniq_ratio_micro": "int64"})
+    pd.testing.assert_frame_equal(out, exp)
+    assert (out.groupby("source")["rank"].apply(
+        lambda r: list(r) == list(range(1, len(r) + 1)))).all()
