@@ -1184,6 +1184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_feature_hash": textstats.feature_hash,
         # group-wise top-k: best docs per source by unique-token ratio
         "ta_top_per_source": lambda sf: textstats.top_quality_per_source(sf, k=3),
+        # exact histogram-based doc-length percentiles (no sketch)
+        "ta_dl_quantiles": textstats.dl_quantiles,
         "ta_corpus_stats": textstats.corpus_stats,
         # per-doc characteristic terms (tf·idf, rational idf surrogate)
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
@@ -1269,6 +1271,21 @@ FROM s ORDER BY doc_id
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_feature_hash": _feature_hash_sql(),
+        # inverted-CDF discrete quantile: smallest dl whose cumulative count
+        # reaches ceil(p/100 · N) — identical definition to dl_quantiles
+        "ta_dl_quantiles": f"""
+WITH t AS (SELECT len({_TOKS})::BIGINT dl FROM documents),
+h AS (SELECT dl, count(*)::BIGINT n FROM t GROUP BY 1),
+c AS (SELECT dl, n, sum(n) OVER (ORDER BY dl)::BIGINT cum FROM h),
+tot AS (SELECT count(*)::BIGINT n FROM t),
+p(pct) AS (VALUES (10), (25), (50), (75), (90), (99)),
+sel AS (
+  SELECT p.pct, c.dl, c.cum,
+         row_number() OVER (PARTITION BY p.pct ORDER BY c.dl) r
+  FROM p CROSS JOIN tot JOIN c ON c.cum >= (p.pct * tot.n + 99) // 100
+)
+SELECT pct::BIGINT pct, dl, cum n_docs_le FROM sel WHERE r = 1 ORDER BY pct
+""",
         "ta_top_per_source": f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} toks FROM documents),
 s AS (SELECT doc_id, source,

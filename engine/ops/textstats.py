@@ -417,6 +417,52 @@ def top_quality_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
                        "uniq_ratio_micro": "int64"})
 
 
+DL_QUANTILES = (10, 25, 50, 75, 90, 99)  # percent points, mirrored in SQL
+
+
+def dl_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed percentiles of document length (token count) — no
+    sketch: token counts are small integers, so the full distribution fits
+    in a value-indexed histogram. Per-batch np.bincount partials (≤ max_dl
+    rows leave each block) → one tiny groupby-sum → the percentile is the
+    smallest value whose cumulative count reaches ceil(p/100 · N)
+    (inverted-CDF / discrete quantile, the same definition the SQL oracle
+    states as a window cumsum). Columns: pct, dl, n_docs_le."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    an = Analyzer()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _flat, dl = an.tokenize_arrow(batch["text"])
+        counts = np.bincount(dl.astype(np.int64))
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"dl": nz.astype(np.int64),
+                             "n": counts[nz].astype(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dl")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("dl")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    rows = []
+    for p in DL_QUANTILES:
+        need = -(-p * total // 100)  # ceil(p*total/100) in exact ints
+        i = int(np.searchsorted(cum, need))
+        rows.append({"pct": p, "dl": int(hist["dl"].iloc[i]),
+                     "n_docs_le": int(cum[i])})
+    return pd.DataFrame(rows).astype("int64")
+
+
 FH_BUCKETS = 1024  # feature-hashing dimensionality (power of two, tiny header)
 
 

@@ -1149,3 +1149,24 @@ def test_top_quality_per_source_partial_merge(ray_session):
     pd.testing.assert_frame_equal(out, exp)
     assert (out.groupby("source")["rank"].apply(
         lambda r: list(r) == list(range(1, len(r) + 1)))).all()
+
+
+def test_dl_quantiles_definition(ray_session):
+    """Histogram quantiles vs a direct sorted-array recomputation of the
+    inverted-CDF definition (smallest dl with cum ≥ ceil(p/100·N))."""
+    from engine.ops.textstats import DL_QUANTILES, dl_quantiles
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = dl_quantiles(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    dl = np.sort(np.array([len(an.tokens(t)) for t in docs["text"]]))
+    n = dl.size
+    rows = []
+    for p in DL_QUANTILES:
+        need = -(-p * n // 100)
+        v = int(dl[need - 1])           # need-th smallest
+        rows.append({"pct": p, "dl": v, "n_docs_le": int((dl <= v).sum())})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out, exp)
