@@ -1186,6 +1186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_top_per_source": lambda sf: textstats.top_quality_per_source(sf, k=3),
         # exact histogram-based doc-length percentiles (no sketch)
         "ta_dl_quantiles": textstats.dl_quantiles,
+        # head-vocabulary pair co-occurrence (matmul partials)
+        "ta_cooccur": textstats.cooccur_top_terms,
         "ta_corpus_stats": textstats.corpus_stats,
         # per-doc characteristic terms (tf·idf, rational idf surrogate)
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
@@ -1210,6 +1212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.ops import textstats
+
     sql = {
         "ft_bm25_topk10": _bm25_sql(10),
         "ft_bm25_topk100": _bm25_sql(100),
@@ -1271,6 +1275,21 @@ FROM s ORDER BY doc_id
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_feature_hash": _feature_hash_sql(),
+        # doc co-occurrence among the head vocabulary: same top-N selection
+        # (df desc, term asc) and lexicographic pair order as the engine
+        "ta_cooccur": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) term FROM documents),
+df AS (SELECT term, count(*)::BIGINT df FROM tok GROUP BY 1),
+top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) r FROM df
+  ) WHERE r <= {textstats.COOCCUR_TOP_N}
+),
+tt AS (SELECT doc_id, term FROM tok WHERE term IN (SELECT term FROM top))
+SELECT a.term t1, b.term t2, count(*)::BIGINT n_docs_both
+FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # inverted-CDF discrete quantile: smallest dl whose cumulative count
         # reaches ceil(p/100 · N) — identical definition to dl_quantiles
         "ta_dl_quantiles": f"""

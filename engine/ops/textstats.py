@@ -463,6 +463,89 @@ def dl_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).astype("int64")
 
 
+COOCCUR_TOP_N = 15  # head-vocabulary size for pair counting, mirrored in SQL
+
+
+class _CooccurPartial:
+    """Per-block partial for term co-occurrence: a docs×N 0/1 membership
+    matrix over the fixed head vocabulary, then ONE integer matmul gives
+    every pair's in-block doc count — N(N−1)/2 rows leave each block
+    regardless of block size. Vocabulary membership is a dictionary-encode
+    + gather, no per-token Python."""
+
+    def __init__(self, terms: tuple[str, ...]) -> None:
+        self.an = Analyzer()
+        self.terms = list(terms)
+        self.idx = {t: i for i, t in enumerate(self.terms)}
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        flat, dl = self.an.tokenize_arrow(batch["text"])
+        n_docs = dl.size
+        n = len(self.terms)
+        m = np.zeros((n_docs, n), dtype=np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            vocab = enc.dictionary.to_pylist()
+            vmap = np.array([self.idx.get(t, -1) for t in vocab], dtype=np.int64)
+            col = vmap[enc.indices.to_numpy(zero_copy_only=False)]
+            row = np.repeat(np.arange(n_docs, dtype=np.int64), dl)
+            keep = col >= 0
+            m[row[keep], col[keep]] = 1
+        c = m.T @ m
+        iu, ju = np.triu_indices(n, k=1)
+        cnt = c[iu, ju]
+        nz = cnt > 0
+        return pd.DataFrame({"i": iu[nz].astype(np.int64),
+                             "j": ju[nz].astype(np.int64),
+                             "n": cnt[nz]})
+
+
+def cooccur_top_terms(sf_dir: str, n_terms: int = COOCCUR_TOP_N) -> pd.DataFrame:
+    """Document co-occurrence counts for every pair of the n_terms
+    highest-df vocabulary terms (df desc, term asc — served from the
+    vocab-sized term_stats artifact, no extra corpus pass). The corpus scan
+    reduces each block to ≤ N²/2 pair rows via one matmul partial; a tiny
+    groupby-sum finishes. Columns: t1, t2 (lexicographic pair order),
+    n_docs_both."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import ensure_hash_shuffle
+    from engine.index.build import ensure_term_stats
+    from engine.pipelines import documents_index
+
+    ensure_hash_shuffle()
+    idx = documents_index(sf_dir)
+    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    top = tuple(
+        stats.sort_values(["df", "term"], ascending=[False, True], kind="stable")
+        .head(n_terms)["term"]
+    )
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg = (
+        ds.map_batches(_CooccurPartial, fn_constructor_args=(top,),
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby(["i", "j"])
+        .aggregate(Sum("n", alias_name="n_docs_both"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame({"t1": pd.Series([], dtype=str),
+                             "t2": pd.Series([], dtype=str),
+                             "n_docs_both": pd.Series([], dtype="int64")})
+    t = np.array(top, dtype=object)
+    pair = np.sort(np.stack([t[agg["i"].to_numpy()],
+                             t[agg["j"].to_numpy()]], axis=1), axis=1)
+    out = pd.DataFrame({"t1": pair[:, 0], "t2": pair[:, 1],
+                        "n_docs_both": agg["n_docs_both"].astype("int64")})
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
 FH_BUCKETS = 1024  # feature-hashing dimensionality (power of two, tiny header)
 
 

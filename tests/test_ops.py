@@ -1170,3 +1170,32 @@ def test_dl_quantiles_definition(ray_session):
         rows.append({"pct": p, "dl": v, "n_docs_le": int((dl <= v).sum())})
     exp = pd.DataFrame(rows).astype("int64")
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_cooccur_matmul_vs_sets(ray_session):
+    """Co-occurrence matmul partials vs a direct set-intersection
+    recomputation over the same head vocabulary."""
+    from collections import Counter
+
+    from engine.ops.textstats import COOCCUR_TOP_N, cooccur_top_terms
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = cooccur_top_terms(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = [set(an.tokens(t)) for t in docs["text"]]
+    df = Counter()
+    for ts in tok:
+        df.update(ts)
+    top = sorted(df, key=lambda t: (-df[t], t))[:COOCCUR_TOP_N]
+    rows = []
+    for a in top:
+        for b in top:
+            if a < b:
+                n = sum(1 for ts in tok if a in ts and b in ts)
+                if n:
+                    rows.append({"t1": a, "t2": b, "n_docs_both": n})
+    exp = (pd.DataFrame(rows).sort_values(["t1", "t2"])
+           .reset_index(drop=True).astype({"n_docs_both": "int64"}))
+    pd.testing.assert_frame_equal(out, exp)
