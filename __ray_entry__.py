@@ -240,6 +240,54 @@ ORDER BY qid, rank
 """
 
 
+def _tr_bm25_incremental_sql(k: int) -> str:
+    """Oracle for the incremental-build entry: BM25 over the UNION of both
+    corpus parts (one single-pass SQL truth) — a hash match against the
+    two-pass engine index proves partial builds compose deterministically."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import _tr_incremental_corpus
+
+    d = _tr_incremental_corpus()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, text FROM read_parquet('{d}/*.parquet')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_match_histogram_sql() -> str:
     """Date-histogram oracle: a doc matches a query iff it shares ≥1 term;
     daily counts of each query's full match set over the same materialized
@@ -1152,6 +1200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_match_histogram": P.tr_match_histogram,
         # role-boosted ranking: scored match stream × corpus role join
         "tr_bm25_boosted": lambda sf: P.tr_bm25_boosted(sf, k=10),
+        # two-pass incremental build (lineage resume + tiered merge) vs
+        # a single-pass SQL truth over the union corpus
+        "tr_bm25_incremental": lambda sf: P.tr_bm25_incremental(sf, k=10),
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -1239,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_text_identity": _tr_text_identity_sql(),
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
+        "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

@@ -1018,6 +1018,98 @@ def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+TR_INCR_DIR = f"/tmp/engine_oracle/tr_incr_c{TR_ORACLE_CONVS}_s{TR_ORACLE_SEED}_v1"
+TR_INCR_SPLIT = TR_ORACLE_CONVS // 2  # convs below this rank land in part 1
+
+
+def _tr_incremental_corpus() -> str:
+    """Materialize the oracle corpus as a DIRECTORY of two parquet parts
+    (split by conversation). Pure pyarrow; idempotent and atomic per part."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from engine.core.dockey import doc_id_strings, doc_key_batch
+    from engine.io.synth import synth_transcripts_table
+
+    d = TR_INCR_DIR
+    os.makedirs(d, exist_ok=True)
+    if all(os.path.exists(f"{d}/part{i}.parquet") for i in (1, 2)):
+        return d
+    t = synth_transcripts_table(TR_ORACLE_CONVS, seed=TR_ORACLE_SEED)
+    keys = doc_key_batch(t["conv_id"].combine_chunks(), t["turn_idx"].to_numpy())
+    t = t.append_column("doc_key", pa.array(keys, type=pa.int64()))
+    t = t.append_column(
+        "doc_id",
+        doc_id_strings(t["conv_id"].combine_chunks(), t["turn_idx"].combine_chunks()),
+    )
+    split_id = f"conv{TR_INCR_SPLIT:08d}"
+    in_part1 = pc.less(t["conv_id"], split_id)
+    for i, part in ((1, t.filter(in_part1)), (2, t.filter(pc.invert(in_part1)))):
+        path = f"{d}/part{i}.parquet"
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(part, tmp)
+            os.replace(tmp, path)
+    return d
+
+
+def tr_incremental_index(num_shards: int = 8) -> tuple[str, str]:
+    """(corpus_dir, index_dir) where the index was built INCREMENTALLY:
+    pass 1 indexes only part 1 of the corpus, part 2 then appears in the
+    same directory and pass 2 resumes — lineage diffing indexes ONLY the
+    new fragment — and the tiered merge folds the partial builds together.
+    The paired oracle recomputes BM25 over the union corpus, so a driver
+    hash-match proves the north-star clause 'partial builds compose
+    deterministically' end-to-end."""
+    import shutil
+
+    from engine.index.merge import run_merge
+
+    d = TR_INCR_DIR
+    key = hashlib.md5(f"trincr|{d}|{num_shards}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"trincr-{key}")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            # pass 1: only part 1 exists yet
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            _part2_pending = _tr_incremental_corpus()  # writes both parts...
+            p2 = f"{d}/part2.parquet"
+            p2_hidden = f"{d}.part2.stash"
+            os.replace(p2, p2_hidden)  # ...so stash part 2 outside the dir
+            build_index(d, idx, num_shards=num_shards, build_id="trincr-1")
+            # part 2 arrives; the resumed build indexes only the new fragment
+            os.replace(p2_hidden, p2)
+            build_index(d, idx, num_shards=num_shards, build_id="trincr-2")
+            run_merge(idx, compact=True)
+    return d, idx
+
+
+def tr_bm25_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Flagship incremental-build entry: query the two-pass index with the
+    seeded reference query set. Columns: qid, rank, doc_key, score_micro —
+    hash-checked against BM25 SQL over the UNION corpus."""
+    import ray.data as rd
+
+    from engine.oracle.bm25 import seeded_query_set
+
+    _d, idx = tr_incremental_index()
+    res = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    ).map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"score": "score_micro"})
+    res = res[["qid", "rank", "doc_key", "score_micro"]]
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype("int64")
+
+
 def tr_match_histogram(sf_dir: str) -> pd.DataFrame:
     """Retrieval × time analytics over the transcript corpus: per query, the
     DAILY histogram of its FULL match set (the Elasticsearch date_histogram

@@ -559,3 +559,26 @@ class TestReviewRegressions:
             odk, osc = oracle.topk(q, 10)
             np.testing.assert_array_equal(dk, odk)
             np.testing.assert_allclose(sc, osc, rtol=0, atol=1e-12)
+
+
+def test_tr_incremental_entry_two_committed_passes(ray_session):
+    """The driver-facing incremental entry really is two-pass: the manifest
+    records both build commits, pass 1's lineage covers ONLY part 1, pass
+    2's ONLY part 2, and stats count the union corpus."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import tr_incremental_index
+
+    d, idx = tr_incremental_index()
+    m = json.load(open(os.path.join(idx, "manifest.json")))
+    by_id = {b["build_id"]: b for b in m["builds"] if b["kind"] == "build"}
+    assert {"trincr-1", "trincr-2"} <= set(by_id)
+    f1 = by_id["trincr-1"]["lineage"]["fragments"]
+    f2 = by_id["trincr-2"]["lineage"]["fragments"]
+    assert [os.path.basename(p) for p in f1] == ["part1.parquet"]
+    assert [os.path.basename(p) for p in f2] == ["part2.parquet"]
+    total = sum(pq.read_metadata(f"{d}/part{i}.parquet").num_rows for i in (1, 2))
+    assert m["stats"]["n_docs"] == total
