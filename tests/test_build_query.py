@@ -356,3 +356,43 @@ class TestNFKCAnalyzer:
         # full-width query matches the ascii doc and vice versa
         dk, _ = srv.topk("ｈａｓｈ ｊｏｉｎ")
         assert set(dk) == {int(keys[0]), int(keys[1])}
+
+
+class TestSearchAfter:
+    def test_random_cursor_walk_property(self, index_dir, oracle, corpus):
+        """Hypothesis: for random queries and page sizes, walking pages via
+        search_after cursors reproduces the full micro-ranked ordering as
+        one contiguous sequence — no doc skipped, none repeated."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from engine.text.analyzer import Analyzer
+
+        t, _ = corpus
+        an = Analyzer()
+        vocab = sorted({w for text in t["text"].to_pylist()[:50]
+                        for w in an.tokens(text)})[:100]
+        srv = SegmentServer(index_dir, k=10, score_micro=True)
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), min_size=1, max_size=4).map(" ".join),
+               st.integers(min_value=1, max_value=7))
+        def check(qtext, page):
+            # full micro ranking (big k)
+            fk, fs = srv.topk(qtext, k=10_000)
+            walked_k, walked_s, cursor = [], [], None
+            while True:
+                dk, sc = srv.topk(qtext, k=page, after=cursor)
+                if not len(dk):
+                    break
+                walked_k.append(dk)
+                walked_s.append(sc)
+                cursor = (int(sc[-1]), int(dk[-1]))
+                if len(dk) < page:
+                    break
+            gk = np.concatenate(walked_k) if walked_k else np.empty(0, dtype=np.int64)
+            gs = np.concatenate(walked_s) if walked_s else np.empty(0, dtype=np.int64)
+            np.testing.assert_array_equal(gk, fk, err_msg=f"{qtext!r} page={page}")
+            np.testing.assert_array_equal(gs, fs)
+
+        check()
