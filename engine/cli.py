@@ -69,6 +69,9 @@ def main(argv=None):
                    help="conjunctive retrieval: docs must match every term")
     q.add_argument("--boolean", action="store_true",
                    help="Lucene-style clauses: +must -not should")
+    q.add_argument("--after", default=None, metavar="SCORE_MICRO,DOC_KEY",
+                   help="search_after cursor (last hit of the previous page); "
+                        "forces exhaustive micro-score mode")
     q.add_argument("--out", default=None, help="write results parquet here")
 
     m = sub.add_parser("merge")
@@ -148,8 +151,21 @@ def main(argv=None):
                 queries = rd.read_parquet(args.queries)
             else:
                 p.error("need --queries or --text")
-            res = query_index(args.index, queries, k=args.k, mode=args.mode,
-                              conjunctive=args.conjunctive, boolean=args.boolean)
+            qkw = dict(k=args.k, mode=args.mode,
+                       conjunctive=args.conjunctive, boolean=args.boolean)
+            if args.after is not None:
+                if args.text is None:
+                    p.error("--after needs --text (single-query paging)")
+                if args.conjunctive or args.boolean or args.mode != "exhaustive":
+                    p.error("--after requires --mode exhaustive without --and/--boolean")
+                try:
+                    a_s, a_k = (int(x) for x in args.after.split(","))
+                except ValueError:
+                    p.error("--after expects SCORE_MICRO,DOC_KEY integers")
+                queries = rd.from_items([{"qid": 0, "text": args.text,
+                                          "after_score": a_s, "after_key": a_k}])
+                qkw["score_micro"] = True
+            res = query_index(args.index, queries, **qkw)
             if args.out:
                 # write_parquet APPENDS into an existing dir — a re-run with
                 # different --k or queries would mix both result sets, so

@@ -1199,3 +1199,38 @@ def test_cooccur_matmul_vs_sets(ray_session):
     exp = (pd.DataFrame(rows).sort_values(["t1", "t2"])
            .reset_index(drop=True).astype({"n_docs_both": "int64"}))
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_cli_search_after_paging(tmp_path, ray_session, capsys):
+    """CLI --after cursor paging: page 2 equals ranks k+1..2k of a single
+    top-2k query (micro scores)."""
+    import json
+    import os
+
+    from engine.cli import main
+    from engine.io.synth import synth_transcripts_table
+
+    frag = str(tmp_path / "in")
+    os.makedirs(frag)
+    t = synth_transcripts_table(40, seed=5)
+    pq.write_table(t, f"{frag}/part0.parquet")
+    idx = str(tmp_path / "idx")
+    main(["build", "--input", frag, "--index", idx, "--shards", "4"])
+    capsys.readouterr()
+    qterm = t["text"][0].as_py().split()[0].lower()
+
+    def rows(argv):
+        main(argv)
+        return [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+
+    top6 = rows(["query", "--index", idx, "--text", qterm, "--k", "6",
+                 "--mode", "exhaustive"])
+    assert len(top6) == 6
+    cursor_row = top6[2]
+    cursor = f"{int(round(cursor_row['score'] * 1e6))},{cursor_row['doc_key']}"
+    page2 = rows(["query", "--index", idx, "--text", qterm, "--k", "3",
+                  "--mode", "exhaustive", "--after", cursor])
+    assert [r["doc_key"] for r in page2] == [r["doc_key"] for r in top6[3:]]
+    assert [r["score"] for r in page2] == [
+        int(round(r["score"] * 1e6)) for r in top6[3:]
+    ]
