@@ -288,6 +288,25 @@ ORDER BY qid, rank
 """
 
 
+def _tr_conv_stats_sql() -> str:
+    """Conversation rollup oracle over the same materialized parquet —
+    epoch-µs ints and char counts, all exact."""
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    return f"""
+SELECT conv_id,
+       count(*)::BIGINT n_turns,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT n_tool,
+       min(epoch_us(ts))::BIGINT first_us,
+       max(epoch_us(ts))::BIGINT last_us,
+       (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT duration_us,
+       sum(length(text))::BIGINT sum_chars
+FROM read_parquet('{path}')
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def _tr_match_histogram_sql() -> str:
     """Date-histogram oracle: a doc matches a query iff it shares ≥1 term;
     daily counts of each query's full match set over the same materialized
@@ -1203,6 +1222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
         "tr_bm25_incremental": lambda sf: P.tr_bm25_incremental(sf, k=10),
+        # conversation-level rollup (multi-aggregate keyed groupby)
+        "tr_conv_stats": P.tr_conv_stats,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -1291,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
+        "tr_conv_stats": _tr_conv_stats_sql(),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

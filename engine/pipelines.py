@@ -1230,6 +1230,56 @@ def tr_bm25_boosted(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["qid", "rank", "doc_key", "score_micro"]].astype("int64")
 
 
+def tr_conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level rollup: per conv_id — turn count, tool-turn
+    count, first/last timestamp (epoch µs) and duration, total text chars.
+    The transcripts-native multi-aggregate keyed groupby: per-batch partial
+    aggregation (each block reduces to ≤ |convs in block| rows) → one
+    conv_id-keyed groupby combining Sum/Min/Max — the same partial+combine
+    shape every corpus-scale rollup here uses. Columns: conv_id, n_turns,
+    n_tool, first_us, last_us, duration_us, sum_chars."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    path = tr_oracle_corpus_path()
+    ds = rd.read_parquet(path, columns=["conv_id", "role", "text", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_pylist(),
+            "is_tool": np.asarray(pc.equal(batch["role"], "tool")).astype(np.int64),
+            "us": batch["ts"].cast(pa.int64()).to_numpy(),
+            "chars": np.asarray(pc.utf8_length(batch["text"])).astype(np.int64),
+        })
+        return df.groupby("conv_id", as_index=False).agg(
+            n_turns=("us", "size"), n_tool=("is_tool", "sum"),
+            first_us=("us", "min"), last_us=("us", "max"),
+            sum_chars=("chars", "sum"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("n_turns", alias_name="n_turns"),
+                   Sum("n_tool", alias_name="n_tool"),
+                   Min("first_us", alias_name="first_us"),
+                   Max("last_us", alias_name="last_us"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["duration_us"] = out["last_us"] - out["first_us"]
+    cols = ["conv_id", "n_turns", "n_tool", "first_us", "last_us",
+            "duration_us", "sum_chars"]
+    out = out[cols]
+    return out.astype({c: "int64" for c in cols if c != "conv_id"})
+
+
 TR_PURGE_SUFFIX = "7"  # delete every conv whose id ends in this digit (~10%)
 
 

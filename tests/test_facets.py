@@ -382,3 +382,27 @@ def test_ft_bm25_synonyms_expansion(ray_session):
         for qid, text in SYN_QUERIES
     ]).reset_index(drop=True)
     assert not unexpanded.equals(out[["qid", "doc_id"]].reset_index(drop=True))
+
+
+def test_tr_conv_stats_vs_pandas(ray_session):
+    """Conversation rollup vs one pandas groupby over the same parquet."""
+    import pandas as pd
+
+    from engine.pipelines import tr_conv_stats, tr_oracle_corpus_path
+
+    out = tr_conv_stats("/root/testdata/sf0.001")
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    us = src["ts"].astype("datetime64[us]").astype("int64")
+    df = pd.DataFrame({"conv_id": src["conv_id"],
+                       "is_tool": (src["role"] == "tool").astype("int64"),
+                       "us": us,
+                       "chars": src["text"].str.len().astype("int64")})
+    exp = df.groupby("conv_id", as_index=False).agg(
+        n_turns=("us", "size"), n_tool=("is_tool", "sum"),
+        first_us=("us", "min"), last_us=("us", "max"),
+        sum_chars=("chars", "sum"))
+    exp["duration_us"] = exp["last_us"] - exp["first_us"]
+    exp = exp[["conv_id", "n_turns", "n_tool", "first_us", "last_us",
+               "duration_us", "sum_chars"]].sort_values("conv_id").reset_index(drop=True)
+    exp = exp.astype({c: "int64" for c in exp.columns if c != "conv_id"})
+    pd.testing.assert_frame_equal(out, exp)
