@@ -1277,6 +1277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_nation_revenue": relational.nation_revenue,
         "rel_top_orders": relational.top_orders,
         "ev_hourly": relational.events_hourly,
+        # heavy hitters: top users by micro-exact total value
+        "ev_heavy_hitters": lambda sf: relational.events_heavy_hitters(sf, k=25),
         "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
         "ev_json_stats": relational.events_json_stats,
         "ev_sessions": lambda sf: relational.events_sessions(sf, gap_minutes=30),
@@ -1577,6 +1579,15 @@ GROUP BY 1 ORDER BY 1
         "rel_top_orders": """
 SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5)::BIGINT price_cents
 FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 25
+""",
+        "ev_heavy_hitters": """
+SELECT user_id, rank, n_events, sum_value_micro FROM (
+  SELECT user_id, count(*)::BIGINT n_events,
+         sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT sum_value_micro,
+         row_number() OVER (ORDER BY sum(floor(value * 1e6 + 0.5)::BIGINT) DESC,
+                            user_id ASC)::BIGINT rank
+  FROM events GROUP BY user_id
+) WHERE rank <= 25 ORDER BY rank
 """,
         "ev_hourly": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT hour_epoch, event_type,

@@ -332,3 +332,42 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         .reset_index(drop=True)
     )
     return out.astype({c: "int64" for c in out.columns})
+
+
+def events_heavy_hitters(sf_dir: str, k: int = 25):
+    """Heavy hitters: the k users with the highest total event value —
+    per-batch partial (user, sum, count) rows (≤ users-in-block leave each
+    block) → one user-keyed groupby-sum → per-block top-k is unnecessary
+    because the rollup is already |users| rows; values are micro-fixed ints
+    so distributed summation order cannot change the answer. Columns:
+    user_id, rank, n_events, sum_value_micro."""
+    ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_pylist(),
+            "value_micro": np.floor(batch["value"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+        })
+        return df.groupby("user_id", as_index=False).agg(
+            n_events=("value_micro", "size"),
+            sum_value_micro=("value_micro", "sum"),
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_micro", alias_name="sum_value_micro"))
+        .to_pandas()
+        .sort_values(["sum_value_micro", "user_id"], ascending=[False, True],
+                     kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out[["user_id", "rank", "n_events", "sum_value_micro"]]
+    return out.astype({"rank": "int64", "n_events": "int64",
+                       "sum_value_micro": "int64"})

@@ -1234,3 +1234,20 @@ def test_cli_search_after_paging(tmp_path, ray_session, capsys):
     assert [r["score"] for r in page2] == [
         int(round(r["score"] * 1e6)) for r in top6[3:]
     ]
+
+
+def test_events_heavy_hitters_vs_pandas(ray_session):
+    from engine.ops.relational import events_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    out = events_heavy_hitters(sf, k=10)
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev["value_micro"] = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    exp = (ev.groupby("user_id", as_index=False)
+           .agg(n_events=("value_micro", "size"), sum_value_micro=("value_micro", "sum"))
+           .sort_values(["sum_value_micro", "user_id"], ascending=[False, True],
+                        kind="stable").head(10).reset_index(drop=True))
+    exp["rank"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+    exp = exp[["user_id", "rank", "n_events", "sum_value_micro"]].astype(
+        {"rank": "int64", "n_events": "int64", "sum_value_micro": "int64"})
+    pd.testing.assert_frame_equal(out, exp)
