@@ -1240,6 +1240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
         # per-label embedding centroids (order-free integer-exact sums)
         "emb_label_centroids": ann.label_centroids,
+        # kNN graph seed: every vector's nearest other vector. Exact
+        # all-vectors brute force — the documented small-scale oracle of
+        # the near-neighbour-graph op; the 100-TB path is the bucketed
+        # LSH/IVF candidate machinery (dedup.embedding_lsh_pairs /
+        # ann.ivf_query) + this exact scorer per bucket.
+        "ann_knn_top1": lambda sf: ann.cosine_topk(sf, n_queries=1_000_000_000, k=1),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
         # full probe (nprobe = n_lists) is EXACT: proves the persisted-IVF
         # read path (partition routing, per-list scan, merge) against the
@@ -1531,6 +1537,18 @@ SELECT vec_a, vec_b, sim_micro FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ) WHERE sim_micro >= 400000
 ORDER BY vec_a, vec_b
+""",
+        "ann_knn_top1": """
+WITH sims AS (
+  SELECT a.vec_id::BIGINT qid, b.vec_id::BIGINT vec_id,
+         floor(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+)
+SELECT qid, rank, vec_id, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
+  FROM sims
+) WHERE rank <= 1 ORDER BY qid
 """,
         "emb_label_centroids": """
 WITH ex AS (

@@ -1077,7 +1077,21 @@ def tr_incremental_index(num_shards: int = 8) -> tuple[str, str]:
             p2 = f"{d}/part2.parquet"
             p2_hidden = f"{d}.part2.stash"
             os.replace(p2, p2_hidden)  # ...so stash part 2 outside the dir
-            build_index(d, idx, num_shards=num_shards, build_id="trincr-1")
+            m1 = build_index(d, idx, num_shards=num_shards, build_id="trincr-1")
+            # a concurrent oracle_sql() caller regenerates a missing part 2
+            # (idempotent corpus materializer) — if that landed mid-pass-1
+            # the "incremental" premise is gone; fail loudly rather than
+            # committing a one-pass index under the two-pass contract
+            import pyarrow.parquet as _pq
+
+            n1 = _pq.read_metadata(f"{d}/part1.parquet").num_rows
+            if m1.stats["n_docs"] != n1:
+                shutil.rmtree(idx)
+                raise RuntimeError(
+                    "tr_incremental_index: pass 1 saw more than part 1 "
+                    f"({m1.stats['n_docs']} docs vs {n1} part-1 rows) — a "
+                    "concurrent corpus regeneration raced the stash; rerun"
+                )
             # part 2 arrives; the resumed build indexes only the new fragment
             os.replace(p2_hidden, p2)
             build_index(d, idx, num_shards=num_shards, build_id="trincr-2")
