@@ -647,6 +647,24 @@ SELECT qid, facet, "value", count(*)::BIGINT n_matches FROM (
 """
 
 
+def _hit_count_sql() -> str:
+    """Hit counts: per query, total matching docs + distinct sources
+    spanned (same OR-match gate as the facets oracle)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT m.qid, count(*)::BIGINT n_matches, count(DISTINCT d.source)::BIGINT n_sources
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.qid ORDER BY m.qid
+"""
+
+
 def _bool_queries_values() -> str:
     from engine.pipelines import BOOL_QUERIES
 
@@ -1181,6 +1199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facet counts over each query's FULL match set (match-stream →
         # keyed attr join → multi-key groupby count)
         "ft_bm25_facets": P.ft_bm25_facets,
+        # hit counting (_count) + exact distributed COUNT DISTINCT of the
+        # sources each query's FULL match set spans
+        "ft_hit_count": P.ft_hit_count,
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # query-time attribute filter (filter-context search): scored match
@@ -1302,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
+        "ft_hit_count": _hit_count_sql(),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

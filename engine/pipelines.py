@@ -697,6 +697,75 @@ def _bool_text(must: str, should: str, must_not: str) -> str:
     return " ".join(parts)
 
 
+def ft_hit_count(sf_dir: str) -> pd.DataFrame:
+    """Hit counting (the Elasticsearch ``_count`` shape) plus an EXACT
+    distributed COUNT DISTINCT: per DOC_QUERY, the total number of matching
+    docs and the number of distinct sources those matches span.
+
+    Scale shape: the match set is never collected — MatchServer streams
+    (qid, doc_key) rows; a keyed hash join attaches source (attr table is
+    corpus-sized at 100 TB, no broadcast). ONE pass collapses each block to
+    (qid, source, n) partials, ONE (qid, source)-keyed groupby-sum collapses
+    them globally — shuffle payload bounded by |queries| × |distinct values|
+    per block, never the match volume — and both the total and the exact
+    distinct-source count fall out of that tiny table on the driver.
+    Columns: qid, n_matches, n_sources."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "source"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        df = (
+            b.select(["qid", "source"])
+            .to_pandas()
+            .groupby(["qid", "source"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "qid": df["qid"].astype("int64"),
+                "source": df["source"].astype(str),
+                "n": df["size"].astype("int64"),
+            }
+        )
+
+    per_source = (
+        joined.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["qid", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = per_source.groupby("qid", as_index=False).agg(
+        n_matches=("n", "sum"), n_sources=("source", "nunique")
+    )
+    out = out.sort_values("qid").reset_index(drop=True)
+    return out.astype({"qid": "int64", "n_matches": "int64", "n_sources": "int64"})
+
+
 def ft_bm25_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Boolean structured retrieval (engine/query/boolean.py): +must / -not /
     should clause queries, BM25-scored over every matching positive term,

@@ -149,6 +149,41 @@ def test_ft_bm25_facets_counts(ray_session):
     pd.testing.assert_frame_equal(out, exp, check_like=True)
 
 
+def test_ft_hit_count_vs_pandas(ray_session):
+    """Hit counts + exact distinct-source counts at sf0.001 vs a pandas
+    recomputation of the same OR-match semantics."""
+    import pandas as pd
+
+    from engine.pipelines import DOC_QUERIES, ft_hit_count
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_hit_count(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    src = docs.set_index("doc_id")["source"]
+    rows = []
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        matched = [d for d, ts in tok.items() if ts & terms]
+        if matched:
+            rows.append(
+                {
+                    "qid": qid,
+                    "n_matches": len(matched),
+                    "n_sources": src.loc[matched].nunique(),
+                }
+            )
+    exp = (
+        pd.DataFrame(rows)
+        .sort_values("qid")
+        .reset_index(drop=True)
+        .astype({"qid": "int64", "n_matches": "int64", "n_sources": "int64"})
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
 def test_ft_bm25_postfilter_vs_oracle(ray_session):
     """Post-filtered retrieval at sf0.001 vs an independent recomputation:
     BM25Oracle scores every doc, the attribute predicate zeroes the
