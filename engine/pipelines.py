@@ -376,6 +376,73 @@ def ft_bm25_wildcard(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> 
     return _run_doc_queries(sf_dir, items, k)
 
 
+# fuzzy query set: trailing ``~`` marks a term for edit-distance-1 expansion
+# (Lucene ``term~1``). Mirrored in the oracle SQL (DuckDB levenshtein).
+# Edge coverage: multi-expansion (qid 2: "low" → row+slow), two fuzzy terms
+# (qid 3), and a fuzzy token with no vocabulary hit (qid 4: literal only).
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "jon~ batch"),
+    (1, "window~ agg"),
+    (2, "low~"),
+    (3, "stram~ quer~"),
+    (4, "xyzzyq~ merge"),
+]
+
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Plain Levenshtein distance ≤ 1 (matches DuckDB's levenshtein: a
+    transposition counts as 2). O(len) early-exit — no DP table."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = edits = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+            continue
+        edits += 1
+        if edits > 1:
+            return False
+        if la == lb:
+            i += 1
+        j += 1
+    return edits + (lb - j) + (la - i) <= 1
+
+
+def ft_bm25_fuzzy(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.DataFrame:
+    """Fuzzy retrieval: ``term~`` query tokens expand against the vocab-sized
+    term_stats artifact to their ``max_expand`` highest-df terms within
+    Levenshtein distance 1 (df desc, term asc — the same top-terms rewrite
+    as wildcard), and the expanded disjunction scores as plain BM25.
+    Expansion never touches postings — the dictionary artifact is
+    vocab-sized, so the rewrite stays cheap at any corpus scale. Columns:
+    qid, rank, doc_id, score_micro."""
+    import pyarrow.parquet as pq
+
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_index(sf_dir)
+    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    items = []
+    for qid, qtext in FUZZY_QUERIES:
+        terms: list[str] = []
+        for tok in qtext.split():
+            if tok.endswith("~"):
+                p = tok.rstrip("~")
+                hit = stats[[_within_edit1(p, t) for t in stats["term"]]]
+                hit = hit.sort_values(["df", "term"], ascending=[False, True],
+                                      kind="stable").head(max_expand)
+                terms.extend(hit["term"])
+            else:
+                terms.append(tok)
+        items.append({"qid": qid, "text": " ".join(terms)})
+    return _run_doc_queries(sf_dir, items, k)
+
+
 # symmetric synonym classes (every member expands to the whole class) and
 # the synonym query set — both mirrored in the oracle SQL.
 SYNONYM_GROUPS: list[tuple[str, ...]] = [

@@ -149,6 +149,56 @@ def test_ft_bm25_facets_counts(ray_session):
     pd.testing.assert_frame_equal(out, exp, check_like=True)
 
 
+def test_within_edit1_matches_dp():
+    """_within_edit1 agrees with a reference Levenshtein DP (the DuckDB
+    semantics the fuzzy oracle uses: transposition = 2 edits)."""
+    import itertools
+
+    from engine.pipelines import _within_edit1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "ab", "abc", "acb", "join", "jon", "jion", "joinn",
+             "low", "row", "slow", "scan", "scann", "stream", "stram"]
+    for a, b in itertools.product(words, repeat=2):
+        assert _within_edit1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_ft_bm25_fuzzy_expansion_semantics(ray_session):
+    """Fuzzy retrieval at sf0.001: every returned doc must contain at least
+    one term within edit distance 1 of a fuzzy token (or a literal token),
+    and the multi-expansion probe must behave like its expanded disjunction."""
+    from engine.pipelines import FUZZY_QUERIES, _within_edit1, ft_bm25_fuzzy
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_bm25_fuzzy(sf, k=10)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    for qid, qtext in FUZZY_QUERIES:
+        lits = {t for t in qtext.split() if not t.endswith("~")}
+        probes = [t.rstrip("~") for t in qtext.split() if t.endswith("~")]
+        g = out[out["qid"] == qid]
+        for d in g["doc_id"]:
+            ts = tok[int(d)]
+            hit = bool(ts & lits) or any(
+                _within_edit1(p, t) for p in probes for t in ts
+            )
+            assert hit, (qid, d)
+    # qid 2 ("low~") must retrieve docs for BOTH expansions row and slow
+    g2 = {int(d) for d in out.loc[out["qid"] == 2, "doc_id"]}
+    assert any("row" in tok[d] for d in g2)
+    assert any("slow" in tok[d] for d in g2)
+
+
 def test_ft_hit_count_vs_pandas(ray_session):
     """Hit counts + exact distinct-source counts at sf0.001 vs a pandas
     recomputation of the same OR-match semantics."""
