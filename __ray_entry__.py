@@ -716,6 +716,26 @@ GROUP BY m.qid ORDER BY m.qid
 """
 
 
+def _match_stats_sql() -> str:
+    """Numeric stats agg: per query, count/sum/min/max/avg-micro of n_chars
+    over the OR-match set (same gate as the facets oracle)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT m.qid, count(*)::BIGINT n_matches, sum(d.n_chars)::BIGINT sum_chars,
+       min(d.n_chars)::BIGINT min_chars, max(d.n_chars)::BIGINT max_chars,
+       (sum(d.n_chars)::BIGINT * 1000000 // count(*)::BIGINT)::BIGINT avg_chars_micro
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.qid ORDER BY m.qid
+"""
+
+
 def _bool_queries_values() -> str:
     from engine.pipelines import BOOL_QUERIES
 
@@ -1253,6 +1273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hit counting (_count) + exact distributed COUNT DISTINCT of the
         # sources each query's FULL match set spans
         "ft_hit_count": P.ft_hit_count,
+        # numeric stats agg (count/sum/min/max/avg) over full match sets
+        "ft_match_stats": P.ft_match_stats,
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # query-time attribute filter (filter-context search): scored match
@@ -1377,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),
+        "ft_match_stats": _match_stats_sql(),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

@@ -833,6 +833,73 @@ def ft_hit_count(sf_dir: str) -> pd.DataFrame:
     return out.astype({"qid": "int64", "n_matches": "int64", "n_sources": "int64"})
 
 
+def ft_match_stats(sf_dir: str) -> pd.DataFrame:
+    """Numeric stats aggregation over full match sets (the Elasticsearch
+    ``stats`` agg): per DOC_QUERY, count / sum / min / max of n_chars across
+    every matching doc, plus the mean in micro ints (floor(sum*1e6/count) —
+    a single integer division both sides reproduce bit-exactly).
+
+    Scale shape: match stream (never collected) → keyed n_chars hash join
+    (corpus-sized side, no broadcast) → per-batch partial (count, sum, min,
+    max) rows → ONE qid-keyed groupby. Columns: qid, n_matches, sum_chars,
+    min_chars, max_chars, avg_chars_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.select(["qid", "n_chars"]).to_pandas()
+        g = df.groupby("qid", as_index=False).agg(
+            n=("n_chars", "size"),
+            s=("n_chars", "sum"),
+            lo=("n_chars", "min"),
+            hi=("n_chars", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(
+            Sum("n", alias_name="n_matches"),
+            Sum("s", alias_name="sum_chars"),
+            Min("lo", alias_name="min_chars"),
+            Max("hi", alias_name="max_chars"),
+        )
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    out["avg_chars_micro"] = (
+        out["sum_chars"].to_numpy() * 1_000_000 // out["n_matches"].to_numpy()
+    )
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def ft_bm25_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Boolean structured retrieval (engine/query/boolean.py): +must / -not /
     should clause queries, BM25-scored over every matching positive term,

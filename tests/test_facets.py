@@ -234,6 +234,35 @@ def test_ft_hit_count_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(out, exp)
 
 
+def test_ft_match_stats_vs_pandas(ray_session):
+    """Stats agg over match sets at sf0.001 vs a pandas recomputation."""
+    import pandas as pd
+
+    from engine.pipelines import DOC_QUERIES, ft_match_stats
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_match_stats(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    nchars = docs.set_index("doc_id")["n_chars"]
+    rows = []
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        matched = [d for d, ts in tok.items() if ts & terms]
+        if matched:
+            v = nchars.loc[matched]
+            rows.append({
+                "qid": qid, "n_matches": len(matched),
+                "sum_chars": int(v.sum()), "min_chars": int(v.min()),
+                "max_chars": int(v.max()),
+                "avg_chars_micro": int(v.sum()) * 1_000_000 // len(matched),
+            })
+    exp = pd.DataFrame(rows).sort_values("qid").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
 def test_ft_bm25_postfilter_vs_oracle(ray_session):
     """Post-filtered retrieval at sf0.001 vs an independent recomputation:
     BM25Oracle scores every doc, the attribute predicate zeroes the
