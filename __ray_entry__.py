@@ -736,6 +736,43 @@ GROUP BY m.qid ORDER BY m.qid
 """
 
 
+def _bm25_explain_sql(k: int) -> str:
+    """Explain oracle: per-term BM25 contribution for every top-k hit —
+    the same contrib arithmetic as the top-k oracle, joined back to the
+    rank window instead of summed away."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id, qt.term, tf.tf,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(sum(w) * 1e6 + 0.5)::BIGINT DESC,
+                                     doc_id ASC)::BIGINT rank
+  FROM contrib GROUP BY qid, doc_id
+)
+SELECT c.qid, r.rank, c.doc_id, c.term, c.tf::BIGINT tf,
+       floor(c.w * 1e6 + 0.5)::BIGINT w_micro
+FROM contrib c JOIN ranked r ON r.qid = c.qid AND r.doc_id = c.doc_id
+WHERE r.rank <= {k}
+ORDER BY c.qid, r.rank, c.term
+"""
+
+
 def _bool_queries_values() -> str:
     from engine.pipelines import BOOL_QUERIES
 
@@ -1275,6 +1312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_hit_count": P.ft_hit_count,
         # numeric stats agg (count/sum/min/max/avg) over full match sets
         "ft_match_stats": P.ft_match_stats,
+        # per-term BM25 contribution breakdown for every top-k hit (explain)
+        "ft_bm25_explain": lambda sf: P.ft_bm25_explain(sf, k=5),
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # query-time attribute filter (filter-context search): scored match
@@ -1400,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),
         "ft_match_stats": _match_stats_sql(),
+        "ft_bm25_explain": _bm25_explain_sql(5),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

@@ -600,6 +600,83 @@ def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
                        "score_micro": "int64"})
 
 
+def ft_bm25_explain(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Score explanation (the Lucene ``explain`` surface): for each top-k
+    hit, the per-term BM25 contribution breakdown —
+    ``w = idf(df) · tf_sat(tf, dl, avgdl)`` in micro ints, computed with the
+    SAME shared kernels the engine scores with (engine/oracle/bm25.py), so
+    every number is IEEE-identical to the SQL oracle's arithmetic.
+
+    Scale shape: explanation cost ∝ queries×k, never the corpus — rank
+    first, then a column-pruned candidate-only scan (vectorized isin, the
+    snippets pattern) retokenizes only the ≤ q·k hit texts; df comes from
+    the vocab-sized term_stats artifact and n_docs/avgdl from the manifest.
+    Columns: qid, rank, doc_id, term, tf, w_micro."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from engine.index.build import ensure_term_stats
+    from engine.io.manifest import Manifest
+    from engine.oracle.bm25 import idf, tf_sat
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    base = _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k)
+    cand = np.unique(base["doc_id"].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        w = ray.get(cand_ref)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= w.size] = 0
+        return b.filter(pa.array(w[pos] == ids))
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    an = Analyzer()
+    toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
+    qterms = {qid: sorted(set(an.tokens(t))) for qid, t in DOC_QUERIES}
+    all_q = sorted({t for ts in qterms.values() for t in ts})
+    dfs = pq.read_table(
+        ensure_term_stats(idx), columns=["term", "df"],
+        filters=[("term", "in", all_q)],
+    ).to_pandas().set_index("term")["df"]
+    st = Manifest(idx).stats
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+
+    rows = []
+    for r in base.itertuples():
+        dt = toks[int(r.doc_id)]
+        dl = len(dt)
+        counts = pd.Series(dt).value_counts()
+        for term in qterms[int(r.qid)]:
+            tf = int(counts.get(term, 0))
+            if not tf or term not in dfs.index:
+                continue
+            w = float(idf(n_docs, int(dfs[term]))) * float(tf_sat(tf, dl, avgdl))
+            rows.append(
+                {
+                    "qid": int(r.qid), "rank": int(r.rank),
+                    "doc_id": int(r.doc_id), "term": term, "tf": tf,
+                    "w_micro": int(np.floor(w * 1e6 + 0.5)),
+                }
+            )
+    out = (
+        pd.DataFrame(rows)
+        .sort_values(["qid", "rank", "term"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"qid": "int64", "rank": "int64", "doc_id": "int64",
+         "tf": "int64", "w_micro": "int64"}
+    )
+
+
 SUGGEST_PREFIXES = ("ba", "s", "qu", "zz")  # mirrored in the oracle SQL
 
 

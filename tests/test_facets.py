@@ -234,6 +234,48 @@ def test_ft_hit_count_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(out, exp)
 
 
+def test_ft_bm25_explain_consistency(ray_session):
+    """Explain rows cover exactly the top-k hits, tf matches a direct
+    recount, and each hit's contributions sum back to its ranked score
+    (raw-float re-derivation, micro-rounded once like the engine)."""
+    import pandas as pd
+
+    from engine.index.build import ensure_term_stats
+    from engine.io.manifest import Manifest
+    from engine.oracle.bm25 import idf, tf_sat
+    from engine.pipelines import (DOC_QUERIES, documents_index,
+                                  ft_bm25_explain, ft_bm25_topk)
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    k = 5
+    ex = ft_bm25_explain(sf, k=k)
+    top = ft_bm25_topk(sf, k=k)
+    assert set(map(tuple, ex[["qid", "doc_id"]].drop_duplicates().values)) == set(
+        map(tuple, top[["qid", "doc_id"]].values)
+    )
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
+    idx = documents_index(sf)
+    dfs = (
+        pq.read_table(ensure_term_stats(idx), columns=["term", "df"])
+        .to_pandas()
+        .set_index("term")["df"]
+    )
+    st = Manifest(idx).stats
+    score = top.set_index(["qid", "doc_id"])["score_micro"]
+    for (qid, doc), g in ex.groupby(["qid", "doc_id"]):
+        dt = toks[int(doc)]
+        total = 0.0
+        for r in g.itertuples():
+            assert dt.count(r.term) == r.tf, (qid, doc, r.term)
+            total += float(idf(int(st["n_docs"]), int(dfs[r.term]))) * float(
+                tf_sat(r.tf, len(dt), float(st["avgdl"]))
+            )
+        assert int(np.floor(total * 1e6 + 0.5)) == int(score.loc[(qid, doc)])
+
+
 def test_ft_match_stats_vs_pandas(ray_session):
     """Stats agg over match sets at sf0.001 vs a pandas recomputation."""
     import pandas as pd
