@@ -736,6 +736,43 @@ GROUP BY m.qid ORDER BY m.qid
 """
 
 
+def _bm25_msm_sql(k: int, msm: int) -> str:
+    """minimum_should_match oracle: docs matching >= msm distinct query
+    terms, scored as BM25 over every matched term."""
+    from engine.pipelines import MSM_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}')" for q, t in MSM_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2 HAVING count(*) >= {msm}
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_explain_sql(k: int) -> str:
     """Explain oracle: per-term BM25 contribution for every top-k hit —
     the same contrib arithmetic as the top-k oracle, joined back to the
@@ -1314,6 +1351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_stats": P.ft_match_stats,
         # per-term BM25 contribution breakdown for every top-k hit (explain)
         "ft_bm25_explain": lambda sf: P.ft_bm25_explain(sf, k=5),
+        # minimum_should_match: >= 2 distinct query terms must match
+        "ft_bm25_msm": lambda sf: P.ft_bm25_msm(sf, k=10, msm=2),
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # query-time attribute filter (filter-context search): scored match
@@ -1440,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_hit_count": _hit_count_sql(),
         "ft_match_stats": _match_stats_sql(),
         "ft_bm25_explain": _bm25_explain_sql(5),
+        "ft_bm25_msm": _bm25_msm_sql(10, 2),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

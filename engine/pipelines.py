@@ -600,6 +600,30 @@ def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
                        "score_micro": "int64"})
 
 
+# minimum_should_match query set (msm=2). Edge coverage: a query whose
+# second term is out-of-vocabulary (qid 3 → can never reach 2 matches) and
+# a single-term query (qid 4 → empty under msm=2). Mirrored in the oracle.
+MSM_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join batch"),
+    (1, "slow query window"),
+    (2, "merge sort key"),
+    (3, "zzznosuchterm join"),
+    (4, "scan"),
+]
+
+
+def ft_bm25_msm(sf_dir: str, k: int = 10, msm: int = 2) -> pd.DataFrame:
+    """minimum_should_match retrieval (the Elasticsearch/Lucene knob between
+    OR and AND): candidates must match at least ``msm`` distinct query
+    terms; qualifying docs score as plain BM25 over every matched term.
+    The match-count gate accumulates 1-weights over the same (term, segment)
+    posting parts the scorer reads — no second index structure. Columns:
+    qid, rank, doc_id, score_micro."""
+    return _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t} for q, t in MSM_QUERIES], k, msm=msm
+    )
+
+
 def ft_bm25_explain(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Score explanation (the Lucene ``explain`` surface): for each top-k
     hit, the per-term BM25 contribution breakdown —

@@ -48,7 +48,8 @@ class SegmentServer:
                  mode: str = "exhaustive", score_micro: bool = False,
                  bucket: int | None = None, df_overrides_ref=None,
                  analyzer_obj=None, cache_postings: int = 24_000_000,
-                 conjunctive: bool = False, boolean: bool = False):
+                 conjunctive: bool = False, boolean: bool = False,
+                 msm: int = 0):
         import os
 
         from engine.index.segment import PostingLRU
@@ -68,6 +69,10 @@ class SegmentServer:
         # are candidates; scores stay plain BM25 sums over all terms
         self.conjunctive = conjunctive
         self.boolean = boolean
+        # minimum_should_match: candidates must match >= msm distinct query
+        # terms (0/1 = plain OR; n_terms = conjunctive). Exhaustive modes
+        # only — WAND upper bounds are not msm-aware.
+        self.msm = int(msm)
         # bucketed layout (engine/query/bucketed.py): this server owns doc
         # bucket ``bucket``; its shard ids are base_shard + S_total*bucket and
         # per-term GLOBAL df comes from the broadcast term_stats overrides
@@ -177,6 +182,21 @@ class SegmentServer:
             for seg, idx in hits:
                 dk = seg.read_postings(idx)[0]
                 parts.append((dk, seg.weights(idx, w_idf, self.avgdl)))
+        return accumulate_sorted_lists(parts)
+
+    def _match_counts(self, text: str):
+        """Per-candidate matched-DISTINCT-term counts over the same
+        (term, segment) parts score_query accumulates — docs live in exactly
+        one segment, so summing 1 per part counts distinct terms. Returns
+        (doc_keys, counts) on the identical candidate union."""
+        from engine.query.topk import accumulate_sorted_lists
+
+        parts = []
+        for t in sorted(set(self.analyzer.tokens(text))):
+            hits, _df = self._term_hits(t)
+            for seg, idx in hits:
+                dk = seg.read_postings(idx)[0]
+                parts.append((dk, np.ones(dk.size, dtype=np.float64)))
         return accumulate_sorted_lists(parts)
 
     # ------------------------------------------------------------------
@@ -395,6 +415,9 @@ class SegmentServer:
         if after is not None:
             assert self.score_micro and not (self.boolean or self.conjunctive), \
                 "search_after requires score_micro exhaustive mode"
+        if self.msm > 1:
+            assert self.mode == "exhaustive" and not (self.boolean or self.conjunctive), \
+                "minimum_should_match requires plain exhaustive mode"
         if self.boolean:
             # Lucene-style +must / -not / should clauses (engine/query/boolean.py)
             from engine.query.boolean import boolean_topk, parse_boolean
@@ -437,6 +460,12 @@ class SegmentServer:
                     for pos in touched:
                         scores[pos] = 0.0
         dk, sc = self.score_query(text)
+        if self.msm > 1:
+            # counts accumulate over the SAME (term, segment) parts as the
+            # scores, so the candidate unions are positionally identical
+            _ck, cnt = self._match_counts(text)
+            keep = cnt >= float(self.msm)
+            dk, sc = dk[keep], sc[keep]
         dk, sc = self._filter_deleted(dk, sc)
         if exclude:
             # NOT queries: sorted-set difference before top-k (block-max

@@ -234,6 +234,34 @@ def test_ft_hit_count_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(out, exp)
 
 
+def test_ft_bm25_msm_semantics(ray_session):
+    """minimum_should_match at sf0.001: every hit matches >= msm distinct
+    query terms, hits are exactly the BM25 ranking restricted to qualifying
+    docs, and msm=1 degenerates to the plain OR top-k."""
+    import pandas as pd
+
+    from engine.pipelines import MSM_QUERIES, _run_doc_queries, ft_bm25_msm
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_bm25_msm(sf, k=10, msm=2)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    for qid, text in MSM_QUERIES:
+        terms = set(an.tokens(text))
+        g = out[out["qid"] == qid]
+        for d in g["doc_id"]:
+            assert len(tok[int(d)] & terms) >= 2, (qid, d)
+    # qid 4 is single-term: unreachable under msm=2
+    assert not len(out[out["qid"] == 4])
+    # msm=1 == plain OR ranking
+    items = [{"qid": q, "text": t} for q, t in MSM_QUERIES]
+    plain = _run_doc_queries(sf, items, 10)
+    m1 = ft_bm25_msm(sf, k=10, msm=1)
+    pd.testing.assert_frame_equal(m1, plain)
+
+
 def test_ft_bm25_explain_consistency(ray_session):
     """Explain rows cover exactly the top-k hits, tf matches a direct
     recount, and each hit's contributions sum back to its ranked score
