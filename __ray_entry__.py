@@ -736,6 +736,50 @@ GROUP BY m.qid ORDER BY m.qid
 """
 
 
+def _bm25_boosted_terms_sql(k: int) -> str:
+    """Term-boost oracle: the (qid, term, boost) table is derived from
+    BOOST_QUERIES with the engine's own parser/analyzer (the query set is
+    static engine state, like the synonym map); each contribution scales by
+    its boost — exact for the power-of-two boosts the query set uses."""
+    from engine.pipelines import BOOST_QUERIES
+    from engine.query.engine import SegmentServer
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+    parse = SegmentServer._parse_boosts
+    rows = []
+    for qid, text in BOOST_QUERIES:
+        plain, bm = parse(type("S", (), {"analyzer": an})(), text)
+        for t in sorted(set(an.tokens(plain))):
+            rows.append(f"({qid}, '{t}', {bm.get(t, 1.0)!r})")
+    vals = ", ".join(rows)
+    return f"""
+WITH {_TOK_CTE},
+qterm(qid, term, boost) AS (VALUES {vals}),
+contrib AS (
+  SELECT qt.qid::BIGINT qid, tf.doc_id,
+         (ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+           * qt.boost w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_msm_sql(k: int, msm: int) -> str:
     """minimum_should_match oracle: docs matching >= msm distinct query
     terms, scored as BM25 over every matched term."""
@@ -1353,6 +1397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_explain": lambda sf: P.ft_bm25_explain(sf, k=5),
         # minimum_should_match: >= 2 distinct query terms must match
         "ft_bm25_msm": lambda sf: P.ft_bm25_msm(sf, k=10, msm=2),
+        # Lucene term^boost query-time boosting (power-of-two boosts)
+        "ft_bm25_boosted_terms": lambda sf: P.ft_bm25_boosted_terms(sf, k=10),
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # query-time attribute filter (filter-context search): scored match
@@ -1480,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_match_stats": _match_stats_sql(),
         "ft_bm25_explain": _bm25_explain_sql(5),
         "ft_bm25_msm": _bm25_msm_sql(10, 2),
+        "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

@@ -600,6 +600,31 @@ def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
                        "score_micro": "int64"})
 
 
+# term-boost query set (Lucene ``term^boost``). Boosts are POWERS OF TWO so
+# scaling is an exact exponent shift — IEEE-lossless on both engine and SQL
+# sides regardless of multiplication order. Edge coverage: a fractional
+# down-boost (qid 2), a boost on an out-of-vocabulary term (qid 4), and an
+# unboosted control (qid 3 ≡ plain BM25). Mirrored in the oracle.
+BOOST_QUERIES: list[tuple[int, str]] = [
+    (0, "join^2 hash"),
+    (1, "slow^4 query window"),
+    (2, "merge^0.5 sort key"),
+    (3, "scan batch"),
+    (4, "zzznosuchterm^2 join"),
+]
+
+
+def ft_bm25_boosted_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Query-time term boosting: ``term^boost`` scales that term's BM25
+    contribution (Lucene boost semantics). Boosted weights are derived from
+    the per-(segment, term) cached unboosted weights by one vectorized
+    multiply — the cache stays query-independent. Columns: qid, rank,
+    doc_id, score_micro."""
+    return _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t} for q, t in BOOST_QUERIES], k, boosts=True
+    )
+
+
 # minimum_should_match query set (msm=2). Edge coverage: a query whose
 # second term is out-of-vocabulary (qid 3 → can never reach 2 matches) and
 # a single-term query (qid 4 → empty under msm=2). Mirrored in the oracle.

@@ -49,7 +49,7 @@ class SegmentServer:
                  bucket: int | None = None, df_overrides_ref=None,
                  analyzer_obj=None, cache_postings: int = 24_000_000,
                  conjunctive: bool = False, boolean: bool = False,
-                 msm: int = 0):
+                 msm: int = 0, boosts: bool = False):
         import os
 
         from engine.index.segment import PostingLRU
@@ -73,6 +73,12 @@ class SegmentServer:
         # terms (0/1 = plain OR; n_terms = conjunctive). Exhaustive modes
         # only — WAND upper bounds are not msm-aware.
         self.msm = int(msm)
+        # query-time term boosting: parse Lucene ``term^boost`` syntax and
+        # scale each boosted term's contributions. Exhaustive mode only
+        # (WAND bounds and dense sidecars bake unboosted weights). Boosts
+        # should be powers of two so the scaling is IEEE-lossless and the
+        # SQL oracle reproduces it bit-exactly regardless of op order.
+        self.boosts = boosts
         # bucketed layout (engine/query/bucketed.py): this server owns doc
         # bucket ``bucket``; its shard ids are base_shard + S_total*bucket and
         # per-term GLOBAL df comes from the broadcast term_stats overrides
@@ -172,6 +178,9 @@ class SegmentServer:
         """
         from engine.query.topk import accumulate_sorted_lists
 
+        bm: dict[str, float] = {}
+        if self.boosts:
+            text, bm = self._parse_boosts(text)
         terms = sorted(set(self.analyzer.tokens(text)))
         parts = []  # (doc_keys, weights) per (term, segment), ORACLE order
         for t in terms:
@@ -179,10 +188,37 @@ class SegmentServer:
             if not hits:
                 continue
             w_idf = float(bm25_idf(self.n_docs, df))
+            boost = bm.get(t, 1.0)
             for seg, idx in hits:
                 dk = seg.read_postings(idx)[0]
-                parts.append((dk, seg.weights(idx, w_idf, self.avgdl)))
+                w = seg.weights(idx, w_idf, self.avgdl)
+                if boost != 1.0:
+                    # scale AFTER the cached unboosted weights (the cache is
+                    # per (segment, term) — a boost is per query)
+                    w = w * boost
+                parts.append((dk, w))
         return accumulate_sorted_lists(parts)
+
+    def _parse_boosts(self, text: str) -> tuple[str, dict[str, float]]:
+        """Lucene ``term^boost`` query syntax → (plain query text,
+        {analyzed_term: boost}). Tokens without a parseable boost pass
+        through unchanged."""
+        bm: dict[str, float] = {}
+        plain = []
+        for tok in text.split():
+            if "^" in tok:
+                t, _, b = tok.rpartition("^")
+                try:
+                    bv = float(b)
+                except ValueError:
+                    plain.append(tok)
+                    continue
+                for at in self.analyzer.tokens(t):
+                    bm[at] = bv
+                plain.append(t)
+            else:
+                plain.append(tok)
+        return " ".join(plain), bm
 
     def _match_counts(self, text: str):
         """Per-candidate matched-DISTINCT-term counts over the same
@@ -191,6 +227,8 @@ class SegmentServer:
         (doc_keys, counts) on the identical candidate union."""
         from engine.query.topk import accumulate_sorted_lists
 
+        if self.boosts:
+            text, _ = self._parse_boosts(text)
         parts = []
         for t in sorted(set(self.analyzer.tokens(text))):
             hits, _df = self._term_hits(t)
@@ -418,6 +456,9 @@ class SegmentServer:
         if self.msm > 1:
             assert self.mode == "exhaustive" and not (self.boolean or self.conjunctive), \
                 "minimum_should_match requires plain exhaustive mode"
+        if self.boosts:
+            assert self.mode == "exhaustive" and not (self.boolean or self.conjunctive), \
+                "term boosting requires plain exhaustive mode"
         if self.boolean:
             # Lucene-style +must / -not / should clauses (engine/query/boolean.py)
             from engine.query.boolean import boolean_topk, parse_boolean

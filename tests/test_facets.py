@@ -234,6 +234,54 @@ def test_ft_hit_count_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(out, exp)
 
 
+def test_ft_bm25_boosted_terms_vs_oracle(ray_session):
+    """Term boosting at sf0.001 vs an independent recomputation: the
+    BM25Oracle scores the plain query per term, boosted terms scale by
+    their exact power-of-two boost, micro-rounded (score desc, doc_id asc)
+    top-k must match the engine rows exactly."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle, idf, tf_sat
+    from engine.pipelines import BOOST_QUERIES, ft_bm25_boosted_terms
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    out = ft_bm25_boosted_terms(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    oracle = BM25Oracle(docs["doc_id"].tolist(), docs["text"].tolist())
+    rows = []
+    for qid, qtext in BOOST_QUERIES:
+        bm: dict[str, float] = {}
+        terms = []
+        for tok in qtext.split():
+            if "^" in tok:
+                t, _, b = tok.rpartition("^")
+                for at in an.tokens(t):
+                    bm[at] = float(b)
+                terms.extend(an.tokens(t))
+            else:
+                terms.extend(an.tokens(tok))
+        scores = np.zeros(len(oracle.doc_keys))
+        matched = np.zeros(len(oracle.doc_keys), dtype=bool)
+        for t in sorted(set(terms)):
+            sc = oracle.score_query(t)
+            scores += sc * bm.get(t, 1.0)
+            matched |= sc != 0
+        nz = np.nonzero(matched)[0]
+        micro = np.floor(scores[nz] * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((oracle.doc_keys[nz], -micro))[:k]
+        for rk, j in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": rk,
+                         "doc_id": int(oracle.doc_keys[nz][j]),
+                         "score_micro": int(micro[j])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+
+
 def test_ft_bm25_msm_semantics(ray_session):
     """minimum_should_match at sf0.001: every hit matches >= msm distinct
     query terms, hits are exactly the BM25 ranking restricted to qualifying
