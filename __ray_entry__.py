@@ -1208,6 +1208,59 @@ def _phrase_queries_values() -> str:
     return f"(VALUES {rows})"
 
 
+def _bm25_proximity_sql(k: int) -> str:
+    """Proximity (slop) oracle: both terms within slop tokens of each other
+    (either order) — min |pos_a - pos_b| <= slop + 1 over 1-based positions
+    in the normalized token array — ranked by BM25 over the pair."""
+    from engine.pipelines import PROX_QUERIES
+
+    rows = ", ".join(f"({q}, '{a}', '{b}', {s})" for q, a, b, s in PROX_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term_a, term_b, slop) AS (VALUES {rows}),
+tokpos AS (
+  SELECT doc_id,
+         unnest({_TOKS}) term,
+         unnest(range(1, len({_TOKS}) + 1)) pos
+  FROM documents
+),
+matched AS (
+  SELECT q.qid::BIGINT qid, a.doc_id
+  FROM q
+  JOIN tokpos a ON a.term = q.term_a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.term = q.term_b
+  GROUP BY q.qid, a.doc_id, q.slop
+  HAVING min(abs(a.pos - b.pos)) <= q.slop + 1
+),
+qterm AS (
+  SELECT qid::BIGINT qid, term_a term FROM q
+  UNION
+  SELECT qid::BIGINT, term_b FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN matched m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_phrase_sql(k: int) -> str:
     """Phrase oracle: docs whose normalized token stream contains the
     phrase's token sequence contiguously ('% needle %' over the
@@ -1353,6 +1406,61 @@ ORDER BY r.qid, r.rank
 """
 
 
+def _tr_bm25_collapse_sql(k: int) -> str:
+    """Oracle for tr_bm25_collapse: BM25 over the materialized transcript
+    parquet, collapsed to the best turn per (qid, conv_id) — rn=1 under
+    (score desc, doc_key asc) — then ranked per qid by the representative's
+    (score desc, doc_key asc)."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, conv_id, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+best AS (
+  SELECT sc.qid, src.conv_id, sc.doc_key, sc.score_micro,
+         row_number() OVER (PARTITION BY sc.qid, src.conv_id
+                            ORDER BY sc.score_micro DESC, sc.doc_key ASC) rn
+  FROM scored sc JOIN src ON src.doc_key = sc.doc_key
+)
+SELECT qid, rank, conv_id, doc_key, score_micro FROM (
+  SELECT qid, conv_id, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM best WHERE rn = 1
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1383,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
         "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
         "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
+        "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         # Lucene-style +must/-not/should clause retrieval
         "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
         # facet counts over each query's FULL match set (match-stream →
@@ -1439,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_match_histogram": P.tr_match_histogram,
         # role-boosted ranking: scored match stream × corpus role join
         "tr_bm25_boosted": lambda sf: P.tr_bm25_boosted(sf, k=10),
+        "tr_bm25_collapse": lambda sf: P.tr_bm25_collapse(sf, k=10),
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
         "tr_bm25_incremental": lambda sf: P.tr_bm25_incremental(sf, k=10),
@@ -1520,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_not": _bm25_not_sql(10),
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
+        "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),
@@ -1545,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_text_identity": _tr_text_identity_sql(),
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
+        "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),
         "ft_term_stats": f"""

@@ -1139,6 +1139,113 @@ def ft_bm25_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
 
 
+# proximity query set: (qid, term_a, term_b, slop) — mirrored in the oracle
+# SQL. slop = max tokens BETWEEN the two terms (either order); slop=0 means
+# adjacent. Edge coverage: adjacency, wide windows, a no-such-term pair.
+PROX_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "hash", "join", 0),
+    (1, "slow", "query", 2),
+    (2, "merge", "key", 1),
+    (3, "table", "scan", 0),
+    (4, "customer", "value", 4),
+    (5, "zzz", "nosuchterm", 3),
+]
+
+
+def _min_pos_gap(pos_a: np.ndarray, pos_b: np.ndarray) -> int:
+    """Smallest |i - j| over occurrence positions of two DISTINCT terms
+    (both arrays sorted ascending). O((|a|+|b|) log) via nearest-neighbour
+    searchsorted — never the |a|×|b| outer product."""
+    if pos_a.size == 0 or pos_b.size == 0:
+        return np.iinfo(np.int64).max
+    j = np.searchsorted(pos_b, pos_a)
+    best = np.iinfo(np.int64).max
+    right = j < pos_b.size
+    if right.any():
+        best = min(best, int(np.min(pos_b[j[right]] - pos_a[right])))
+    left = j > 0
+    if left.any():
+        best = min(best, int(np.min(pos_a[left] - pos_b[j[left] - 1])))
+    return best
+
+
+def ft_bm25_proximity(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Proximity (slop) search — ES ``match_phrase``-with-slop / span_near
+    for two-term queries: both terms must occur within ``slop`` tokens of
+    each other (either order), ranked by BM25 over the pair.
+
+    Same scale shape as ft_bm25_phrase: (1) conjunctive retrieval over the
+    index yields every candidate WITH its BM25 score (proximity ⊆ AND, so
+    recall is exact and no positional index is needed); (2) a distributed
+    candidate-only verification stage recomputes token positions for just
+    those rows and keeps pairs with min |pos_a - pos_b| <= slop + 1;
+    (3) survivors rank (score desc, doc_id asc). Verification cost ∝
+    candidates, not corpus. Columns: qid, rank, doc_id, score_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": f"{a} {b}"} for q, a, b, _ in PROX_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    an = Analyzer()
+    p = cand[["qid", "doc_id"]].sort_values(["doc_id", "qid"])
+    pairs_ref = ray.put((p["qid"].to_numpy(), p["doc_id"].to_numpy()))
+    spec_ref = ray.put({q: (a, b, s) for q, a, b, s in PROX_QUERIES})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        qids, dids = ray.get(pairs_ref)  # sorted by doc_id
+        ids = batch["doc_id"].to_numpy()
+        lo = np.searchsorted(dids, ids, "left")
+        hi = np.searchsorted(dids, ids, "right")
+        m = hi > lo
+        empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64())})
+        if not m.any():
+            return empty
+        sub = batch.filter(pa.array(m))
+        toks = [np.asarray(an.tokens(t or ""), dtype=object) for t in sub["text"].to_pylist()]
+        specs = ray.get(spec_ref)
+        counts = (hi - lo)[m]
+        pair_idx = np.repeat(lo[m], counts) + (
+            np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        doc_row = np.repeat(np.arange(counts.size), counts)
+        pq = qids[pair_idx]
+        keep = np.zeros(pair_idx.size, dtype=bool)
+        for i in range(pair_idx.size):
+            a, b, slop = specs[int(pq[i])]
+            tk = toks[doc_row[i]]
+            gap = _min_pos_gap(np.flatnonzero(tk == a), np.flatnonzero(tk == b))
+            keep[i] = gap <= slop + 1
+        return pa.table(
+            {
+                "qid": pa.array(pq[keep].astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(dids[pair_idx][keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    surv = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation. Segments come from
@@ -1571,6 +1678,80 @@ def tr_bm25_boosted(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
     out["rank"] = out.groupby("qid").cumcount() + 1
     return out[["qid", "rank", "doc_key", "score_micro"]].astype("int64")
+
+
+def tr_bm25_collapse(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Field collapsing (ES ``collapse`` / Lucene grouping): each query's
+    ranking keeps only the BEST turn per conversation — one hit per
+    conv_id — then ranks the surviving representatives.
+
+    Scale shape: scored match stream (ScoredMatchServer — never collected)
+    ⋈ keyed conv_id join (corpus-sized side: no broadcast); collapse is a
+    per-batch partial best-per-(qid, conv) followed by ONE (qid, conv_id)
+    groupby picking the global best (score desc, doc_key asc — the
+    deterministic representative), then per-block partial top-k + tiny
+    driver merge. No global sort. Columns: qid, rank, conv_id, doc_key,
+    score_micro."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import ScoredMatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    convs = rd.read_parquet(path, columns=["doc_key", "conv_id"])
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        convs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial_best(df: pd.DataFrame) -> pd.DataFrame:
+        # within-batch collapse: best (score desc, doc_key asc) per (qid, conv)
+        df = df.sort_values(["qid", "conv_id", "score", "doc_key"],
+                            ascending=[True, True, False, True], kind="stable")
+        return df.groupby(["qid", "conv_id"], sort=False).head(1)
+
+    def best_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "doc_key"], ascending=[False, True],
+                            kind="stable")
+        return df.head(1)
+
+    collapsed = (
+        joined.map_batches(partial_best, batch_format="pandas")
+        .groupby(["qid", "conv_id"])
+        .map_groups(best_of_group, batch_format="pandas")
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "score", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = (
+        collapsed.map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score", "doc_key"], ascending=[True, False, True],
+                     kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out.rename(columns={"score": "score_micro"})
+    out = out[["qid", "rank", "conv_id", "doc_key", "score_micro"]]
+    return out.astype({"qid": "int64", "rank": "int64", "doc_key": "int64",
+                       "score_micro": "int64"})
 
 
 def tr_conv_stats(sf_dir: str) -> pd.DataFrame:

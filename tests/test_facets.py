@@ -310,6 +310,62 @@ def test_ft_bm25_msm_semantics(ray_session):
     pd.testing.assert_frame_equal(m1, plain)
 
 
+def test_min_pos_gap_vs_outer_product():
+    """_min_pos_gap (searchsorted nearest-neighbour) equals the brute-force
+    |a|x|b| outer-product minimum on random sorted position arrays."""
+    from engine.pipelines import _min_pos_gap
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        a = np.unique(rng.integers(0, 60, size=rng.integers(0, 8)))
+        b = np.unique(rng.integers(0, 60, size=rng.integers(0, 8)))
+        got = _min_pos_gap(a, b)
+        if a.size and b.size:
+            exp = int(np.abs(a[:, None] - b[None, :]).min())
+        else:
+            exp = np.iinfo(np.int64).max
+        assert got == exp, (a, b, got, exp)
+
+
+def test_ft_bm25_proximity_semantics(ray_session):
+    """Proximity hits at sf0.001: every hit's min token gap really is
+    <= slop + 1 (recomputed from raw text), every conjunctive match that
+    satisfies the gap IS a hit (before the k cut), and hits are ranked by
+    the same scores as plain conjunctive retrieval."""
+    import pandas as pd
+
+    from engine.pipelines import (PROX_QUERIES, _min_pos_gap,
+                                  _run_doc_queries, ft_bm25_proximity)
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    big_k = 1_000_000
+    out = ft_bm25_proximity(sf, k=big_k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    toks = {int(r.doc_id): np.asarray(an.tokens(r.text), dtype=object)
+            for r in docs.itertuples()}
+
+    cand = _run_doc_queries(
+        sf, [{"qid": q, "text": f"{a} {b}"} for q, a, b, _ in PROX_QUERIES],
+        big_k, conjunctive=True)
+    expected = set()
+    for qid, a, b, slop in PROX_QUERIES:
+        for d in cand[cand["qid"] == qid]["doc_id"]:
+            tk = toks[int(d)]
+            gap = _min_pos_gap(np.flatnonzero(tk == a), np.flatnonzero(tk == b))
+            if gap <= slop + 1:
+                expected.add((qid, int(d)))
+    got = set(map(tuple, out[["qid", "doc_id"]].values))
+    assert got == expected
+    # scores identical to the conjunctive scores for the same (qid, doc)
+    merged = out.merge(cand, on=["qid", "doc_id"], suffixes=("", "_cand"))
+    assert len(merged) == len(out)
+    assert (merged["score_micro"] == merged["score_micro_cand"]).all()
+    # at least one query must have dropped a conjunctive match (slop bites)
+    assert len(out) < len(cand)
+
+
 def test_ft_bm25_explain_consistency(ray_session):
     """Explain rows cover exactly the top-k hits, tf matches a direct
     recount, and each hit's contributions sum back to its ranked score
@@ -554,6 +610,50 @@ def test_tr_bm25_boosted_vs_oracle(ray_session):
     ])
     assert not raw.reset_index(drop=True).equals(
         out[["qid", "doc_key"]].reset_index(drop=True))
+
+
+def test_tr_bm25_collapse_vs_oracle(ray_session):
+    """Field collapsing vs a pandas recompute over BM25Oracle scores: one
+    hit per conversation (the best turn, score desc / doc_key asc), convs
+    ranked by their representative's score — and collapsing actually
+    removed same-conv runner-ups some query had in its flat top-k."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+    from engine.pipelines import tr_bm25_collapse, tr_oracle_corpus_path
+
+    k = 10
+    out = tr_bm25_collapse("/root/testdata/sf0.001", k=k)
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    oracle = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    conv_of = src.set_index("doc_key")["conv_id"]
+    rows = []
+    for qid, qtext in seeded_query_set(20, seed=7):
+        s = oracle.score_query(qtext)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        df = pd.DataFrame({
+            "doc_key": oracle.doc_keys[nz],
+            "score_micro": micro[nz],
+            "conv_id": conv_of.loc[oracle.doc_keys[nz]].to_numpy(),
+        }).sort_values(["score_micro", "doc_key"], ascending=[False, True],
+                       kind="stable")
+        best = df.groupby("conv_id", sort=False).head(1).head(k)
+        for r, t in enumerate(best.itertuples(), 1):
+            rows.append({"qid": qid, "rank": r, "conv_id": t.conv_id,
+                         "doc_key": int(t.doc_key),
+                         "score_micro": int(t.score_micro)})
+    exp = pd.DataFrame(rows)
+    exp = exp.astype({"qid": "int64", "rank": "int64", "doc_key": "int64",
+                      "score_micro": "int64"})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    # one hit per conv, and the collapse is not a no-op
+    assert (out.groupby(["qid", "conv_id"]).size() == 1).all()
+    flat = pd.concat([
+        pd.DataFrame({"qid": qid, "doc_key": oracle.topk(t, k)[0]})
+        for qid, t in seeded_query_set(20, seed=7)
+    ]).merge(src[["doc_key", "conv_id"]], on="doc_key")
+    assert (flat.groupby(["qid", "conv_id"]).size() > 1).any()
 
 
 def test_ft_bm25_search_after_equals_top2k(ray_session):
