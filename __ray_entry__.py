@@ -1014,6 +1014,55 @@ FROM g ORDER BY doc_id
 """
 
 
+def _contamination_sql() -> str:
+    """ta_contamination oracle: the SAME md5-mod-prime token hash and
+    CONTAM_WIDTH-token Horner rolling polynomial as engine/ops/textstats's
+    _ContamShingles (constants imported so the two can never drift), then a
+    distinct-shingle join of corpus docs against the benchmark slice. All
+    arithmetic exact BIGINT; every Horner step reduces mod CONTAM_MOD, which
+    is congruent to the engine's fold."""
+    from engine.ops.textstats import (CONTAM_BASE, CONTAM_BENCH_EVERY,
+                                      CONTAM_MOD, CONTAM_WIDTH)
+
+    B, M, W = CONTAM_BASE, CONTAM_MOD, CONTAM_WIDTH
+    # Horner chain over hs[i..i+W-1], one mod per multiply-add step
+    expr = "hs[i]"
+    for j in range(1, W):
+        expr = f"(({expr}) * {B} % {M} + hs[i+{j}])"
+    expr = f"({expr}) % {M}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+h AS (SELECT doc_id,
+             list_transform(toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % {M})::BIGINT) hs
+      FROM t),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []::BIGINT[]
+      WHEN len(hs) < {W} THEN [list_reduce(hs, (a, b) -> (a * {B} + b) % {M})]
+      ELSE list_transform(range(1, len(hs) - {W - 2}), i -> {expr})
+    END AS grams
+  FROM h
+),
+bgrams AS (
+  SELECT DISTINCT unnest(grams) gram FROM g WHERE doc_id % {CONTAM_BENCH_EVERY} = 0
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct(grams)) gram
+  FROM g WHERE doc_id % {CONTAM_BENCH_EVERY} <> 0
+),
+hits AS (
+  SELECT cg.doc_id, count(*)::BIGINT n FROM cg JOIN bgrams USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(hits.n, 0)::BIGINT n_shared,
+       (coalesce(hits.n, 0) > 0)::BIGINT contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {CONTAM_BENCH_EVERY} <> 0) d
+LEFT JOIN hits ON hits.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _dedup_simhash_sql() -> str:
     """PARTIAL oracle for simhash banding (VERDICT r2 #8): the signature
     function is engine-defined (Jaccard-SQL equivalence is measured
@@ -1588,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_lang_id_scored": textstats.lang_id_scored,
         "ta_token_count": textstats.token_count,
         "ta_fingerprint": textstats.fingerprint,
+        "ta_contamination": textstats.contamination,
         # hashing-trick vectorizer: sparse (doc, bucket, tf) features
         "ta_feature_hash": textstats.feature_hash,
         # group-wise top-k: best docs per source by unique-token ratio
@@ -1694,6 +1744,7 @@ FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
+        "ta_contamination": _contamination_sql(),
         "ta_feature_hash": _feature_hash_sql(),
         # doc co-occurrence among the head vocabulary: same top-N selection
         # (df desc, term asc) and lexicographic pair order as the engine

@@ -399,6 +399,136 @@ def fingerprint(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# benchmark-contamination constants — mirrored in the SQL oracle. A wider
+# prime modulus than FP_MOD: hash-on-shingle matching is how contamination
+# checks run at scale, and 2^31-scale buckets keep the false-positive rate
+# (~n_bench_shingles / CONTAM_MOD per corpus shingle) negligible.
+CONTAM_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+CONTAM_BASE = 131
+CONTAM_WIDTH = 5
+CONTAM_BENCH_EVERY = 17  # doc_id % 17 == 0 → benchmark-set member
+
+
+class _ContamShingles:
+    """Per-worker shingle-hash stage: md5-mod-prime token hashes (same
+    machinery as Fingerprinter, wider modulus) rolled into CONTAM_WIDTH-token
+    window hashes via the exact Horner polynomial the SQL oracle recomputes."""
+
+    def __init__(self) -> None:
+        from engine.ops.dedup import _TokenHashes
+
+        self._th = _TokenHashes(
+            hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            % CONTAM_MOD,
+            dtype=np.int64,
+        )
+
+    def doc_grams(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """texts → (flat shingle hashes, shingles-per-doc int64)."""
+        from engine.ops.dedup import rolling_shingle_hashes
+
+        hs, dl = self._th.flat_hashes(texts)
+        return rolling_shingle_hashes(
+            hs, dl, width=CONTAM_WIDTH, base=CONTAM_BASE, mod=CONTAM_MOD
+        )
+
+
+class _BenchShingles(_ContamShingles):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, _ = self.doc_grams(batch["text"])
+        return pa.table({"g": pa.array(np.unique(grams), type=pa.int64())})
+
+
+class _ContamCounter(_ContamShingles):
+    """Counts, per corpus doc, its DISTINCT shingle hashes present in the
+    broadcast benchmark set — searchsorted membership + one packed-key
+    np.unique, no per-row Python."""
+
+    def __init__(self, bench_ref) -> None:
+        super().__init__()
+        import ray
+
+        self._bench = np.sort(ray.get(bench_ref))  # sorted int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, counts = self.doc_grams(batch["text"])
+        doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        n_shared = np.zeros(counts.size, dtype=np.int64)
+        if grams.size and self._bench.size:
+            pos = np.searchsorted(self._bench, grams)
+            pos[pos == self._bench.size] = 0  # safe gather; re-checked below
+            hit = self._bench[pos] == grams
+            if hit.any():
+                # distinct (doc, gram) pairs among hits: gram < CONTAM_MOD,
+                # so doc_idx * CONTAM_MOD + gram packs collision-free
+                packed = np.unique(doc_idx[hit] * CONTAM_MOD + grams[hit])
+                n_shared = np.bincount(
+                    (packed // CONTAM_MOD).astype(np.int64), minlength=counts.size
+                ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shared": pa.array(n_shared, type=pa.int64()),
+                "contaminated": pa.array(
+                    (n_shared > 0).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+
+def contamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark-contamination check (the train/eval-overlap gate every
+    LLM-training pipeline needs): flag corpus documents sharing any
+    CONTAM_WIDTH-token shingle hash with the benchmark set (here the
+    deterministic doc_id % CONTAM_BENCH_EVERY == 0 slice standing in for a
+    held-out eval suite).
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus by
+    construction (eval suites are fixed-size), so its distinct shingle
+    hashes are computed distributed, collected once, and broadcast via
+    ray.put; the corpus side is ONE shuffle-free map_batches scan doing
+    vectorized searchsorted membership. Matching is on the exact-arithmetic
+    rolling hash (SQL-reproducible), as production contamination checks do.
+    Columns: doc_id, n_shared, contaminated — every non-benchmark doc."""
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def split(bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % CONTAM_BENCH_EVERY == 0
+            return b.filter(pa.array(m if bench else ~m))
+
+        return fn
+
+    bench_grams = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_BenchShingles, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()["g"]
+        .to_numpy()
+    )
+    bench_ref = ray.put(np.unique(bench_grams))
+
+    out = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            _ContamCounter,
+            fn_constructor_args=(bench_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_shared": "int64", "contaminated": "int64"}
+    )
+
+
 class _TopQualityPartial:
     """Per-block partial for group-wise top-k: compute uniq-ratio quality
     inside the block (shared DocStats scan) and keep only each source's k

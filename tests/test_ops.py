@@ -1123,6 +1123,62 @@ def test_feature_hash_semantics(ray_session):
     assert all(got_totals.get(d, 0) == n for d, n in tok_counts.items())
 
 
+def test_contamination_vs_python_sets(ray_session, tmp_path):
+    """ta_contamination on a planted corpus: a doc copying a 5-token run
+    from a benchmark doc is flagged, a disjoint-vocab doc is clean, and on
+    the fixture corpus n_shared equals a per-doc Python set-intersection
+    recompute of the same rolling hashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from engine.ops.dedup import rolling_shingle_hashes
+    from engine.ops.textstats import (CONTAM_BASE, CONTAM_BENCH_EVERY,
+                                      CONTAM_MOD, CONTAM_WIDTH,
+                                      _ContamShingles, contamination)
+
+    # planted corpus: doc 0 (benchmark: 0 % 17 == 0) has a distinctive run;
+    # doc 1 copies 5 consecutive tokens of it; doc 2 shares nothing.
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    d = tmp_path / "plant"
+    d.mkdir()
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([
+                bench_text,
+                "xx beta gamma delta epsilon zeta yy",
+                "uno dos tres cuatro cinco seis siete ocho nueve",
+            ]),
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = contamination(str(d))
+    got = out.set_index("doc_id")
+    assert got.loc[1, "contaminated"] == 1 and got.loc[1, "n_shared"] == 1
+    assert got.loc[2, "contaminated"] == 0 and got.loc[2, "n_shared"] == 0
+
+    # fixture corpus: engine counts == Python set recompute
+    sf = "/root/testdata/sf0.001"
+    out = contamination(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    cs = _ContamShingles()
+
+    def gram_set(text):
+        g, _ = cs.doc_grams(pa.chunked_array([pa.array([text])]))
+        return set(g.tolist())
+
+    bench = set()
+    for r in docs.itertuples():
+        if r.doc_id % CONTAM_BENCH_EVERY == 0:
+            bench |= gram_set(r.text)
+    exp = {
+        int(r.doc_id): len(gram_set(r.text) & bench)
+        for r in docs.itertuples() if r.doc_id % CONTAM_BENCH_EVERY != 0
+    }
+    assert {int(k): int(v) for k, v in out.set_index("doc_id")["n_shared"].items()} == exp
+    assert (out["contaminated"] == (out["n_shared"] > 0).astype(np.int64)).all()
+
+
 def test_top_quality_per_source_partial_merge(ray_session):
     """Group-wise top-k: distributed partial-merge result equals a direct
     pandas window recomputation; every group has dense ranks 1..k."""
