@@ -1014,6 +1014,35 @@ FROM g ORDER BY doc_id
 """
 
 
+def _repetition_sql() -> str:
+    """ta_repetition oracle: token-level n-gram repetition recomputed from
+    string n-grams (the engine's packed dictionary codes are exact, so the
+    two can only agree). Integer // division mirrors the engine."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+bigs AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) bg
+  FROM t
+),
+bc AS (SELECT doc_id, bg, count(*)::BIGINT c FROM bigs GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c) mx, sum(c) n FROM bc GROUP BY 1),
+tris AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) tg
+  FROM t
+),
+tc AS (SELECT doc_id, tg, count(*)::BIGINT c FROM tris GROUP BY 1, 2),
+tstat AS (SELECT doc_id, sum(c) n, count(*)::BIGINT nd FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(bstat.mx * 1000000 // bstat.n, 0)::BIGINT top_bigram_frac_micro,
+       coalesce((tstat.n - tstat.nd) * 1000000 // tstat.n, 0)::BIGINT dup_trigram_frac_micro
+FROM documents d
+LEFT JOIN bstat ON bstat.doc_id = d.doc_id
+LEFT JOIN tstat ON tstat.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _contamination_sql() -> str:
     """ta_contamination oracle: the SAME md5-mod-prime token hash and
     CONTAM_WIDTH-token Horner rolling polynomial as engine/ops/textstats's
@@ -1638,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_token_count": textstats.token_count,
         "ta_fingerprint": textstats.fingerprint,
         "ta_contamination": textstats.contamination,
+        "ta_repetition": textstats.repetition,
         # hashing-trick vectorizer: sparse (doc, bucket, tf) features
         "ta_feature_hash": textstats.feature_hash,
         # group-wise top-k: best docs per source by unique-token ratio
@@ -1745,6 +1775,7 @@ FROM s ORDER BY doc_id
         "ta_token_count": _token_count_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_contamination": _contamination_sql(),
+        "ta_repetition": _repetition_sql(),
         "ta_feature_hash": _feature_hash_sql(),
         # doc co-occurrence among the head vocabulary: same top-N selection
         # (df desc, term asc) and lexicographic pair order as the engine

@@ -399,6 +399,89 @@ def fingerprint(sf_dir: str) -> pd.DataFrame:
     )
 
 
+class _RepetitionStats:
+    """Per-worker Gopher-style repetition signals: token-level top-bigram
+    fraction and duplicate-trigram fraction, micro-fixed integer division so
+    the SQL oracle is bit-exact. EXACT n-gram identity (per-batch dictionary
+    codes packed into one int64 key — no hashing, so no collisions and no
+    drift from SQL's string n-grams); one lexsort per batch, no per-row
+    Python."""
+
+    def __init__(self) -> None:
+        from engine.text.analyzer import Analyzer
+
+        self.an = Analyzer()
+
+    @staticmethod
+    def _per_doc(idx: np.ndarray, doc: np.ndarray, dl64: np.ndarray, V: int, n: int):
+        """(max n-gram count, distinct n-grams) per doc for n-grams that
+        never cross doc boundaries. V^n must fit int64 — V is the BATCH
+        vocab (≤ tokens per batch), so V^3 < 2^63 for any sane batch."""
+        n_docs = dl64.size
+        mx = np.zeros(n_docs, dtype=np.int64)
+        nd = np.zeros(n_docs, dtype=np.int64)
+        if idx.size < n:
+            return mx, nd
+        key = idx[: idx.size - n + 1].astype(np.int64).copy()
+        ok = doc[: idx.size - n + 1] == doc[n - 1:]
+        for j in range(1, n):
+            key = key * V + idx[j: idx.size - n + 1 + j]
+        key = key[ok]
+        dg = doc[: doc.size - n + 1][ok]
+        if key.size == 0:
+            return mx, nd
+        order = np.lexsort((key, dg))
+        key, dg = key[order], dg[order]
+        new = np.empty(key.size, dtype=bool)
+        new[0] = True
+        new[1:] = (key[1:] != key[:-1]) | (dg[1:] != dg[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, key.size))
+        run_doc = dg[starts]
+        np.maximum.at(mx, run_doc, counts)
+        nd += np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        return mx, nd
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, dl = self.an.tokenize_arrow(batch["text"])
+        dl64 = dl.astype(np.int64)
+        enc = pc.dictionary_encode(flat)
+        V = len(enc.dictionary)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(dl64.size, dtype=np.int64), dl64)
+        b_mx, _ = self._per_doc(idx, doc, dl64, V, 2)
+        _, t_nd = self._per_doc(idx, doc, dl64, V, 3)
+        n_big = np.maximum(dl64 - 1, 0)
+        n_tri = np.maximum(dl64 - 2, 0)
+        top_big = np.where(n_big > 0, b_mx * 1_000_000 // np.maximum(n_big, 1), 0)
+        dup_tri = np.where(n_tri > 0, (n_tri - t_nd) * 1_000_000 // np.maximum(n_tri, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "top_bigram_frac_micro": pa.array(top_big, type=pa.int64()),
+                "dup_trigram_frac_micro": pa.array(dup_tri, type=pa.int64()),
+            }
+        )
+
+
+def repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021's repetition
+    signals, token-level): per doc, the fraction of bigram slots taken by
+    the single most frequent bigram, and the fraction of trigram slots
+    that are repeats of an earlier trigram. ONE shuffle-free map_batches
+    scan. Columns: doc_id, top_bigram_frac_micro, dup_trigram_frac_micro."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        _RepetitionStats, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 # benchmark-contamination constants — mirrored in the SQL oracle. A wider
 # prime modulus than FP_MOD: hash-on-shingle matching is how contamination
 # checks run at scale, and 2^31-scale buckets keep the false-positive rate

@@ -1179,6 +1179,58 @@ def test_contamination_vs_python_sets(ray_session, tmp_path):
     assert (out["contaminated"] == (out["n_shared"] > 0).astype(np.int64)).all()
 
 
+def test_repetition_vs_python_counts(ray_session, tmp_path):
+    """ta_repetition: planted edge docs (pure repetition → 1.0 fractions,
+    all-distinct → 0, short/empty docs → 0) plus a per-doc Python Counter
+    recount over the fixture corpus."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from engine.ops.textstats import repetition
+    from engine.text.analyzer import Analyzer
+
+    d = tmp_path / "rep"
+    d.mkdir()
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([
+                "spam spam spam spam spam",      # all bigrams/trigrams equal
+                "one two three four five six",   # all distinct
+                "hi",                            # no bigrams
+                "",                              # empty
+                "a b a b a b",                   # alternating
+            ]),
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = repetition(str(d)).set_index("doc_id")
+    assert out.loc[0, "top_bigram_frac_micro"] == 1_000_000
+    assert out.loc[0, "dup_trigram_frac_micro"] == (3 - 1) * 1_000_000 // 3
+    assert out.loc[1, "top_bigram_frac_micro"] == 1_000_000 // 5
+    assert out.loc[1, "dup_trigram_frac_micro"] == 0
+    assert (out.loc[2] == 0).all() and (out.loc[3] == 0).all()
+    # "a b a b a b": bigram 'a b' x3 of 5; trigrams 'a b a' x2,'b a b' x2 → dup 2/4
+    assert out.loc[4, "top_bigram_frac_micro"] == 3 * 1_000_000 // 5
+    assert out.loc[4, "dup_trigram_frac_micro"] == 2 * 1_000_000 // 4
+
+    sf = "/root/testdata/sf0.001"
+    got = repetition(sf).set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    for r in docs.itertuples():
+        toks = an.tokens(r.text)
+        bigs = Counter(zip(toks, toks[1:]))
+        tris = Counter(zip(toks, toks[1:], toks[2:]))
+        nb, nt = max(len(toks) - 1, 0), max(len(toks) - 2, 0)
+        exp_b = max(bigs.values()) * 1_000_000 // nb if nb else 0
+        exp_t = (nt - len(tris)) * 1_000_000 // nt if nt else 0
+        assert got.loc[r.doc_id, "top_bigram_frac_micro"] == exp_b, r.doc_id
+        assert got.loc[r.doc_id, "dup_trigram_frac_micro"] == exp_t, r.doc_id
+
+
 def test_top_quality_per_source_partial_merge(ray_session):
     """Group-wise top-k: distributed partial-merge result equals a direct
     pandas window recomputation; every group has dense ranks 1..k."""
