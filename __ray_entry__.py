@@ -1286,6 +1286,48 @@ def _phrase_queries_values() -> str:
     return f"(VALUES {rows})"
 
 
+def _significant_terms_sql(top_n: int) -> str:
+    """ft_significant_terms oracle: OR match set per query, per-term
+    foreground df within it, background df from the corpus, integer lift
+    score fg_df * n_docs * SCALE // (bg_df * n_fg)."""
+    from engine.pipelines import SIGTERMS_SCALE
+
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+matched AS (
+  SELECT DISTINCT qt.qid, tok.doc_id
+  FROM qterm qt JOIN tok ON tok.term = qt.term
+),
+nfg AS (SELECT qid, count(*)::BIGINT n FROM matched GROUP BY 1),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+fg AS (
+  SELECT m.qid, dt.term, count(*)::BIGINT fg_df
+  FROM matched m JOIN dterm dt ON dt.doc_id = m.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT fg.qid, fg.term, fg.fg_df, df.df bg_df,
+         fg.fg_df * s.n_docs * {SIGTERMS_SCALE} // (df.df * nfg.n) score_micro
+  FROM fg
+  JOIN df ON df.term = fg.term
+  JOIN nfg ON nfg.qid = fg.qid
+  CROSS JOIN stats s
+)
+SELECT qid, rank, term, fg_df, bg_df, score_micro FROM (
+  SELECT qid, term, fg_df, bg_df, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, term ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {top_n}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_proximity_sql(k: int) -> str:
     """Proximity (slop) oracle: both terms within slop tokens of each other
     (either order) — min |pos_a - pos_b| <= slop + 1 over 1-based positions
@@ -1570,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
         "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
+        "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         # Lucene-style +must/-not/should clause retrieval
         "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
         # facet counts over each query's FULL match set (match-stream →
@@ -1711,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
+        "ft_significant_terms": _significant_terms_sql(5),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),

@@ -959,6 +959,121 @@ def ft_hit_count(sf_dir: str) -> pd.DataFrame:
     return out.astype({"qid": "int64", "n_matches": "int64", "n_sources": "int64"})
 
 
+SIGTERMS_SCALE = 1_000_000
+
+
+def ft_significant_terms(sf_dir: str, top_n: int = 5) -> pd.DataFrame:
+    """Significant-terms aggregation (the Elasticsearch ``significant_terms``
+    shape): per query, the terms most over-represented in the FULL match set
+    relative to the whole corpus, scored by an integer lift surrogate
+    ``fg_df * n_docs * SCALE // (bg_df * n_fg)`` (foreground rate / background
+    rate, one integer division — bit-reproducible in SQL).
+
+    Scale shape: the match set is never collected — MatchServer streams
+    (qid, doc_key); ONE materialize lets it feed both legs without
+    re-running the query stage ((qid, doc_key) int rows: object-store
+    sized, spillable). Leg A: keyed hash join to distinct (doc, term) rows
+    (token-level corpus side — linear, no broadcast) → per-batch (qid,
+    term) partials → ONE small groupby-sum = fg_df. Leg B: per-batch qid
+    counts → n_fg. bg_df comes from the vocab-sized term_stats artifact
+    (dictionary, not corpus). Columns: qid, rank, term, fg_df, bg_df,
+    score_micro."""
+    import pyarrow.parquet as pqt
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.index.build import ensure_term_stats
+    from engine.query.engine import MatchServer
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    n_docs = int(Manifest(idx).stats["n_docs"])
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).materialize()
+
+    # leg B: match-set sizes (per-batch partials → tiny frame)
+    def qid_counts(b: pa.Table) -> pa.Table:
+        q = b["qid"].to_numpy()
+        u, c = np.unique(q, return_counts=True)
+        return pa.table({"qid": pa.array(u, type=pa.int64()),
+                         "n": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    n_fg = (
+        matches.map_batches(qid_counts, batch_format="pyarrow")
+        .groupby("qid").aggregate(Sum("n", alias_name="n")).to_pandas()
+        .set_index("qid")["n"]
+    )
+
+    # leg A: distinct (doc, term) rows — vectorized dictionary-code distinct
+    an = Analyzer()
+
+    def doc_terms(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, dl = an.tokenize_arrow(b["text"])
+        enc = pc.dictionary_encode(flat)
+        idx_ = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(dl.size, dtype=np.int64), dl.astype(np.int64))
+        if idx_.size == 0:
+            return pa.table({"doc_key": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        packed = np.unique(doc * len(enc.dictionary) + idx_)
+        d_i = packed // len(enc.dictionary)
+        t_i = packed % len(enc.dictionary)
+        ids = b["doc_id"].to_numpy()
+        return pa.table({
+            "doc_key": pa.array(ids[d_i], type=pa.int64()),
+            "term": pc.take(enc.dictionary, pa.array(t_i)),
+        })
+
+    dterm = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(doc_terms, batch_format="pyarrow", zero_copy_batch=True)
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        dterm, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial_fg(b: pa.Table) -> pa.Table:
+        df = (b.select(["qid", "term"]).to_pandas()
+              .groupby(["qid", "term"], as_index=False).size())
+        return pa.table({"qid": df["qid"].astype("int64"),
+                         "term": df["term"].astype(str),
+                         "n": df["size"].astype("int64")})
+
+    fg = (
+        joined.map_batches(partial_fg, batch_format="pyarrow")
+        .groupby(["qid", "term"])
+        .aggregate(Sum("n", alias_name="fg_df"))
+        .to_pandas()
+    )
+
+    bg = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    out = fg.merge(bg.rename(columns={"df": "bg_df"}), on="term", how="inner")
+    nfg_arr = out["qid"].map(n_fg).to_numpy(dtype=np.int64)
+    out["score_micro"] = (
+        out["fg_df"].to_numpy(dtype=np.int64) * n_docs * SIGTERMS_SCALE
+        // (out["bg_df"].to_numpy(dtype=np.int64) * nfg_arr)
+    )
+    out = out.sort_values(["qid", "score_micro", "term"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= top_n]
+    out = out[["qid", "rank", "term", "fg_df", "bg_df", "score_micro"]]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({"qid": "int64", "rank": "int64", "fg_df": "int64",
+                       "bg_df": "int64", "score_micro": "int64"})
+
+
 def ft_match_stats(sf_dir: str) -> pd.DataFrame:
     """Numeric stats aggregation over full match sets (the Elasticsearch
     ``stats`` agg): per DOC_QUERY, count / sum / min / max of n_chars across

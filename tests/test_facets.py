@@ -612,6 +612,51 @@ def test_tr_bm25_boosted_vs_oracle(ray_session):
         out[["qid", "doc_key"]].reset_index(drop=True))
 
 
+def test_ft_significant_terms_vs_python(ray_session):
+    """Significant-terms at sf0.001 vs a full Python recompute: OR match
+    sets, per-term foreground df, integer lift score, (score desc, term asc)
+    top-n — and the no-such-term query yields no rows."""
+    import pandas as pd
+
+    from engine.pipelines import (DOC_QUERIES, SIGTERMS_SCALE,
+                                  ft_significant_terms)
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    top_n = 5
+    out = ft_significant_terms(sf, top_n=top_n)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    n_docs = len(docs)
+    bg = {}
+    for ts in tok.values():
+        for t in ts:
+            bg[t] = bg.get(t, 0) + 1
+    rows = []
+    for qid, qtext in DOC_QUERIES:
+        qterms = set(an.tokens(qtext))
+        matched = [d for d, ts in tok.items() if ts & qterms]
+        if not matched:
+            continue
+        fg = {}
+        for d in matched:
+            for t in tok[d]:
+                fg[t] = fg.get(t, 0) + 1
+        scored = sorted(
+            ((f * n_docs * SIGTERMS_SCALE // (bg[t] * len(matched)), t, f)
+             for t, f in fg.items()),
+            key=lambda x: (-x[0], x[1]))[:top_n]
+        for r, (s, t, f) in enumerate(scored, 1):
+            rows.append({"qid": qid, "rank": r, "term": t, "fg_df": f,
+                         "bg_df": bg[t], "score_micro": s})
+    exp = pd.DataFrame(rows).astype(
+        {"qid": "int64", "rank": "int64", "fg_df": "int64", "bg_df": "int64",
+         "score_micro": "int64"})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    assert 7 not in set(out["qid"])  # zzz nosuchterm: empty match set
+
+
 def test_tr_bm25_collapse_vs_oracle(ray_session):
     """Field collapsing vs a pandas recompute over BM25Oracle scores: one
     hit per conversation (the best turn, score desc / doc_key asc), convs
