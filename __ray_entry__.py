@@ -508,6 +508,61 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_regexp_sql(k: int, max_expand: int = 5) -> str:
+    """Regexp oracle: /pattern/ tokens expand to their max_expand highest-df
+    FULL-match vocabulary terms (regexp_full_match — same subset Python
+    re.fullmatch evaluates identically), literals pass through; the union
+    scores as standard BM25."""
+    from engine.pipelines import REGEX_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}')" for q, t in REGEX_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS (VALUES {rows}),
+rawtok AS (
+  SELECT qid::BIGINT qid, unnest(regexp_split_to_array(qtext, ' ')) tok FROM q
+),
+lit AS (SELECT qid, tok term FROM rawtok WHERE tok NOT LIKE '/%/'),
+pat AS (
+  SELECT qid, substr(tok, 2, len(tok) - 2) p FROM rawtok
+  WHERE tok LIKE '/%/' AND len(tok) >= 2
+),
+expand AS (
+  SELECT qid, term FROM (
+    SELECT pat.qid, df.term,
+           row_number() OVER (PARTITION BY pat.qid, pat.p
+                              ORDER BY df.df DESC, df.term ASC) r
+    FROM pat JOIN df ON regexp_full_match(df.term, pat.p)
+  ) WHERE r <= {max_expand}
+),
+qterm AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT * FROM lit UNION ALL SELECT * FROM expand
+  )
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_fuzzy_sql(k: int, max_expand: int = 5) -> str:
     """Fuzzy oracle: trailing-~ tokens expand to their max_expand highest-df
     vocabulary terms within Levenshtein distance 1 (df desc, term asc),
@@ -1640,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_wildcard": lambda sf: P.ft_bm25_wildcard(sf, k=10),
         # fuzzy retrieval: term~ expands to edit-distance-1 vocab terms
         "ft_bm25_fuzzy": lambda sf: P.ft_bm25_fuzzy(sf, k=10),
+        "ft_bm25_regexp": lambda sf: P.ft_bm25_regexp(sf, k=10),
         # deep pagination: page 2 via a (score, key) search_after cursor
         "ft_bm25_search_after": lambda sf: P.ft_bm25_search_after(sf, k=10),
         # synonym-class query expansion (SynonymQuery-as-disjunction)
@@ -1767,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),
         "ft_bm25_wildcard": _bm25_wildcard_sql(10),
         "ft_bm25_fuzzy": _bm25_fuzzy_sql(10),
+        "ft_bm25_regexp": _bm25_regexp_sql(10),
         "ft_bm25_search_after": _bm25_search_after_sql(10),
         "ft_bm25_synonyms": _bm25_synonyms_sql(10),
         "ft_more_like_this": _mlt_sql(10),

@@ -376,6 +376,52 @@ def ft_bm25_wildcard(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> 
     return _run_doc_queries(sf_dir, items, k)
 
 
+# regexp query set: /pattern/ tokens expand against the term dictionary by
+# FULL match. Patterns stay within the class/alternation/quantifier subset
+# that Python re and DuckDB RE2 agree on (no lookaround, no backrefs) —
+# mirrored in the oracle SQL. Edge coverage: dot class, alternation,
+# char class, .* tail, a no-match pattern.
+REGEX_QUERIES: list[tuple[int, str]] = [
+    (0, "/jo.n/ batch"),
+    (1, "/s(low|can)/"),
+    (2, "/[bh]atch/ merge"),
+    (3, "/qu.*/ vector"),
+    (4, "/nomatch[0-9]+/ key"),
+]
+
+
+def ft_bm25_regexp(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.DataFrame:
+    """Regexp retrieval (Lucene/ES ``regexp`` query): ``/pattern/`` tokens
+    expand against the vocab-sized term_stats artifact to their
+    ``max_expand`` highest-df FULL-match terms (df desc, term asc — the same
+    top-terms rewrite as wildcard), and the expanded disjunction scores as
+    plain BM25. Expansion never touches postings. Columns: qid, rank,
+    doc_id, score_micro."""
+    import re as _re
+
+    import pyarrow.parquet as pqt
+
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_index(sf_dir)
+    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    items = []
+    for qid, qtext in REGEX_QUERIES:
+        terms: list[str] = []
+        for tok in qtext.split():
+            if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+                pat = _re.compile(tok[1:-1])
+                hit = stats[[bool(pat.fullmatch(t)) for t in stats["term"]]]
+                hit = hit.sort_values(["df", "term"], ascending=[False, True],
+                                      kind="stable").head(max_expand)
+                terms.extend(hit["term"])
+            else:
+                terms.append(tok)
+        items.append({"qid": qid, "text": " ".join(terms)})
+    return _run_doc_queries(sf_dir, items, k)
+
+
 # fuzzy query set: trailing ``~`` marks a term for edit-distance-1 expansion
 # (Lucene ``term~1``). Mirrored in the oracle SQL (DuckDB levenshtein).
 # Edge coverage: multi-expansion (qid 2: "low" → row+slow), two fuzzy terms

@@ -549,6 +549,52 @@ def test_ft_bm25_wildcard_expansion_semantics(ray_session):
     assert set(out[out["qid"] == 4]["doc_id"]) == set(exp[exp["qid"] == 4]["doc_id"])
 
 
+def test_ft_bm25_regexp_expansion_semantics(ray_session):
+    """Regexp expansion at sf0.001: expected = BM25Oracle over the query
+    with each /pattern/ token replaced by its top-df FULL-match vocabulary
+    terms (df desc, term asc, capped), recomputed from the corpus."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import MAX_EXPAND, REGEX_QUERIES, ft_bm25_regexp
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    out = ft_bm25_regexp(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    oracle = BM25Oracle(docs["doc_id"].tolist(), docs["text"].tolist())
+    an = Analyzer()
+    df = Counter()
+    for text in docs["text"]:
+        df.update(set(an.tokens(text)))
+    rows = []
+    for qid, qtext in REGEX_QUERIES:
+        terms = []
+        for tok in qtext.split():
+            if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+                pat = re.compile(tok[1:-1])
+                hits = sorted((t for t in df if pat.fullmatch(t)),
+                              key=lambda t: (-df[t], t))[:MAX_EXPAND]
+                terms.extend(hits)
+            else:
+                terms.append(tok)
+        dk, sc = oracle.topk(" ".join(terms) if terms else "", k)
+        micro = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((dk, -micro))
+        for r, i in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": r, "doc_id": int(dk[i]),
+                         "score_micro": int(micro[i])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    # alternation actually expanded to >1 term: qid 1 (/s(low|can)/) must
+    # rank docs containing either slow or scan
+    assert len(out[out["qid"] == 1]) == k
+
+
 def test_tr_match_histogram_vs_pandas(ray_session):
     """Daily match histogram vs a pandas recomputation over the same
     materialized transcript corpus (match = shares ≥1 analyzer term)."""
