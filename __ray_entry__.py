@@ -1581,6 +1581,66 @@ ORDER BY r.qid, r.rank
 """
 
 
+def _tr_bm25_recency_sql(k: int) -> str:
+    """Oracle for tr_bm25_recency: BM25 micro scores scaled by the linear
+    integer ppm recency weight (age in whole hours below the corpus max ts,
+    clamped at the floor) — identical integer arithmetic to the engine."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import (RECENCY_DECAY_PPM_PER_HOUR,
+                                  RECENCY_FLOOR_PPM, tr_oracle_corpus_path)
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, text, epoch_us(ts) ts_us FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl,
+         (SELECT max(ts_us) FROM src)::BIGINT ts_max
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT raw_micro
+  FROM contrib GROUP BY 1, 2
+),
+decayed AS (
+  SELECT sc.qid, sc.doc_key,
+         sc.raw_micro * greatest(
+           1000000 - ((s.ts_max - src.ts_us) // 3600000000) * {RECENCY_DECAY_PPM_PER_HOUR},
+           {RECENCY_FLOOR_PPM}
+         ) // 1000000 score_micro
+  FROM scored sc
+  JOIN src ON src.doc_key = sc.doc_key
+  CROSS JOIN stats s
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM decayed
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_bm25_collapse_sql(k: int) -> str:
     """Oracle for tr_bm25_collapse: BM25 over the materialized transcript
     parquet, collapsed to the best turn per (qid, conv_id) — rn=1 under
@@ -1726,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # role-boosted ranking: scored match stream × corpus role join
         "tr_bm25_boosted": lambda sf: P.tr_bm25_boosted(sf, k=10),
         "tr_bm25_collapse": lambda sf: P.tr_bm25_collapse(sf, k=10),
+        "tr_bm25_recency": lambda sf: P.tr_bm25_recency(sf, k=10),
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
         "tr_bm25_incremental": lambda sf: P.tr_bm25_incremental(sf, k=10),
@@ -1838,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
         "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
+        "tr_bm25_recency": _tr_bm25_recency_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),
         "ft_term_stats": f"""

@@ -1915,6 +1915,83 @@ def tr_bm25_collapse(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+# recency-decay constants — mirrored in the oracle SQL. Linear ppm decay
+# per hour of age below the corpus max ts, clamped at a floor: the corpus
+# spans ~400h, so weights vary 0.5..1.0 with the clamp exercised.
+RECENCY_DECAY_PPM_PER_HOUR = 2_000
+RECENCY_FLOOR_PPM = 500_000
+
+
+def tr_bm25_recency(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Recency-boosted retrieval (the ES function_score / rescore shape
+    with a linear decay): each turn's BM25 score is scaled by an integer
+    ppm weight that decays with the turn's age relative to the corpus's
+    newest timestamp, clamped at a floor — all-integer arithmetic so the
+    SQL oracle is bit-exact.
+
+    Scale shape: scored match stream (ScoredMatchServer, micro-int scores —
+    never collected) ⋈ keyed ts join (corpus-sized side: no broadcast);
+    the decay is one vectorized integer multiply-divide; per-block partial
+    top-k + tiny driver merge. ts_max is ONE tiny column aggregate.
+    Columns: qid, rank, doc_key, score_micro."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import ScoredMatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+
+    def to_epoch(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_key": b["doc_key"],
+            "ts_us": b["ts"].cast(pa.int64()),
+        })
+
+    ts_ds = rd.read_parquet(path, columns=["doc_key", "ts"]).map_batches(
+        to_epoch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ts_max = int(ts_ds.max("ts_us"))
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        ts_ds, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def decay_topk(df: pd.DataFrame) -> pd.DataFrame:
+        age_h = (ts_max - df["ts_us"].to_numpy(dtype=np.int64)) // 3_600_000_000
+        w = np.maximum(1_000_000 - age_h * RECENCY_DECAY_PPM_PER_HOUR,
+                       RECENCY_FLOOR_PPM)
+        df = df.assign(
+            score_micro=df["score"].to_numpy(dtype=np.int64) * w // 1_000_000
+        )
+        df = df.sort_values(["qid", "score_micro", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)[["qid", "doc_key", "score_micro"]]
+
+    out = (
+        joined.map_batches(decay_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score_micro", "doc_key"],
+                     ascending=[True, False, True], kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    return out[["qid", "rank", "doc_key", "score_micro"]].astype("int64")
+
+
 def tr_conv_stats(sf_dir: str) -> pd.DataFrame:
     """Conversation-level rollup: per conv_id — turn count, tool-turn
     count, first/last timestamp (epoch µs) and duration, total text chars.

@@ -747,6 +747,45 @@ def test_tr_bm25_collapse_vs_oracle(ray_session):
     assert (flat.groupby(["qid", "conv_id"]).size() > 1).any()
 
 
+def test_tr_bm25_recency_vs_oracle(ray_session):
+    """Recency decay vs BM25Oracle × integer ppm weight recompute, and the
+    decay actually reorders at least one query's ranking."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+    from engine.pipelines import (RECENCY_DECAY_PPM_PER_HOUR,
+                                  RECENCY_FLOOR_PPM, tr_bm25_recency,
+                                  tr_oracle_corpus_path)
+
+    k = 10
+    out = tr_bm25_recency("/root/testdata/sf0.001", k=k)
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    oracle = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    ts_us = src.set_index("doc_key")["ts"].astype("int64")
+    ts_max = int(ts_us.max())
+    age_h = (ts_max - ts_us.loc[oracle.doc_keys].to_numpy()) // 3_600_000_000
+    w = np.maximum(1_000_000 - age_h * RECENCY_DECAY_PPM_PER_HOUR,
+                   RECENCY_FLOOR_PPM)
+    assert w.min() == RECENCY_FLOOR_PPM and w.max() > RECENCY_FLOOR_PPM
+    rows = []
+    for qid, qtext in seeded_query_set(20, seed=7):
+        s = oracle.score_query(qtext)
+        raw = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        micro = raw * w // 1_000_000
+        nz = np.nonzero(s)[0]
+        order = nz[np.lexsort((oracle.doc_keys[nz], -micro[nz]))][:k]
+        for r, i in enumerate(order, 1):
+            rows.append({"qid": qid, "rank": r, "doc_key": int(oracle.doc_keys[i]),
+                         "score_micro": int(micro[i])})
+    exp = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    flat = pd.concat([
+        pd.DataFrame({"qid": qid, "doc_key": oracle.topk(t, k)[0]})
+        for qid, t in seeded_query_set(20, seed=7)
+    ]).reset_index(drop=True)
+    assert not flat.equals(out[["qid", "doc_key"]].reset_index(drop=True))
+
+
 def test_ft_bm25_search_after_equals_top2k(ray_session):
     """Cursor-walk identity: page1 ∪ page2 (search_after) must equal the
     single-shot top-2k, rank for rank."""
