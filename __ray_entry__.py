@@ -1341,6 +1341,46 @@ def _phrase_queries_values() -> str:
     return f"(VALUES {rows})"
 
 
+def _match_percentiles_sql() -> str:
+    """ft_match_percentiles oracle: per-query inverted-CDF percentiles of
+    n_chars over the OR match set (window cumsum per qid — the per-group
+    version of the ta_dl_quantiles definition)."""
+    from engine.pipelines import MATCH_PCTS
+
+    pcts = ", ".join(f"({p})" for p in MATCH_PCTS)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+matched AS (
+  SELECT DISTINCT qt.qid, tok.doc_id
+  FROM qterm qt JOIN tok ON tok.term = qt.term
+),
+mv AS (
+  SELECT m.qid, d.n_chars::BIGINT n_chars
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+),
+h AS (SELECT qid, n_chars, count(*)::BIGINT n FROM mv GROUP BY 1, 2),
+c AS (SELECT qid, n_chars, n,
+             sum(n) OVER (PARTITION BY qid ORDER BY n_chars)::BIGINT cum
+      FROM h),
+tot AS (SELECT qid, count(*)::BIGINT n FROM mv GROUP BY 1),
+p(pct) AS (VALUES {pcts}),
+sel AS (
+  SELECT c.qid, p.pct, c.n_chars, c.cum,
+         row_number() OVER (PARTITION BY c.qid, p.pct ORDER BY c.n_chars) r
+  FROM p CROSS JOIN tot JOIN c ON c.qid = tot.qid
+   AND c.cum >= (p.pct * tot.n + 99) // 100
+)
+SELECT qid, pct::BIGINT pct, n_chars, cum n_le FROM sel WHERE r = 1
+ORDER BY qid, pct
+"""
+
+
 def _significant_terms_sql(top_n: int) -> str:
     """ft_significant_terms oracle: OR match set per query, per-term
     foreground df within it, background df from the corpus, integer lift
@@ -1728,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
+        "ft_match_percentiles": P.ft_match_percentiles,
         # Lucene-style +must/-not/should clause retrieval
         "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
         # facet counts over each query's FULL match set (match-stream →
@@ -1872,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
+        "ft_match_percentiles": _match_percentiles_sql(),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),

@@ -1187,6 +1187,81 @@ def ft_match_stats(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: "int64" for c in out.columns})
 
 
+MATCH_PCTS = (25, 50, 75, 90)  # mirrored in the oracle SQL
+
+
+def ft_match_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Percentiles aggregation over FULL match sets (the Elasticsearch
+    ``percentiles`` agg) — EXACT, no t-digest sketch error: per query, the
+    pct-th percentile of n_chars over every matching doc, where the
+    percentile is the smallest value whose cumulative count reaches
+    ceil(pct/100 · N) (inverted CDF — the same definition ta_dl_quantiles
+    proves corpus-wide, here per group).
+
+    Scale shape: match stream (never collected) ⋈ keyed n_chars join (no
+    broadcast) → per-batch (qid, value) histogram partials (≤ distinct
+    values per block) → ONE small (qid, value) groupby-sum → the driver
+    walks each query's tiny histogram. Columns: qid, pct, n_chars,
+    n_le."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        q = b["qid"].to_numpy()
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        packed = np.unique(q * (1 << 32) + v, return_counts=True)
+        return pa.table({
+            "qid": pa.array(packed[0] >> 32, type=pa.int64()),
+            "n_chars": pa.array(packed[0] & ((1 << 32) - 1), type=pa.int64()),
+            "n": pa.array(packed[1].astype(np.int64), type=pa.int64()),
+        })
+
+    hist = (
+        joined.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby(["qid", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["qid", "n_chars"])
+    )
+    rows = []
+    for qid, g in hist.groupby("qid"):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["n_chars"].to_numpy()
+        for p in MATCH_PCTS:
+            need = -(-p * total // 100)
+            i = int(np.searchsorted(cum, need))
+            rows.append({"qid": int(qid), "pct": p, "n_chars": int(vals[i]),
+                         "n_le": int(cum[i])})
+    return pd.DataFrame(rows).astype("int64").sort_values(
+        ["qid", "pct"]).reset_index(drop=True)
+
+
 def ft_bm25_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Boolean structured retrieval (engine/query/boolean.py): +must / -not /
     should clause queries, BM25-scored over every matching positive term,

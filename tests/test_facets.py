@@ -868,3 +868,37 @@ def test_tr_conv_stats_vs_pandas(ray_session):
                "duration_us", "sum_chars"]].sort_values("conv_id").reset_index(drop=True)
     exp = exp.astype({c: "int64" for c in exp.columns if c != "conv_id"})
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_ft_match_percentiles_vs_pandas(ray_session):
+    """Percentiles agg over match sets at sf0.001 vs a pandas/np
+    recomputation of the inverted-CDF definition (smallest value whose
+    cumulative count reaches ceil(pct/100 * N))."""
+    import pandas as pd
+
+    from engine.pipelines import DOC_QUERIES, MATCH_PCTS, ft_match_percentiles
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_match_percentiles(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    nchars = docs.set_index("doc_id")["n_chars"]
+    rows = []
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        matched = [d for d, ts in tok.items() if ts & terms]
+        if not matched:
+            continue
+        v = np.sort(nchars.loc[matched].to_numpy().astype(np.int64))
+        for p in MATCH_PCTS:
+            need = -(-p * v.size // 100)  # ceil
+            val = int(v[need - 1])
+            rows.append({"qid": qid, "pct": p, "n_chars": val,
+                         "n_le": int(np.searchsorted(v, val, side="right"))})
+    exp = (
+        pd.DataFrame(rows).astype("int64")
+        .sort_values(["qid", "pct"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
