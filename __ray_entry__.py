@@ -1381,6 +1381,54 @@ ORDER BY qid, pct
 """
 
 
+def _cardinality_sql() -> str:
+    """ft_cardinality oracle: per-query exact distinct counts of each facet
+    attribute over the OR match set, melted to (qid, facet, n_distinct)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+matched AS (
+  SELECT DISTINCT qt.qid, tok.doc_id
+  FROM qterm qt JOIN tok ON tok.term = qt.term
+),
+mv AS (
+  SELECT m.qid, d.source, d.lang
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT qid, 'lang' facet, count(DISTINCT lang)::BIGINT n_distinct FROM mv GROUP BY qid
+UNION ALL
+SELECT qid, 'source' facet, count(DISTINCT source)::BIGINT n_distinct FROM mv GROUP BY qid
+ORDER BY qid, facet
+"""
+
+
+def _adjacency_sql() -> str:
+    """ft_adjacency oracle: pairwise OR-match-set intersection sizes
+    (qid_a <= qid_b; the diagonal is each query's own match count)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+matched AS (
+  SELECT DISTINCT qt.qid, tok.doc_id
+  FROM qterm qt JOIN tok ON tok.term = qt.term
+)
+SELECT a.qid qid_a, b.qid qid_b, count(*)::BIGINT n_both
+FROM matched a JOIN matched b ON a.doc_id = b.doc_id AND a.qid <= b.qid
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _significant_terms_sql(top_n: int) -> str:
     """ft_significant_terms oracle: OR match set per query, per-term
     foreground df within it, background df from the corpus, integer lift
@@ -1769,6 +1817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
+        "ft_cardinality": P.ft_cardinality,
+        "ft_adjacency": P.ft_adjacency,
         # Lucene-style +must/-not/should clause retrieval
         "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
         # facet counts over each query's FULL match set (match-stream →
@@ -1914,6 +1964,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),
+        "ft_cardinality": _cardinality_sql(),
+        "ft_adjacency": _adjacency_sql(),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),

@@ -1262,6 +1262,131 @@ def ft_match_percentiles(sf_dir: str) -> pd.DataFrame:
         ["qid", "pct"]).reset_index(drop=True)
 
 
+def ft_cardinality(
+    sf_dir: str, facets: tuple[str, ...] = ("source", "lang")
+) -> pd.DataFrame:
+    """Cardinality aggregation over FULL match sets (the Elasticsearch
+    ``cardinality`` agg), EXACT — no HyperLogLog sketch error: per query,
+    the number of DISTINCT values of each facet attribute among every
+    matching doc.
+
+    Scale shape: match stream (never collected) ⋈ keyed attr join (no
+    broadcast — the attr table is corpus-sized at 100 TB) → per-batch
+    distinct (qid, facet, value) rows (≤ |queries|·|values| per block) →
+    ONE small groupby that dedups globally → driver counts the tiny
+    result. Columns: qid, facet, n_distinct."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", *facets]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", *facets]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def distinct_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        frames = []
+        for f in facets:
+            g = df[["qid", f]].drop_duplicates()
+            g = g.rename(columns={f: "value"})
+            g["facet"] = f
+            frames.append(g[["qid", "facet", "value"]])
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    uniq = (
+        joined.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby(["qid", "facet", "value"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out = (
+        uniq.groupby(["qid", "facet"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_distinct"})
+        .sort_values(["qid", "facet"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"qid": "int64", "n_distinct": "int64"})
+
+
+def ft_adjacency(sf_dir: str) -> pd.DataFrame:
+    """Adjacency-matrix aggregation (the Elasticsearch ``adjacency_matrix``
+    agg): for every ordered query pair qid_a ≤ qid_b, the number of docs in
+    BOTH match sets (the diagonal is each query's own match count).
+
+    Scale shape: the match stream is materialized ONCE (spillable
+    (qid, doc_key) int rows — the significant_terms precedent) and
+    self-joined on doc_key (hash exchange; docs co-matched by many queries
+    fan out ≤ |queries|² pairs per doc) → per-batch packed-int64 pair
+    counts → ONE small groupby-sum. Columns: qid_a, qid_b, n_both."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).materialize()
+    right = matches.map_batches(
+        lambda b: b.rename_columns(["qid_b", "doc_key"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        right, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        a = b["qid"].to_numpy()
+        c = b["qid_b"].to_numpy()
+        keep = a <= c
+        packed, n = np.unique(a[keep] * (1 << 32) + c[keep], return_counts=True)
+        return pa.table({
+            "qid_a": pa.array(packed >> 32, type=pa.int64()),
+            "qid_b": pa.array(packed & ((1 << 32) - 1), type=pa.int64()),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+        })
+
+    out = (
+        joined.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["qid_a", "qid_b"])
+        .aggregate(Sum("n", alias_name="n_both"))
+        .to_pandas()
+        .sort_values(["qid_a", "qid_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
 def ft_bm25_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Boolean structured retrieval (engine/query/boolean.py): +must / -not /
     should clause queries, BM25-scored over every matching positive term,

@@ -902,3 +902,65 @@ def test_ft_match_percentiles_vs_pandas(ray_session):
         .sort_values(["qid", "pct"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_ft_cardinality_vs_pandas(ray_session):
+    """Exact cardinality agg over match sets at sf0.001 vs a pandas
+    distinct-count recomputation."""
+    import pandas as pd
+
+    from engine.pipelines import DOC_QUERIES, ft_cardinality
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_cardinality(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    attrs = docs.set_index("doc_id")
+    rows = []
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        matched = [d for d, ts in tok.items() if ts & terms]
+        if not matched:
+            continue
+        for f in ("lang", "source"):
+            rows.append({"qid": qid, "facet": f,
+                         "n_distinct": attrs.loc[matched, f].nunique()})
+    exp = (
+        pd.DataFrame(rows).sort_values(["qid", "facet"]).reset_index(drop=True)
+        .astype({"qid": "int64", "n_distinct": "int64"})
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values(["qid", "facet"]).reset_index(drop=True), exp,
+        check_like=True,
+    )
+
+
+def test_ft_adjacency_vs_pandas(ray_session):
+    """Adjacency-matrix agg at sf0.001 vs set-intersection recomputation:
+    every pair count equals |match(a) & match(b)| and the diagonal is each
+    query's own match count."""
+    from engine.pipelines import DOC_QUERIES, ft_adjacency
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_adjacency(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): set(an.tokens(r.text)) for r in docs.itertuples()}
+    msets = {}
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        msets[qid] = {d for d, ts in tok.items() if ts & terms}
+    got = {(int(r.qid_a), int(r.qid_b)): int(r.n_both) for r in out.itertuples()}
+    qids = sorted(msets)
+    exp = {}
+    for i in qids:
+        for j in qids:
+            if i <= j and msets[i] & msets[j]:
+                exp[(i, j)] = len(msets[i] & msets[j])
+    assert got == exp
+    for qid in qids:
+        if msets[qid]:
+            assert got[(qid, qid)] == len(msets[qid])
