@@ -1814,6 +1814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
         "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
         "ft_bm25_phrase": lambda sf: P.ft_bm25_phrase(sf, k=10),
+        # same phrase semantics via the persisted positional index (no
+        # text read-back) — shares ft_bm25_phrase's SQL oracle
+        "ft_bm25_phrase_pos": lambda sf: P.ft_bm25_phrase_pos(sf, k=10),
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -1961,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_not": _bm25_not_sql(10),
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
+        "ft_bm25_phrase_pos": _bm25_phrase_sql(10),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

@@ -1500,6 +1500,91 @@ def ft_bm25_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64", "score_micro": "int64"})
 
 
+def documents_positions(sf_dir: str) -> str:
+    """Build (once per corpus CONTENT) the positional-postings sidecar for
+    the documents table (engine/index/positions.py) — content-keyed cache,
+    cross-process flock, stale-generation GC: the documents_index
+    conventions exactly."""
+    from engine.index.positions import build_positions
+
+    fp = _src_fp(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|{fp}|pos-v1".encode()).hexdigest()[:10]
+    d = os.path.join(INDEX_ROOT, f"pos-{key}")
+    with _index_lock(d):
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            import shutil
+
+            if os.path.isdir(d):  # crashed earlier build — never append into it
+                shutil.rmtree(d)
+            build_positions(f"{sf_dir}/documents.parquet", d)
+        _gc_stale_generations("pos", d)
+    return d
+
+
+def ft_bm25_phrase_pos(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Phrase search via the POSITIONAL INDEX — rank-identical to
+    ft_bm25_phrase (same candidates, same scores, same tie-break) but
+    verification never reads text: (1) conjunctive retrieval yields scored
+    candidates (phrase ⊆ AND, exact recall); (2) the positional sidecar is
+    read PRUNED to the phrase terms' hash partitions and filtered to the
+    candidate (qid, doc) pairs; (3) each occurrence votes
+    (qid, doc, base = pos − slot, slot) and ONE associative
+    groupby-count == n_slots proves adjacency (engine/index/positions.py).
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from engine.index.positions import phrase_votes_fn, positions_paths
+    from engine.text.analyzer import Analyzer
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": t} for q, t in PHRASE_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    an = Analyzer()
+    slot_rows: list[tuple[int, str, int]] = []
+    n_slots: dict[int, int] = {}
+    terms: set[str] = set()
+    for qid, text in PHRASE_QUERIES:
+        toks = an.tokens(text)
+        n_slots[qid] = len(toks)
+        terms.update(toks)
+        slot_rows.extend((qid, t, off) for off, t in enumerate(toks))
+
+    pos_dir = documents_positions(sf_dir)
+    paths = positions_paths(pos_dir, terms)
+    if not paths:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    votes = phrase_votes_fn(
+        slot_rows, cand["qid"].to_numpy(), cand["doc_id"].to_numpy()
+    )
+    counts = (
+        rd.read_parquet(paths, columns=["term", "doc_key", "pos"])
+        .map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["qid", "doc_key", "base"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    need = counts["qid"].map(n_slots).to_numpy()
+    surv = (
+        counts[counts["n"].to_numpy() == need][["qid", "doc_key"]]
+        .drop_duplicates()
+        .rename(columns={"doc_key": "doc_id"})
+    )
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 # proximity query set: (qid, term_a, term_b, slop) — mirrored in the oracle
 # SQL. slop = max tokens BETWEEN the two terms (either order); slop=0 means
 # adjacent. Edge coverage: adjacency, wide windows, a no-such-term pair.

@@ -1,6 +1,8 @@
 """Ops-layer tests: dedup recall on injected duplicates, ANN recall,
 multimodal plumbing, CLI verbs."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -850,6 +852,76 @@ class TestPhrase:
             got.reset_index(drop=True),
             ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
         )
+
+
+class TestPhrasePositional:
+    """ft_bm25_phrase_pos: phrase search via the positional-postings sidecar
+    (engine/index/positions.py) — must be rank-identical to the text-verify
+    path while never reading document text at query time."""
+
+    def _write_corpus(self, d, texts):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}),
+            str(d / "documents.parquet"),
+        )
+
+    def test_adjacency_order_and_repeated_terms(self, tmp_path_factory, ray_session, monkeypatch):
+        import engine.pipelines as P
+
+        d = tmp_path_factory.mktemp("php")
+        texts = [
+            "a hash join here",      # q0 matches
+            "hash x join",           # not adjacent → excluded
+            "join hash",             # wrong order → excluded
+            "HASH-JOIN again",       # punctuation-split adjacency → matches
+            "really really fast",    # q1: repeated-term phrase matches
+            "really slow really",    # q1: both occurrences, never adjacent → excluded
+        ]
+        self._write_corpus(d, texts)
+        monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+        monkeypatch.setattr(P, "PHRASE_QUERIES", [(0, "hash join"), (1, "really really")])
+        out = P.ft_bm25_phrase_pos(str(d), k=10)
+        got = {(q, doc) for q, doc in zip(out["qid"], out["doc_id"])}
+        assert got == {(0, 0), (0, 3), (1, 4)}
+
+    def test_rank_identical_to_text_verify_and_oracle(self, ray_session, monkeypatch, tmp_path):
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _bm25_phrase_sql
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_bm25_phrase_pos(sf, k=10)
+        txt = P.ft_bm25_phrase(sf, k=10)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), txt.reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_bm25_phrase_sql(10)).fetchdf()
+        assert len(got) == len(ref) > 0
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
+
+    def test_partition_pruning_seam(self, tmp_path_factory, ray_session, monkeypatch):
+        """A phrase query must hand read_parquet ONLY its own terms'
+        hive partitions — never the whole positions artifact."""
+        import engine.pipelines as P
+        from engine.index.positions import positions_paths, term_part
+
+        d = tmp_path_factory.mktemp("phprune")
+        texts = [f"filler{i} hash join tail{i}" for i in range(8)]
+        self._write_corpus(d, texts)
+        monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+        pos_dir = P.documents_positions(str(d))
+        all_parts = sorted(os.listdir(os.path.join(pos_dir, "data")))
+        assert len(all_parts) > 2  # filler terms spread over many partitions
+        paths = positions_paths(pos_dir, {"hash", "join"})
+        want = {f"part={term_part(t)}" for t in ("hash", "join")}
+        touched = {os.path.basename(os.path.dirname(p)) for p in paths}
+        assert touched == want
+        assert len(touched) < len(all_parts)
 
 
 class TestConjunctiveEdges:
