@@ -1524,6 +1524,67 @@ ORDER BY qid, rank
 """
 
 
+def _span_near_sql(k: int) -> str:
+    """span_near oracle (unordered, slop): a doc matches a query when some
+    anchor occurrence of any query term has ALL the query's distinct terms
+    occurring in [anchor, anchor + n − 1 + slop] — the minimal window of a
+    valid span always starts at the span's own min position, so anchoring
+    at every occurrence is exact. Ranked by BM25 over the query's terms."""
+    from engine.pipelines import SPAN_QUERIES
+
+    rows = ", ".join(
+        f"({q}, '{t}', {s}, {len(set(ts))})"
+        for q, ts, s in SPAN_QUERIES
+        for t in sorted(set(ts))
+    )
+    return f"""
+WITH {_TOK_CTE},
+qspec(qid, term, slop, n) AS (VALUES {rows}),
+tokpos AS (
+  SELECT doc_id,
+         unnest({_TOKS}) term,
+         unnest(range(1, len({_TOKS}) + 1)) pos
+  FROM documents
+),
+occ AS (
+  SELECT q.qid::BIGINT qid, t.doc_id, t.pos, q.term, q.slop, q.n
+  FROM qspec q JOIN tokpos t ON t.term = q.term
+),
+matched AS (
+  SELECT DISTINCT qid, doc_id FROM (
+    SELECT o.qid, o.doc_id
+    FROM occ o
+    JOIN occ t2 ON t2.qid = o.qid AND t2.doc_id = o.doc_id
+              AND t2.pos BETWEEN o.pos AND o.pos + o.n - 1 + o.slop
+    GROUP BY o.qid, o.doc_id, o.pos, o.n
+    HAVING count(DISTINCT t2.term) = o.n
+  )
+),
+qterm AS (SELECT DISTINCT qid::BIGINT qid, term FROM qspec),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN matched m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_phrase_sql(k: int) -> str:
     """Phrase oracle: docs whose normalized token stream contains the
     phrase's token sequence contiguously ('% needle %' over the
@@ -1817,6 +1878,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same phrase semantics via the persisted positional index (no
         # text read-back) — shares ft_bm25_phrase's SQL oracle
         "ft_bm25_phrase_pos": lambda sf: P.ft_bm25_phrase_pos(sf, k=10),
+        "ft_bm25_proximity_pos": lambda sf: P.ft_bm25_proximity_pos(sf, k=10),
+        # unordered span_near over the positional sidecar (new semantics,
+        # not expressible without positions)
+        "ft_span_near": lambda sf: P.ft_span_near(sf, k=10),
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -1965,6 +2030,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_and": _bm25_and_sql(10),
         "ft_bm25_phrase": _bm25_phrase_sql(10),
         "ft_bm25_phrase_pos": _bm25_phrase_sql(10),
+        "ft_bm25_proximity_pos": _bm25_proximity_sql(10),
+        "ft_span_near": _span_near_sql(10),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

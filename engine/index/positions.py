@@ -126,40 +126,48 @@ def positions_paths(pos_dir: str, terms: set[str]) -> list[str]:
 
 
 def phrase_votes_fn(slot_rows: list[tuple[int, str, int]], cand_qid: np.ndarray,
-                    cand_doc: np.ndarray):
-    """Batch fn factory: occurrence rows → unique (qid, doc_key, base, slot)
+                    cand_doc: np.ndarray, sides: bool = False):
+    """Batch fn factory: occurrence rows → unique (qid, doc_key, base[, side])
     votes for the given slot table, restricted to the candidate (qid, doc)
     pairs (sorted packed arrays, searchsorted membership — the broadcast is
     candidates-sized, never corpus-sized).
 
     ``slot_rows``: (qid, term, offset) — one row per phrase slot; a term
     recurring in a phrase contributes one row per position it occupies.
+    With ``sides=True`` rows are (qid, term, offset, side) and the vote
+    carries the side label — the proximity window-vote formulation
+    (ft_bm25_proximity_pos) groups on (qid, doc, base) and keeps groups
+    voted by BOTH sides instead of counting slots.
     """
     import pandas as pd
 
-    slot_df = pd.DataFrame(slot_rows, columns=["qid", "term", "offset"])
+    cols = ["qid", "term", "offset"] + (["side"] if sides else [])
+    slot_df = pd.DataFrame(slot_rows, columns=cols)
     packed_cand = np.sort(cand_qid.astype(np.int64) * (1 << 43) + cand_doc.astype(np.int64))
 
     def votes(b: pa.Table) -> pa.Table:
         df = b.select(["term", "doc_key", "pos"]).to_pandas()
         m = df.merge(slot_df, on="term", how="inner")
+        out_schema = {"qid": pa.int64(), "doc_key": pa.int64(), "base": pa.int64()}
+        if sides:
+            out_schema["side"] = pa.int64()
         if len(m) == 0:
-            return pa.table({
-                "qid": pa.array([], pa.int64()), "doc_key": pa.array([], pa.int64()),
-                "base": pa.array([], pa.int64()),
-            })
+            return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
         base = m["pos"].to_numpy().astype(np.int64) - m["offset"].to_numpy()
         ok = base >= 0
         key = m["qid"].to_numpy().astype(np.int64) * (1 << 43) + m["doc_key"].to_numpy()
         j = np.searchsorted(packed_cand, key)
         ok &= (j < packed_cand.size) & (packed_cand[np.minimum(j, packed_cand.size - 1)] == key)
-        # slot ids are NOT carried: votes are already unique per
-        # (occurrence × slot), so the downstream row count per
+        # slot ids are NOT carried in phrase mode: votes are already unique
+        # per (occurrence × slot), so the downstream row count per
         # (qid, doc, base) equals the number of satisfied slots
-        return pa.table({
+        out = {
             "qid": pa.array(m["qid"].to_numpy()[ok].astype(np.int64)),
             "doc_key": pa.array(m["doc_key"].to_numpy()[ok].astype(np.int64)),
             "base": pa.array(base[ok]),
-        })
+        }
+        if sides:
+            out["side"] = pa.array(m["side"].to_numpy()[ok].astype(np.int64))
+        return pa.table(out)
 
     return votes

@@ -1692,6 +1692,152 @@ def ft_bm25_proximity(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+def ft_bm25_proximity_pos(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Proximity (slop) search via the POSITIONAL INDEX — rank-identical to
+    ft_bm25_proximity (same candidates, scores, tie-break) but verification
+    never reads text. Exact window-vote formulation over the occurrence
+    sidecar: for query (a, b, slop), each occurrence of b votes its own
+    position (side 0, offset 0) and each occurrence of a votes every base
+    within slop+1 of its position (side 1, offsets −(slop+1)…slop+1, i.e.
+    2·slop+3 votes — slop is a small query constant); a (qid, doc, base)
+    group voted by BOTH sides ⟺ ∃ pa, pb with |pa − pb| ≤ slop+1, exactly
+    the text-verify predicate (``_min_pos_gap`` ≤ slop+1). One associative
+    groupby(Min/Max of side) — no per-doc group functions, no text.
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from engine.index.positions import phrase_votes_fn, positions_paths
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": f"{a} {b}"} for q, a, b, _ in PROX_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    slot_rows: list[tuple[int, str, int, int]] = []
+    terms: set[str] = set()
+    for qid, a, b, slop in PROX_QUERIES:
+        terms.update((a, b))
+        slot_rows.append((qid, b, 0, 0))
+        slot_rows.extend((qid, a, off, 1) for off in range(-(slop + 1), slop + 2))
+
+    pos_dir = documents_positions(sf_dir)
+    paths = positions_paths(pos_dir, terms)
+    if not paths:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    votes = phrase_votes_fn(
+        slot_rows, cand["qid"].to_numpy(), cand["doc_id"].to_numpy(), sides=True
+    )
+    grp = (
+        rd.read_parquet(paths, columns=["term", "doc_key", "pos"])
+        .map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["qid", "doc_key", "base"])
+        .aggregate(Min("side", alias_name="s_min"), Max("side", alias_name="s_max"))
+        .to_pandas()
+    )
+    both = (grp["s_min"].to_numpy() == 0) & (grp["s_max"].to_numpy() == 1)
+    surv = (
+        grp[both][["qid", "doc_key"]]
+        .drop_duplicates()
+        .rename(columns={"doc_key": "doc_id"})
+    )
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
+# span_near query set: (qid, [terms], slop) — distinct terms; a doc matches
+# when ONE position per term exists with span extent (max − min) ≤
+# (n_terms − 1) + slop, any order (ES span_near in_order=false). Edge
+# coverage: 3-term tight window, 2-term zero-slop (≡ adjacent either
+# order), 3-term wide window, a no-such-term combo.
+SPAN_QUERIES: list[tuple[int, list[str], int]] = [
+    (0, ["hash", "join", "query"], 2),
+    (1, ["table", "scan"], 0),
+    (2, ["customer", "merge", "value"], 8),
+    (3, ["zzz", "nosuchterm"], 4),
+]
+
+
+def ft_span_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Unordered span_near (ES ``span_near`` with ``in_order: false``):
+    every query term occurs within one token window of extent
+    (n_terms − 1) + slop, ranked by BM25 over the query's terms.
+
+    Index-native via the positional sidecar: (1) conjunctive retrieval
+    yields scored candidates (span ⊆ AND, exact recall); (2) each
+    occurrence of term-side i at position p votes every window start
+    w ∈ [p − W + 1, p] (W = n + slop — the offsets-0…W−1 form of the
+    phrase vote machinery), restricted to candidate pairs; (3) votes are
+    deduped by (qid, doc, w, side) and a window whose distinct-side count
+    equals n_terms proves all terms fit in [w, w + W − 1] ⟺ span extent
+    ≤ W − 1. Two small associative groupbys over candidate-bounded votes —
+    no text read-back, no per-doc group functions.
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from engine.index.positions import phrase_votes_fn, positions_paths
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": " ".join(ts)} for q, ts, _ in SPAN_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    slot_rows: list[tuple[int, str, int, int]] = []
+    n_terms: dict[int, int] = {}
+    terms: set[str] = set()
+    for qid, ts, slop in SPAN_QUERIES:
+        uniq = sorted(set(ts))
+        n_terms[qid] = len(uniq)
+        terms.update(uniq)
+        w_len = len(uniq) + slop
+        for side, t in enumerate(uniq):
+            slot_rows.extend((qid, t, off, side) for off in range(w_len))
+
+    pos_dir = documents_positions(sf_dir)
+    paths = positions_paths(pos_dir, terms)
+    if not paths:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    votes = phrase_votes_fn(
+        slot_rows, cand["qid"].to_numpy(), cand["doc_id"].to_numpy(), sides=True
+    )
+    counts = (
+        rd.read_parquet(paths, columns=["term", "doc_key", "pos"])
+        .map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["qid", "doc_key", "base", "side"])
+        .aggregate(Count(alias_name="dup"))  # dedup: side may revote a window
+        .groupby(["qid", "doc_key", "base"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    need = counts["qid"].map(n_terms).to_numpy()
+    surv = (
+        counts[counts["n"].to_numpy() == need][["qid", "doc_key"]]
+        .drop_duplicates()
+        .rename(columns={"doc_key": "doc_id"})
+    )
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation. Segments come from

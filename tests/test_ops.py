@@ -904,6 +904,74 @@ class TestPhrasePositional:
             ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
         )
 
+    def test_proximity_pos_semantics(self, tmp_path_factory, ray_session, monkeypatch):
+        """Window-vote proximity: slop bounds honoured in either order,
+        boundary-exact (gap == slop+1 in, gap == slop+2 out)."""
+        import engine.pipelines as P
+
+        d = tmp_path_factory.mktemp("proxpos")
+        texts = [
+            "hash join",             # q0 slop=0: adjacent → in
+            "join hash",             # q0: adjacent reversed → in
+            "hash x join",           # q0: one token between → out
+            "slow x y query",        # q1 slop=2: gap 3 ≤ 3 → in
+            "slow x y z query",      # q1: gap 4 > 3 → out
+        ]
+        self._write_corpus(d, texts)
+        monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+        monkeypatch.setattr(
+            P, "PROX_QUERIES", [(0, "hash", "join", 0), (1, "slow", "query", 2)]
+        )
+        out = P.ft_bm25_proximity_pos(str(d), k=10)
+        got = {(q, doc) for q, doc in zip(out["qid"], out["doc_id"])}
+        assert got == {(0, 0), (0, 1), (1, 3)}
+
+    def test_proximity_pos_rank_identical_to_text_verify(self, ray_session, monkeypatch, tmp_path):
+        import engine.pipelines as P
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_bm25_proximity_pos(sf, k=10)
+        txt = P.ft_bm25_proximity(sf, k=10)
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), txt.reset_index(drop=True))
+
+    def test_span_near_semantics(self, tmp_path_factory, ray_session, monkeypatch):
+        """Unordered window containment, boundary-exact: 3 terms with
+        slop=1 → extent ≤ 3; order-free; extent 4 is out."""
+        import engine.pipelines as P
+
+        d = tmp_path_factory.mktemp("span")
+        texts = [
+            "a b c",          # q0 extent 2 ≤ 3 → in (order bca below too)
+            "c x a b",        # extent 3 ≤ 3, scrambled order → in
+            "a x x b c",      # extent 4 > 3 → out
+            "a b",            # missing c → out (not even a candidate)
+        ]
+        self._write_corpus(d, texts)
+        monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+        monkeypatch.setattr(P, "SPAN_QUERIES", [(0, ["a", "b", "c"], 1)])
+        out = P.ft_span_near(str(d), k=10)
+        assert sorted(out["doc_id"].tolist()) == [0, 1]
+
+    def test_span_near_matches_duckdb(self, ray_session, monkeypatch, tmp_path):
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _span_near_sql
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_span_near(sf, k=10)
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_span_near_sql(10)).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
+
     def test_partition_pruning_seam(self, tmp_path_factory, ray_session, monkeypatch):
         """A phrase query must hand read_parquet ONLY its own terms'
         hive partitions — never the whole positions artifact."""
