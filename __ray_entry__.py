@@ -1585,6 +1585,66 @@ ORDER BY qid, rank
 """
 
 
+def _span_near_ordered_sql(k: int) -> str:
+    """Ordered span_near oracle: existence of strictly increasing positions
+    p1 < … < pn (term i at p_i) with pn − p1 ≤ n − 1 + slop, written as a
+    chained self-join per query (EXISTS over all combinations ⟺ the
+    engine's greedy-chain minimum). Ranked by BM25 over the query's terms."""
+    from engine.pipelines import SPAN_ORDERED_QUERIES
+
+    chains = []
+    for qid, ts, slop in SPAN_ORDERED_QUERIES:
+        bound = len(ts) - 1 + slop
+        joins = "".join(
+            f"\n    JOIN tokpos o{i + 1} ON o{i + 1}.doc_id = o1.doc_id"
+            f" AND o{i + 1}.term = '{t}' AND o{i + 1}.pos > o{i}.pos"
+            f" AND o{i + 1}.pos <= o1.pos + {bound}"
+            for i, t in enumerate(ts[1:], start=1)
+        )
+        chains.append(
+            f"  SELECT DISTINCT {qid}::BIGINT qid, o1.doc_id FROM tokpos o1"
+            f"{joins}\n    WHERE o1.term = '{ts[0]}'"
+        )
+    matched = "\n  UNION ALL\n".join(chains)
+    qterms = ", ".join(
+        f"({qid}, '{t}')" for qid, ts, _ in SPAN_ORDERED_QUERIES for t in ts
+    )
+    return f"""
+WITH {_TOK_CTE},
+tokpos AS (
+  SELECT doc_id,
+         unnest({_TOKS}) term,
+         unnest(range(1, len({_TOKS}) + 1)) pos
+  FROM documents
+),
+matched AS (
+{matched}
+),
+qterm(qid, term) AS (VALUES {qterms}),
+contrib AS (
+  SELECT qt.qid::BIGINT qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN matched m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_phrase_sql(k: int) -> str:
     """Phrase oracle: docs whose normalized token stream contains the
     phrase's token sequence contiguously ('% needle %' over the
@@ -1882,6 +1942,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unordered span_near over the positional sidecar (new semantics,
         # not expressible without positions)
         "ft_span_near": lambda sf: P.ft_span_near(sf, k=10),
+        # in_order=true variant: keyed greedy-chain verify (order couples
+        # position choices — no associative vote form exists)
+        "ft_span_near_ordered": lambda sf: P.ft_span_near_ordered(sf, k=10),
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2032,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_phrase_pos": _bm25_phrase_sql(10),
         "ft_bm25_proximity_pos": _bm25_proximity_sql(10),
         "ft_span_near": _span_near_sql(10),
+        "ft_span_near_ordered": _span_near_ordered_sql(10),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

@@ -1838,6 +1838,111 @@ def ft_span_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+# ordered span_near query set: (qid, [terms IN ORDER], slop) — distinct
+# terms; a doc matches when positions p1 < p2 < … < pn exist (term i at
+# p_i) with extent pn − p1 ≤ (n − 1) + slop. Edge coverage: strict-order
+# adjacency (reverse order must NOT match), a 2-term slack window, a
+# 3-term chain, a no-such-term combo.
+SPAN_ORDERED_QUERIES: list[tuple[int, list[str], int]] = [
+    (0, ["hash", "join"], 0),
+    (1, ["table", "scan"], 3),
+    (2, ["customer", "merge", "value"], 8),
+    (3, ["zzz", "nosuchterm"], 4),
+]
+
+
+def ft_span_near_ordered(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Ordered span_near (ES ``span_near`` with ``in_order: true``): the
+    query's terms occur at strictly increasing positions p1 < … < pn with
+    span extent pn − p1 ≤ (n − 1) + slop, ranked by BM25 over the terms.
+
+    Unlike the unordered variant, the order constraint couples the
+    per-term position choices, so NO associative window-vote formulation
+    exists (a window containing one position per side need not admit an
+    increasing assignment — e.g. "b a" in a slop-0 "a b" query). The
+    verification therefore runs as a keyed ``groupby(qid, doc).map_groups``
+    over candidate-restricted occurrence rows — a hash exchange whose
+    volume is candidate-bounded (Σ tf of the query's terms over matched
+    docs), never corpus-sized, because conjunctive retrieval (span ⊆ AND,
+    exact recall) prunes first. Inside each group the chain check is
+    vectorized: greedy successor chains from ALL side-0 starts at once
+    via per-side ``searchsorted`` (greedy minimizes pn for each p1, so
+    ∃-chain ⟺ min extent ≤ bound). Partitioning assumption: one
+    (qid, doc) group's occurrences fit a task — guaranteed, group size
+    ≤ Σ tf within one document.
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    from engine.index.positions import phrase_votes_fn, positions_paths
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": " ".join(ts)} for q, ts, _ in SPAN_ORDERED_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    # one slot per side at offset 0: phrase_votes_fn then yields raw
+    # candidate-filtered occurrences (base == pos) tagged with their side
+    slot_rows: list[tuple[int, str, int, int]] = []
+    spec: dict[int, tuple[int, int]] = {}  # qid -> (n_sides, extent bound)
+    terms: set[str] = set()
+    for qid, ts, slop in SPAN_ORDERED_QUERIES:
+        assert len(set(ts)) == len(ts), "ordered span terms must be distinct"
+        spec[qid] = (len(ts), len(ts) - 1 + slop)
+        terms.update(ts)
+        slot_rows.extend((qid, t, 0, side) for side, t in enumerate(ts))
+
+    pos_dir = documents_positions(sf_dir)
+    paths = positions_paths(pos_dir, terms)
+    if not paths:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    votes = phrase_votes_fn(
+        slot_rows, cand["qid"].to_numpy(), cand["doc_id"].to_numpy(), sides=True
+    )
+    empty = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                          "doc_id": pd.Series([], dtype="int64")})
+
+    def chain_verify(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["qid"].iloc[0])
+        n, bound = spec[qid]
+        side = g["side"].to_numpy()
+        pos = g["base"].to_numpy()
+        sides = [np.sort(pos[side == i]) for i in range(n)]
+        if any(s.size == 0 for s in sides):
+            return empty
+        p = sides[0]
+        start = p
+        ok = np.ones(p.size, dtype=bool)
+        for i in range(1, n):
+            arr = sides[i]
+            j = np.searchsorted(arr, p, side="right")
+            ok &= j < arr.size
+            p = arr[np.minimum(j, arr.size - 1)]
+        if np.any(ok & (p - start <= bound)):
+            return pd.DataFrame({"qid": [qid], "doc_id": [int(g["doc_key"].iloc[0])]})
+        return empty
+
+    surv = (
+        rd.read_parquet(paths, columns=["term", "doc_key", "pos"])
+        .map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["qid", "doc_key"])
+        .map_groups(chain_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(surv) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation. Segments come from

@@ -972,6 +972,45 @@ class TestPhrasePositional:
             ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
         )
 
+    def test_span_near_ordered_semantics(self, tmp_path_factory, ray_session, monkeypatch):
+        """Order must matter; extent boundary-exact (3 terms, slop=1 →
+        extent ≤ 3); greedy chain must not be fooled by a decoy early
+        occurrence of a later term."""
+        import engine.pipelines as P
+
+        d = tmp_path_factory.mktemp("spanord")
+        texts = [
+            "a b c",          # in order, extent 2 ≤ 3 → in
+            "c b a",          # reversed → OUT (unordered would match)
+            "a x b c",        # extent 3 ≤ 3 → in
+            "a x x b c",      # extent 4 > 3 → out
+            "c a b x c",      # decoy c BEFORE a; chain a(1) b(2) c(4) extent 3 → in
+            "b a c",          # b before a, no b after a → out
+        ]
+        self._write_corpus(d, texts)
+        monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+        monkeypatch.setattr(P, "SPAN_ORDERED_QUERIES", [(0, ["a", "b", "c"], 1)])
+        out = P.ft_span_near_ordered(str(d), k=10)
+        assert sorted(out["doc_id"].tolist()) == [0, 2, 4]
+
+    def test_span_near_ordered_matches_duckdb(self, ray_session, monkeypatch, tmp_path):
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _span_near_ordered_sql
+
+        monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_span_near_ordered(sf, k=10)
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from read_parquet('{sf}/documents.parquet')")
+        ref = con.execute(_span_near_ordered_sql(10)).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
+
     def test_partition_pruning_seam(self, tmp_path_factory, ray_session, monkeypatch):
         """A phrase query must hand read_parquet ONLY its own terms'
         hive partitions — never the whole positions artifact."""
