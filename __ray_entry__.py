@@ -1645,6 +1645,38 @@ ORDER BY qid, rank
 """
 
 
+def _percolate_sql() -> str:
+    """Percolator oracle: presence-set semantics per (doc, rule) — all
+    must terms present, no not term present."""
+    from engine.pipelines import PERC_QUERIES
+
+    must = ", ".join(f"({q}, '{t}')" for q, ms, _ in PERC_QUERIES for t in sorted(set(ms)))
+    not_rows = [f"({q}, '{t}')" for q, _, ns in PERC_QUERIES for t in sorted(set(ns))]
+    qnot = (
+        f"qnot(qid, term) AS (VALUES {', '.join(not_rows)})"
+        if not_rows
+        else "qnot(qid, term) AS (SELECT NULL::BIGINT, NULL::VARCHAR WHERE false)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) term FROM documents
+),
+qmust(qid, term) AS (VALUES {must}),
+{qnot},
+arity AS (SELECT qid, count(*)::BIGINT n FROM qmust GROUP BY 1),
+hits AS (
+  SELECT q.qid, t.doc_id, count(*)::BIGINT c
+  FROM qmust q JOIN tok t ON t.term = q.term GROUP BY 1, 2
+),
+bad AS (SELECT DISTINCT q.qid, t.doc_id FROM qnot q JOIN tok t ON t.term = q.term)
+SELECT h.qid::BIGINT qid, h.doc_id
+FROM hits h JOIN arity a ON a.qid = h.qid
+WHERE h.c = a.n
+  AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.qid = h.qid AND b.doc_id = h.doc_id)
+ORDER BY qid, doc_id
+"""
+
+
 def _bm25_phrase_sql(k: int) -> str:
     """Phrase oracle: docs whose normalized token stream contains the
     phrase's token sequence contiguously ('% needle %' over the
@@ -1945,6 +1977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in_order=true variant: keyed greedy-chain verify (order couples
         # position choices — no associative vote form exists)
         "ft_span_near_ordered": lambda sf: P.ft_span_near_ordered(sf, k=10),
+        # reverse search: registered rule set matched against every doc in
+        # one shuffle-free broadcast-join scan
+        "ft_percolate": P.ft_percolate,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2096,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_proximity_pos": _bm25_proximity_sql(10),
         "ft_span_near": _span_near_sql(10),
         "ft_span_near_ordered": _span_near_ordered_sql(10),
+        "ft_percolate": _percolate_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

@@ -1943,6 +1943,44 @@ def ft_span_near_ordered(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+# percolator rule set: (qid, must_terms, not_terms) — a doc "triggers"
+# rule qid when ALL must terms are present and NO not term is. Edge
+# coverage: plain conjunction, a not-clause that prunes, a 3-term
+# conjunction, a not-only-differs pair, a never-matching rule.
+PERC_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (0, ["hash", "join"], []),
+    (1, ["hash", "join"], ["query"]),
+    (2, ["customer", "merge", "value"], []),
+    (3, ["table"], ["scan", "index"]),
+    (4, ["nosuchterm"], []),
+]
+
+
+def ft_percolate(sf_dir: str) -> pd.DataFrame:
+    """Percolation (reverse search): match every document against the
+    REGISTERED rule set (engine/query/percolate.py) — ES `percolate` /
+    alerting-and-routing semantics. One shuffle-free ``map_batches`` scan;
+    each batch emits its own final (qid, doc_id) trigger rows via the
+    broadcast CSR rule index. At 100 TB the output is itself a stream
+    (write_parquet per input shard); the driver entry collects it because
+    the rule set is selective. Columns: qid, doc_id."""
+    import ray.data as rd
+
+    from engine.query.percolate import percolate_fn
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(percolate_fn(PERC_QUERIES), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64")})
+    out = out.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    return out.astype({"qid": "int64", "doc_id": "int64"})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation. Segments come from

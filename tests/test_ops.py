@@ -1538,3 +1538,52 @@ def test_events_heavy_hitters_vs_pandas(ray_session):
     exp = exp[["user_id", "rank", "n_events", "sum_value_micro"]].astype(
         {"rank": "int64", "n_events": "int64", "sum_value_micro": "int64"})
     pd.testing.assert_frame_equal(out, exp)
+
+
+class TestPercolate:
+    """Percolator (reverse search): the rule set is the index."""
+
+    def _write_corpus(self, d, texts):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}),
+            str(d / "documents.parquet"),
+        )
+
+    def test_rule_semantics(self, tmp_path_factory, ray_session, monkeypatch):
+        """must-conjunction, not-pruning, presence (not tf) semantics."""
+        import engine.pipelines as P
+
+        d = tmp_path_factory.mktemp("perc")
+        texts = [
+            "alpha beta gamma",        # rules 0 (alpha+beta) and 1 (alpha -delta)
+            "alpha delta",             # rule 1 blocked by delta; rule 0 missing beta
+            "beta beta beta alpha",    # rule 0 (tf irrelevant) and 1
+            "gamma only here",         # nothing
+        ]
+        self._write_corpus(d, texts)
+        monkeypatch.setattr(
+            P, "PERC_QUERIES",
+            [(0, ["alpha", "beta"], []), (1, ["alpha"], ["delta"])],
+        )
+        out = P.ft_percolate(str(d))
+        got = {(q, doc) for q, doc in zip(out["qid"], out["doc_id"])}
+        assert got == {(0, 0), (0, 2), (1, 0), (1, 2)}
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        import engine.pipelines as P
+        from __ray_entry__ import _percolate_sql
+
+        sf = "/root/testdata/sf0.001"
+        got = P.ft_percolate(sf)
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+        )
+        ref = con.execute(_percolate_sql()).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
