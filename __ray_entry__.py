@@ -1822,6 +1822,60 @@ ORDER BY r.qid, r.rank
 """
 
 
+def _tr_has_child_sql(k: int) -> str:
+    """Oracle for tr_has_child: per-turn BM25 micro scores (union match
+    semantics) summed per conversation, inner-hit count, ranked by
+    (sum_micro desc, conv_id asc)."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, conv_id, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+conv AS (
+  SELECT s.qid, src.conv_id, sum(s.score_micro)::BIGINT sum_micro,
+         count(*)::BIGINT n_hits
+  FROM scored s JOIN src ON src.doc_key = s.doc_key
+  GROUP BY 1, 2
+)
+SELECT qid, rank, conv_id, sum_micro, n_hits FROM (
+  SELECT qid, conv_id, sum_micro, n_hits,
+         row_number() OVER (PARTITION BY qid ORDER BY sum_micro DESC, conv_id ASC)::BIGINT rank
+  FROM conv
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_bm25_recency_sql(k: int) -> str:
     """Oracle for tr_bm25_recency: BM25 micro scores scaled by the linear
     integer ppm recency weight (age in whole hours below the corpus max ts,
@@ -2043,6 +2097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # role-boosted ranking: scored match stream × corpus role join
         "tr_bm25_boosted": lambda sf: P.tr_bm25_boosted(sf, k=10),
         "tr_bm25_collapse": lambda sf: P.tr_bm25_collapse(sf, k=10),
+        # parent-child: conversations ranked by sum of matching child-turn
+        # scores (ES has_child, score_mode=sum) + inner-hit counts
+        "tr_has_child": lambda sf: P.tr_has_child(sf, k=10),
         "tr_bm25_recency": lambda sf: P.tr_bm25_recency(sf, k=10),
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
@@ -2164,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
         "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
+        "tr_has_child": _tr_has_child_sql(10),
         "tr_bm25_recency": _tr_bm25_recency_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),

@@ -2566,6 +2566,70 @@ def tr_bm25_recency(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["qid", "rank", "doc_key", "score_micro"]].astype("int64")
 
 
+def tr_has_child(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Parent-child retrieval (ES ``has_child`` with ``score_mode: sum``):
+    conversations are parents, turns are children — rank each query's
+    conversations by the SUM of their matching turns' BM25 scores, with the
+    inner-hit count carried alongside. Complements tr_bm25_collapse
+    (score_mode max via a representative turn): sum-mode is a pure
+    ASSOCIATIVE aggregation, so the whole reduction is one keyed groupby.
+
+    Scale shape: scored match stream (ScoredMatchServer, micro-int scores —
+    never collected) ⋈ keyed conv_id join (corpus-sized side: no
+    broadcast) → ONE (qid, conv_id) groupby(Sum, Count) → per-batch
+    partial top-k + tiny driver merge (conv-level rows only). Columns:
+    qid, rank, conv_id, sum_micro, n_hits."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import ScoredMatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    convs = rd.read_parquet(path, columns=["doc_key", "conv_id"])
+    jargs = join_args(n_joins=1)
+    agg = (
+        matches.join(convs, "inner", jargs.pop("num_partitions"),
+                     on=("doc_key",), **jargs)
+        .groupby(["qid", "conv_id"])
+        .aggregate(Sum("score", alias_name="sum_micro"),
+                   Count(alias_name="n_hits"))
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "sum_micro", "conv_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "conv_id", "sum_micro", "n_hits"]
+    if len(out) == 0:
+        return pd.DataFrame({
+            "qid": pd.Series([], dtype="int64"), "rank": pd.Series([], dtype="int64"),
+            "conv_id": pd.Series([], dtype="object"),
+            "sum_micro": pd.Series([], dtype="int64"),
+            "n_hits": pd.Series([], dtype="int64"),
+        })
+    out = out.sort_values(["qid", "sum_micro", "conv_id"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({"qid": "int64", "rank": "int64",
+                       "sum_micro": "int64", "n_hits": "int64"})
+
+
 def tr_conv_stats(sf_dir: str) -> pd.DataFrame:
     """Conversation-level rollup: per conv_id — turn count, tool-turn
     count, first/last timestamp (epoch µs) and duration, total text chars.

@@ -964,3 +964,47 @@ def test_ft_adjacency_vs_pandas(ray_session):
     for qid in qids:
         if msets[qid]:
             assert got[(qid, qid)] == len(msets[qid])
+
+
+def test_tr_has_child_vs_oracle(ray_session):
+    """Parent-child sum-mode: conversations ranked by the SUM of matching
+    turns' micro scores (plus inner-hit counts) vs a pandas recompute over
+    BM25Oracle — and sum-mode genuinely reorders vs max-mode somewhere."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+    from engine.pipelines import tr_has_child, tr_oracle_corpus_path
+
+    k = 10
+    out = tr_has_child("/root/testdata/sf0.001", k=k)
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    oracle = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    conv_of = src.set_index("doc_key")["conv_id"]
+    rows = []
+    reordered = False
+    for qid, qtext in seeded_query_set(20, seed=7):
+        s = oracle.score_query(qtext)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        df = pd.DataFrame({
+            "score_micro": micro[nz],
+            "conv_id": conv_of.loc[oracle.doc_keys[nz]].to_numpy(),
+        })
+        agg = (df.groupby("conv_id")
+                 .agg(sum_micro=("score_micro", "sum"),
+                      n_hits=("score_micro", "size"),
+                      max_micro=("score_micro", "max"))
+                 .reset_index()
+                 .sort_values(["sum_micro", "conv_id"], ascending=[False, True],
+                              kind="stable"))
+        top = agg.head(k)
+        by_max = agg.sort_values(["max_micro", "conv_id"],
+                                 ascending=[False, True], kind="stable").head(k)
+        reordered |= top["conv_id"].tolist() != by_max["conv_id"].tolist()
+        for r, t in enumerate(top.itertuples(), 1):
+            rows.append({"qid": qid, "rank": r, "conv_id": t.conv_id,
+                         "sum_micro": int(t.sum_micro), "n_hits": int(t.n_hits)})
+    exp = pd.DataFrame(rows).astype(
+        {"qid": "int64", "rank": "int64", "sum_micro": "int64", "n_hits": "int64"})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    assert reordered, "sum-mode should differ from max-mode on this corpus"
