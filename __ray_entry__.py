@@ -1645,6 +1645,41 @@ ORDER BY qid, rank
 """
 
 
+def _top_hits_sql(n: int) -> str:
+    """top_hits oracle: BM25 micro scores (union match semantics) joined to
+    the source attribute, row_number per (qid, source) bucket."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, source, rank, doc_id, score_micro FROM (
+  SELECT s.qid, d.source, s.doc_id, s.score_micro,
+         row_number() OVER (PARTITION BY s.qid, d.source
+                            ORDER BY s.score_micro DESC, s.doc_id ASC)::BIGINT rank
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rank <= {n}
+ORDER BY qid, source, rank
+"""
+
+
 def _percolate_sql() -> str:
     """Percolator oracle: presence-set semantics per (doc, rule) — all
     must terms present, no not term present."""
@@ -2034,6 +2069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reverse search: registered rule set matched against every doc in
         # one shuffle-free broadcast-join scan
         "ft_percolate": P.ft_percolate,
+        # top_hits inside a terms bucket: best n hits per source per query
+        "ft_top_hits": lambda sf: P.ft_top_hits(sf, n=3),
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2189,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_near": _span_near_sql(10),
         "ft_span_near_ordered": _span_near_ordered_sql(10),
         "ft_percolate": _percolate_sql(),
+        "ft_top_hits": _top_hits_sql(3),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

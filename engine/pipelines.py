@@ -1943,6 +1943,70 @@ def ft_span_near_ordered(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+def ft_top_hits(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Top-hits aggregation (ES ``top_hits`` inside a terms bucket): for
+    each query, the best n hits PER `source` bucket — "show me the top
+    documents from every source", the classic drill-down panel.
+
+    Scale shape: scored match stream (ScoredMatchServer — never collected)
+    ⋈ keyed attr join (corpus-sized side: no broadcast) → per-batch
+    partial top-n per (qid, source) → driver merge over ≤ batches ×
+    buckets × n partial rows (buckets = |queries| × |sources|, tiny).
+    Columns: qid, source, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.query.engine import ScoredMatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "source"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "source", "score", "doc_key"],
+                            ascending=[True, True, False, True], kind="stable")
+        return df.groupby(["qid", "source"], sort=False).head(n)
+
+    out = (
+        joined.map_batches(partial_topn, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "source", "score", "doc_key"],
+                     ascending=[True, True, False, True], kind="stable")
+        .groupby(["qid", "source"])
+        .head(n)
+        .reset_index(drop=True)
+    )
+    cols = ["qid", "source", "rank", "doc_id", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({
+            "qid": pd.Series([], dtype="int64"), "source": pd.Series([], dtype="object"),
+            "rank": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64"),
+            "score_micro": pd.Series([], dtype="int64"),
+        })
+    out["rank"] = out.groupby(["qid", "source"]).cumcount() + 1
+    out = out.rename(columns={"doc_key": "doc_id", "score": "score_micro"})[cols]
+    return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64",
+                       "score_micro": "int64"})
+
+
 # percolator rule set: (qid, must_terms, not_terms) — a doc "triggers"
 # rule qid when ALL must terms are present and NO not term is. Edge
 # coverage: plain conjunction, a not-clause that prunes, a 3-term

@@ -1008,3 +1008,29 @@ def test_tr_has_child_vs_oracle(ray_session):
         {"qid": "int64", "rank": "int64", "sum_micro": "int64", "n_hits": "int64"})
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
     assert reordered, "sum-mode should differ from max-mode on this corpus"
+
+
+def test_ft_top_hits_vs_duckdb(ray_session):
+    """top_hits buckets: best n per (query, source), boundary ties broken
+    by doc_id — verified against the SQL oracle at sf0.001, plus shape
+    invariants (≤ n per bucket, ranks contiguous from 1)."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _top_hits_sql
+    from engine.pipelines import ft_top_hits
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_top_hits(sf, n=3)
+    assert len(got) > 0
+    assert (got.groupby(["qid", "source"]).size() <= 3).all()
+    assert (got.groupby(["qid", "source"])["rank"].min() == 1).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_top_hits_sql(3)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
