@@ -2207,6 +2207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heavy hitters: top users by micro-exact total value
         "ev_heavy_hitters": lambda sf: relational.events_heavy_hitters(sf, k=25),
         "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
+        # pipeline aggs over the daily histogram: derivative, cumulative
+        # sum, trailing 3-bucket moving sum
+        "ev_pipeline_aggs": relational.events_pipeline_aggs,
         "ev_json_stats": relational.events_json_stats,
         "ev_sessions": lambda sf: relational.events_sessions(sf, gap_minutes=30),
     }
@@ -2571,6 +2574,23 @@ FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
              RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
 ORDER BY event_type, hour_epoch
+""",
+        "ev_pipeline_aggs": """
+WITH daily AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT day_epoch, event_type,
+         count(*)::BIGINT n_events,
+         sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT sum_value_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_epoch, n_events,
+       (n_events - lag(n_events, 1, 0) OVER w)::BIGINT deriv_events,
+       SUM(n_events) OVER (PARTITION BY event_type ORDER BY day_epoch
+                           ROWS UNBOUNDED PRECEDING)::BIGINT cum_events,
+       SUM(sum_value_micro) OVER (PARTITION BY event_type ORDER BY day_epoch
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT mv3_value_micro
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch)
+ORDER BY event_type, day_epoch
 """,
         "ev_json_stats": """
 SELECT event_type, count(*)::BIGINT n,

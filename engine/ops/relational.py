@@ -371,3 +371,73 @@ def events_heavy_hitters(sf_dir: str, k: int = 25):
     out = out[["user_id", "rank", "n_events", "sum_value_micro"]]
     return out.astype({"rank": "int64", "n_events": "int64",
                        "sum_value_micro": "int64"})
+
+
+def events_pipeline_aggs(sf_dir: str):
+    """Pipeline aggregations (ES `derivative`, `cumulative_sum`,
+    `moving_fn` as parent-pipeline aggs over a date_histogram): per
+    event_type daily buckets carrying day-over-day delta of the count,
+    the running count total, and a trailing 3-BUCKET moving sum of the
+    micro value (sum, not avg, to stay integer-exact end to end).
+    First-bucket derivative uses lag-default 0 (ES omits it; a column of
+    BIGINTs can't hold a hole, and delta-from-zero is the natural join).
+
+    Scale shape: the heavy reduction is the daily tumbling aggregate
+    (per-batch partial then ONE groupby-sum — linear, the events_hourly
+    shape); pipeline passes then run per event_type over the ALREADY
+    aggregated series via groupby.map_groups, vectorized (np.diff /
+    cumsum / sliding-row window). Days × types rows move, never raw
+    events. Columns: event_type, day_epoch, n_events, deriv_events,
+    cum_events, mv3_value_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        day_epoch = day.cast(pa.int64()).to_numpy() // 1_000_000
+        df = pd.DataFrame({
+            "day_epoch": day_epoch,
+            "event_type": np.asarray(batch["event_type"]),
+            "value_micro": np.floor(batch["value"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+        })
+        return df.groupby(["day_epoch", "event_type"], as_index=False).agg(
+            n_events=("value_micro", "size"), sum_value_micro=("value_micro", "sum")
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .groupby(["day_epoch", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_micro", alias_name="sum_value_micro"))
+    )
+
+    def pipeline_pass(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day_epoch").reset_index(drop=True)
+        n = g["n_events"].to_numpy().astype(np.int64)
+        vm = g["sum_value_micro"].to_numpy().astype(np.int64)
+        cv = np.concatenate(([0], np.cumsum(vm)))
+        idx = np.arange(n.size) + 1
+        left = np.maximum(idx - 3, 0)  # trailing 3-row window
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "day_epoch": g["day_epoch"].to_numpy().astype(np.int64),
+            "n_events": n,
+            "deriv_events": np.diff(n, prepend=0),
+            "cum_events": np.cumsum(n),
+            "mv3_value_micro": cv[idx] - cv[left],
+        })
+
+    out = (
+        daily.groupby("event_type")
+        .map_groups(pipeline_pass, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "day_epoch"])
+        .reset_index(drop=True)
+    )
+    for c in ["day_epoch", "n_events", "deriv_events", "cum_events", "mv3_value_micro"]:
+        out[c] = out[c].astype("int64")
+    return out

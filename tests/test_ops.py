@@ -1587,3 +1587,41 @@ class TestPercolate:
             got.reset_index(drop=True),
             ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
         )
+
+
+def test_ev_pipeline_aggs_vs_pandas(ray_session):
+    """Pipeline aggs (derivative / cumulative / moving sum) vs a pandas
+    window recompute over the same daily buckets."""
+    from engine.ops.relational import events_pipeline_aggs
+
+    sf = "/root/testdata/sf0.001"
+    out = events_pipeline_aggs(sf)
+    assert len(out) > 0
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "event_type", "value"]).to_pandas()
+    ev["day_epoch"] = (
+        (ev["ts"].dt.floor("D") - pd.Timestamp(0)).dt.total_seconds().astype("int64")
+    )
+    ev["vm"] = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    daily = (ev.groupby(["event_type", "day_epoch"], as_index=False)
+               .agg(n_events=("vm", "size"), sum_value_micro=("vm", "sum"))
+               .sort_values(["event_type", "day_epoch"]))
+    parts = []
+    for et, g in daily.groupby("event_type", sort=True):
+        n = g["n_events"].to_numpy().astype(np.int64)
+        vm = g["sum_value_micro"].to_numpy().astype(np.int64)
+        parts.append(pd.DataFrame({
+            "event_type": et,
+            "day_epoch": g["day_epoch"].to_numpy().astype(np.int64),
+            "n_events": n,
+            "deriv_events": np.diff(n, prepend=0),
+            "cum_events": np.cumsum(n),
+            "mv3_value_micro": pd.Series(vm).rolling(3, min_periods=1).sum().to_numpy().astype(np.int64),
+        }))
+    exp = pd.concat(parts).reset_index(drop=True).astype(
+        {c: "int64" for c in ["day_epoch", "n_events", "deriv_events",
+                              "cum_events", "mv3_value_micro"]})
+    pd.testing.assert_frame_equal(out, exp)
+    # the pipeline columns are genuinely non-trivial on this data
+    assert (out["deriv_events"] != 0).any()
+    assert (out["mv3_value_micro"] != out["sum_value_micro"] if "sum_value_micro" in out else True)
