@@ -791,6 +791,27 @@ GROUP BY m.qid ORDER BY m.qid
 """
 
 
+def _match_len_histogram_sql() -> str:
+    """Numeric histogram agg: per query, OR-match set bucketed by
+    floor(n_chars / interval) × interval."""
+    from engine.pipelines import HIST_INTERVAL
+
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT m.qid, (d.n_chars // {HIST_INTERVAL} * {HIST_INTERVAL})::BIGINT bucket,
+       count(*)::BIGINT n_matches
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _bm25_boosted_terms_sql(k: int) -> str:
     """Term-boost oracle: the (qid, term, boost) table is derived from
     BOOST_QUERIES with the engine's own parser/analyzer (the query set is
@@ -1680,6 +1701,22 @@ ORDER BY qid, source, rank
 """
 
 
+def _composite_buckets_sql() -> str:
+    """Composite-agg page oracle: bucket counts after the exclusive
+    after-key in (source, lang) order, first PAGE rows."""
+    from engine.pipelines import COMPOSITE_AFTER, COMPOSITE_PAGE
+
+    s, l = COMPOSITE_AFTER
+    return f"""
+SELECT source, lang, count(*)::BIGINT n_docs
+FROM documents
+GROUP BY source, lang
+HAVING source > '{s}' OR (source = '{s}' AND lang > '{l}')
+ORDER BY source, lang
+LIMIT {COMPOSITE_PAGE}
+"""
+
+
 def _percolate_sql() -> str:
     """Percolator oracle: presence-set semantics per (doc, rule) — all
     must terms present, no not term present."""
@@ -2071,6 +2108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_percolate": P.ft_percolate,
         # top_hits inside a terms bucket: best n hits per source per query
         "ft_top_hits": lambda sf: P.ft_top_hits(sf, n=3),
+        # composite sources + after-key pagination over (source, lang)
+        "ft_composite_buckets": P.ft_composite_buckets,
+        # numeric histogram agg over match sets (n_chars length profile)
+        "ft_match_len_histogram": P.ft_match_len_histogram,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2230,6 +2271,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_near_ordered": _span_near_ordered_sql(10),
         "ft_percolate": _percolate_sql(),
         "ft_top_hits": _top_hits_sql(3),
+        "ft_composite_buckets": _composite_buckets_sql(),
+        "ft_match_len_histogram": _match_len_histogram_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

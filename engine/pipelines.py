@@ -2007,6 +2007,110 @@ def ft_top_hits(sf_dir: str, n: int = 3) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+# composite-agg pagination: page size and the fixed after-key the driver
+# entry resumes from (ES composite `after`) — exclusive lower bound in
+# (source, lang) key order.
+COMPOSITE_PAGE = 12
+COMPOSITE_AFTER = ("src3", "es")  # mid-space: the page must skip earlier buckets
+
+
+def ft_composite_buckets(sf_dir: str) -> pd.DataFrame:
+    """Composite aggregation (ES `composite` sources + `after` pagination):
+    (source, lang) count buckets in deterministic key order, resumed from
+    an exclusive after-key — the agg ES users page through to EXPORT all
+    buckets of an unbounded-cardinality space.
+
+    Scale shape: per-batch partial counts + ONE groupby-sum (bucket-level
+    rows only leave the scan); the after-key comparison and page cut run
+    on the already-tiny bucket table. At 100 TB the bucket table for
+    high-cardinality sources is itself large — the after-key filter is
+    applied as an Arrow predicate BEFORE collection, so a page pull never
+    materializes the full bucket space. Columns: source, lang, n_docs."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    after_s, after_l = COMPOSITE_AFTER
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": np.asarray(b["source"]),
+                           "lang": np.asarray(b["lang"])})
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    buckets = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        # exclusive after-key in (source, lang) order, pushed pre-collection
+        .filter(expr=f"source > '{after_s}' or (source == '{after_s}' and lang > '{after_l}')")
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .head(COMPOSITE_PAGE)
+        .reset_index(drop=True)
+    )
+    return buckets.astype({"n_docs": "int64"})
+
+
+HIST_INTERVAL = 256  # n_chars bucket width for the numeric histogram agg
+
+
+def ft_match_len_histogram(sf_dir: str) -> pd.DataFrame:
+    """Numeric `histogram` aggregation over FULL match sets (ES histogram
+    with `interval`): per query, matched docs bucketed by
+    floor(n_chars / interval) × interval with counts — the length-profile
+    panel of a result page.
+
+    Scale shape: MatchServer streams (qid, doc_key) rows (never
+    collected) ⋈ keyed n_chars join (corpus-sized side: no broadcast) →
+    per-batch partial bucket counts → ONE small groupby-sum (output is
+    |queries| × |buckets| rows). Columns: qid, bucket, n_matches."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            bucket=(df["n_chars"].to_numpy() // HIST_INTERVAL) * HIST_INTERVAL
+        )
+        g = df.groupby(["qid", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["qid", "bucket"])
+        .aggregate(Sum("n", alias_name="n_matches"))
+        .to_pandas()
+        .sort_values(["qid", "bucket"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"qid": "int64", "bucket": "int64", "n_matches": "int64"})
+
+
 # percolator rule set: (qid, must_terms, not_terms) — a doc "triggers"
 # rule qid when ALL must terms are present and NO not term is. Edge
 # coverage: plain conjunction, a not-clause that prunes, a 3-term

@@ -1034,3 +1034,52 @@ def test_ft_top_hits_vs_duckdb(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_ft_composite_buckets_pagination(ray_session):
+    """Composite page: exclusive after-key honoured, page size capped,
+    values match the SQL oracle."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _composite_buckets_sql
+    from engine.pipelines import COMPOSITE_AFTER, COMPOSITE_PAGE, ft_composite_buckets
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_composite_buckets(sf)
+    assert 0 < len(got) <= COMPOSITE_PAGE
+    s, l = COMPOSITE_AFTER
+    assert ((got["source"] > s) | ((got["source"] == s) & (got["lang"] > l))).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_composite_buckets_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ft_match_len_histogram_vs_duckdb(ray_session):
+    """Histogram buckets sum to the match-set size per query; parity with
+    the SQL oracle."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _match_len_histogram_sql
+    from engine.pipelines import HIST_INTERVAL, ft_match_len_histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_match_len_histogram(sf)
+    assert len(got) > 0
+    assert (got["bucket"] % HIST_INTERVAL == 0).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_match_len_histogram_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
