@@ -1948,6 +1948,63 @@ ORDER BY qid, rank
 """
 
 
+def _tr_dis_max_sql(k: int) -> str:
+    """dis_max oracle: BM25 recomputed per FIELD (text and tool, each with
+    its own tf/dl/df and avgdl = Σdl / n_docs over the SAME n_docs — the
+    engine's A3 convention where every docmap row counts), best field wins
+    per (qid, doc_key)."""
+    from engine.pipelines import _dismax_query_set, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in _dismax_query_set())
+
+    def field_ctes(p: str, col: str) -> str:
+        toks = f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+        return f"""
+{p}tok AS (SELECT doc_key, unnest({toks}) AS term FROM src),
+{p}tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM {p}tok GROUP BY 1, 2),
+{p}dl AS (SELECT doc_key, count(*)::BIGINT dl FROM {p}tok GROUP BY 1),
+{p}stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM {p}dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+{p}df AS (SELECT term, count(*)::BIGINT df FROM {p}tf GROUP BY 1),
+{p}scored AS (
+  SELECT qt.qid, tf.doc_key,
+         floor(sum(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) * 1e6 + 0.5)::BIGINT score_micro
+  FROM qterm qt
+  JOIN {p}df df ON df.term = qt.term
+  JOIN {p}tf tf ON tf.term = qt.term
+  JOIN {p}dl dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN {p}stats s
+  GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH src AS (SELECT doc_key, text, tool FROM read_parquet('{path}')),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),{field_ctes("t", "text")},{field_ctes("k", "tool")},
+best AS (
+  SELECT qid, doc_key, max(score_micro)::BIGINT score_micro FROM (
+    SELECT * FROM tscored UNION ALL SELECT * FROM kscored
+  ) GROUP BY 1, 2
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM best
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_bm25_recency_sql(k: int) -> str:
     """Oracle for tr_bm25_recency: BM25 micro scores scaled by the linear
     integer ppm recency weight (age in whole hours below the corpus max ts,
@@ -2178,6 +2235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parent-child: conversations ranked by sum of matching child-turn
         # scores (ES has_child, score_mode=sum) + inner-hit counts
         "tr_has_child": lambda sf: P.tr_has_child(sf, k=10),
+        # multi-field best_fields: max of per-field BM25 over one index
+        # per field (text + tool)
+        "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
         "tr_bm25_recency": lambda sf: P.tr_bm25_recency(sf, k=10),
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
@@ -2306,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
         "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
         "tr_has_child": _tr_has_child_sql(10),
+        "tr_dis_max": _tr_dis_max_sql(10),
         "tr_bm25_recency": _tr_bm25_recency_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),

@@ -2263,6 +2263,99 @@ def tr_oracle_index(num_shards: int = 8) -> tuple[str, str]:
     return path, idx
 
 
+def tr_tool_index(num_shards: int = 8) -> tuple[str, str]:
+    """(corpus_path, index_dir): secondary FIELD index over the `tool`
+    column of the oracle corpus (text := tool; empty for non-tool turns).
+    Same (conv_id, turn_idx) → identical doc_keys as the text index, which
+    is what makes per-doc cross-field score combination a plain keyed
+    groupby. Multi-field search in this engine = one index per field, the
+    Lucene model."""
+    import ray.data as rd
+
+    path = tr_oracle_corpus_path()
+    key = hashlib.md5(f"trtool|{path}|{num_shards}|v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"trtool-{key}")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            ds = rd.read_parquet(
+                path, columns=["conv_id", "turn_idx", "tool"]
+            ).map_batches(
+                lambda b: b.rename_columns(["conv_id", "turn_idx", "text"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            build_index(ds, idx, num_shards=num_shards, build_id="trtool")
+    return path, idx
+
+
+def _dismax_query_set() -> list[tuple[int, str]]:
+    """Deterministic multi-field query set: seeded text terms with a tool
+    name appended round-robin — every query can score on BOTH fields."""
+    import itertools
+
+    from engine.oracle.bm25 import seeded_query_set
+
+    tools = ["search", "browser", "calculator"]
+    return [
+        (qid, f"{t} {tool}")
+        for (qid, t), tool in zip(seeded_query_set(6, seed=11),
+                                  itertools.cycle(tools))
+    ]
+
+
+def tr_dis_max(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Multi-field dis_max retrieval (ES `dis_max` / `multi_match` with
+    `type: best_fields`, tie_breaker 0): each doc's score is the MAX of
+    its per-field BM25 scores — text field and tool field, each scored
+    against its OWN index with its own stats (df/dl/avgdl), the Lucene
+    one-index-per-field model (tr_tool_index).
+
+    Scale shape: two scored match streams (one ScoredMatchServer pool per
+    field index — never collected) → union → ONE associative
+    groupby(Max) on (qid, doc_key) → per-batch partial top-k + tiny
+    driver merge. Columns: qid, rank, doc_key, score_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from engine.query.engine import ScoredMatchServer
+
+    _path, idx_text = tr_oracle_index()
+    _path2, idx_tool = tr_tool_index()
+    items = [{"qid": q, "text": t} for q, t in _dismax_query_set()]
+
+    def field_stream(idx: str):
+        return rd.from_items(items).map_batches(
+            ScoredMatchServer,
+            fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4,
+            concurrency=2,
+        )
+
+    best = (
+        field_stream(idx_text)
+        .union(field_stream(idx_tool))
+        .groupby(["qid", "doc_key"])
+        .aggregate(Max("score", alias_name="score_micro"))
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "score_micro", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = best.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "score_micro", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def tr_text_identity(sf_dir: str) -> pd.DataFrame:
     """The spec's per-row invariant, driver-checked: every turn the ENGINE's
     committed docmap knows hydrates to the right docID and its source text

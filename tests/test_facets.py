@@ -1083,3 +1083,43 @@ def test_ft_match_len_histogram_vs_duckdb(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_tr_dis_max_vs_oracle(ray_session):
+    """Multi-field best_fields: per-doc max of text-field and tool-field
+    BM25 micro scores, each field scored with its own stats — vs two
+    BM25Oracle recomputes; and the tool field genuinely wins somewhere."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import _dismax_query_set, tr_dis_max, tr_oracle_corpus_path
+
+    k = 10
+    out = tr_dis_max("/root/testdata/sf0.001", k=k)
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    o_text = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    o_tool = BM25Oracle(src["doc_key"].tolist(), src["tool"].tolist())
+    rows = []
+    tool_wins = False
+    for qid, qtext in _dismax_query_set():
+        parts = []
+        for o in (o_text, o_tool):
+            s = o.score_query(qtext)
+            nz = np.nonzero(s)[0]
+            parts.append(pd.DataFrame({
+                "doc_key": o.doc_keys[nz],
+                "m": np.floor(s[nz] * 1e6 + 0.5).astype(np.int64),
+            }))
+        st, sk = parts
+        best = (pd.concat(parts).groupby("doc_key", as_index=False)["m"].max()
+                  .sort_values(["m", "doc_key"], ascending=[False, True],
+                               kind="stable").head(k))
+        tmap = st.set_index("doc_key")["m"]
+        for r, t in enumerate(best.itertuples(), 1):
+            rows.append({"qid": qid, "rank": r, "doc_key": int(t.doc_key),
+                         "score_micro": int(t.m)})
+            tool_wins |= int(t.m) > int(tmap.get(t.doc_key, 0))
+    exp = pd.DataFrame(rows).astype({c: "int64" for c in
+                                     ["qid", "rank", "doc_key", "score_micro"]})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    assert tool_wins, "some top-k hit must be carried by the tool field"
