@@ -791,6 +791,46 @@ GROUP BY m.qid ORDER BY m.qid
 """
 
 
+def _terms_sub_aggs_sql() -> str:
+    """Terms-bucket + metric sub-aggs oracle over the OR-match gate."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT m.qid, d.source, count(*)::BIGINT n_matches,
+       min(d.n_chars)::BIGINT min_chars, max(d.n_chars)::BIGINT max_chars,
+       sum(d.n_chars)::BIGINT sum_chars,
+       (sum(d.n_chars)::BIGINT * 1000000 // count(*)::BIGINT)::BIGINT avg_chars_micro
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _rare_terms_sql() -> str:
+    from engine.pipelines import RARE_MAX_DF
+
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT m.qid, d.n_chars::BIGINT AS "value", count(*)::BIGINT n_matches
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+HAVING count(*) <= {RARE_MAX_DF}
+ORDER BY 1, 2
+"""
+
+
 def _match_len_histogram_sql() -> str:
     """Numeric histogram agg: per query, OR-match set bucketed by
     floor(n_chars / interval) × interval."""
@@ -2169,6 +2209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_composite_buckets": P.ft_composite_buckets,
         # numeric histogram agg over match sets (n_chars length profile)
         "ft_match_len_histogram": P.ft_match_len_histogram,
+        # terms bucket + metric sub-aggs; rare_terms long-tail buckets
+        "ft_terms_sub_aggs": P.ft_terms_sub_aggs,
+        "ft_rare_terms": P.ft_rare_terms,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2333,6 +2376,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_top_hits": _top_hits_sql(3),
         "ft_composite_buckets": _composite_buckets_sql(),
         "ft_match_len_histogram": _match_len_histogram_sql(),
+        "ft_terms_sub_aggs": _terms_sub_aggs_sql(),
+        "ft_rare_terms": _rare_terms_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

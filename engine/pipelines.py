@@ -2052,6 +2052,133 @@ def ft_composite_buckets(sf_dir: str) -> pd.DataFrame:
     return buckets.astype({"n_docs": "int64"})
 
 
+RARE_MAX_DF = 3  # rare_terms: bucket values with at most this many matches
+
+
+def ft_terms_sub_aggs(sf_dir: str) -> pd.DataFrame:
+    """Terms aggregation with METRIC SUB-AGGREGATIONS (the core ES
+    bucket+metric composition: `terms` on source, inside it `min`/`max`/
+    `sum`/`value_count` on n_chars) over each query's FULL match set —
+    avg is carried as the exact integer pair (sum, count) plus a
+    micro-int floor-division, keeping the whole row hashable.
+
+    Scale shape: match stream ⋈ keyed attr join → per-batch PARTIAL
+    min/max/sum/count per (qid, source) → ONE small groupby combining the
+    partials (Min/Max/Sum — all associative). |queries| × |sources| rows
+    out. Columns: qid, source, n_matches, min_chars, max_chars,
+    sum_chars, avg_chars_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "source", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["qid", "source"], as_index=False).agg(
+            n=("n_chars", "size"), mn=("n_chars", "min"),
+            mx=("n_chars", "max"), sm=("n_chars", "sum"),
+        )
+        return g
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["qid", "source"])
+        .aggregate(Sum("n", alias_name="n_matches"),
+                   Min("mn", alias_name="min_chars"),
+                   Max("mx", alias_name="max_chars"),
+                   Sum("sm", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values(["qid", "source"])
+        .reset_index(drop=True)
+    )
+    out["avg_chars_micro"] = (
+        out["sum_chars"].astype("int64") * 1_000_000
+        // out["n_matches"].astype("int64")
+    )
+    return out.astype({c: "int64" for c in
+                       ["qid", "n_matches", "min_chars", "max_chars",
+                        "sum_chars", "avg_chars_micro"]})
+
+
+def ft_rare_terms(sf_dir: str) -> pd.DataFrame:
+    """Rare-terms aggregation (ES `rare_terms`: the long tail the `terms`
+    agg's size cutoff hides): per query, the `n_chars` values (a
+    high-cardinality keyword-like field) matched by at most RARE_MAX_DF
+    docs in the FULL match set, with their counts.
+
+    Scale shape: identical to the facet pipeline (match stream ⋈ keyed
+    attr join → partial counts → ONE groupby-sum) plus a bucket-level
+    threshold filter BEFORE collection — the rarity predicate runs on the
+    aggregated bucket table, never on doc rows. Columns: qid, value,
+    n_matches."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["qid", "value"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["qid", "value"])
+        .aggregate(Sum("n", alias_name="n_matches"))
+        .filter(expr=f"n_matches <= {RARE_MAX_DF}")
+        .to_pandas()
+    )
+    cols = ["qid", "value", "n_matches"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "value"]).reset_index(drop=True)[cols]
+    return out.astype({c: "int64" for c in cols})
+
+
 HIST_INTERVAL = 256  # n_chars bucket width for the numeric histogram agg
 
 

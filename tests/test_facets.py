@@ -1123,3 +1123,58 @@ def test_tr_dis_max_vs_oracle(ray_session):
                                      ["qid", "rank", "doc_key", "score_micro"]})
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
     assert tool_wins, "some top-k hit must be carried by the tool field"
+
+
+def test_ft_terms_sub_aggs_vs_duckdb(ray_session):
+    """Bucket metrics (min/max/sum/exact integer avg) per (query, source)
+    match DuckDB, and the integer-pair avg is consistent."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _terms_sub_aggs_sql
+    from engine.pipelines import ft_terms_sub_aggs
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_terms_sub_aggs(sf)
+    assert len(got) > 0
+    assert (got["avg_chars_micro"]
+            == got["sum_chars"] * 1_000_000 // got["n_matches"]).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_terms_sub_aggs_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ft_rare_terms_vs_duckdb(ray_session):
+    """rare_terms keeps only buckets at or under the df ceiling and the
+    threshold actually prunes something."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _rare_terms_sql
+    from engine.pipelines import RARE_MAX_DF, ft_rare_terms, ft_terms_sub_aggs
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_rare_terms(sf)
+    assert len(got) > 0
+    assert (got["n_matches"] <= RARE_MAX_DF).all()
+    _ = ft_terms_sub_aggs  # bucket-family sibling
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_rare_terms_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+    # the ceiling genuinely prunes: the un-thresholded bucket table is bigger
+    no_having = _rare_terms_sql().replace(
+        f"HAVING count(*) <= {RARE_MAX_DF}", "")
+    n_all = len(con.execute(no_having).fetchdf())
+    assert len(got) < n_all
