@@ -811,6 +811,21 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _term_vectors_sql() -> str:
+    """Term-vectors oracle: tf by retokenizing the requested docs, df over
+    the whole corpus."""
+    from engine.pipelines import TV_DOC_IDS
+
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH {_TOK_CTE}
+SELECT t.doc_id, t.term, t.tf, d.df
+FROM tf t JOIN df d ON d.term = t.term
+WHERE t.doc_id IN ({ids})
+ORDER BY t.doc_id, t.term
+"""
+
+
 def _rare_terms_sql() -> str:
     from engine.pipelines import RARE_MAX_DF
 
@@ -1988,6 +2003,32 @@ ORDER BY qid, rank
 """
 
 
+def _tr_sort_by_field_sql(k: int) -> str:
+    """Field-sort oracle: OR-match gate, ordered by (ts desc, doc_key asc)."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, epoch_us(ts)::BIGINT ts_us, text FROM read_parquet('{path}')),
+tok AS (SELECT DISTINCT doc_key, unnest({_TOKS}) AS term FROM src),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, t.doc_key FROM qterm qt JOIN tok t ON t.term = qt.term)
+SELECT qid, rank, doc_key, ts_us FROM (
+  SELECT m.qid, m.doc_key, s.ts_us,
+         row_number() OVER (PARTITION BY m.qid ORDER BY s.ts_us DESC, m.doc_key ASC)::BIGINT rank
+  FROM m JOIN src s ON s.doc_key = m.doc_key
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_dis_max_sql(k: int) -> str:
     """dis_max oracle: BM25 recomputed per FIELD (text and tool, each with
     its own tf/dl/df and avgdl = Σdl / n_docs over the SAME n_docs — the
@@ -2212,6 +2253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # terms bucket + metric sub-aggs; rare_terms long-tail buckets
         "ft_terms_sub_aggs": P.ft_terms_sub_aggs,
         "ft_rare_terms": P.ft_rare_terms,
+        # _termvectors: per-doc (term, tf) + corpus df, index-native
+        "ft_term_vectors": P.ft_term_vectors,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2281,6 +2324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-field best_fields: max of per-field BM25 over one index
         # per field (text + tool)
         "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
+        # field-sorted retrieval: newest matching turns first
+        "tr_sort_by_field": lambda sf: P.tr_sort_by_field(sf, k=10),
         "tr_bm25_recency": lambda sf: P.tr_bm25_recency(sf, k=10),
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
@@ -2378,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_match_len_histogram": _match_len_histogram_sql(),
         "ft_terms_sub_aggs": _terms_sub_aggs_sql(),
         "ft_rare_terms": _rare_terms_sql(),
+        "ft_term_vectors": _term_vectors_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),
@@ -2412,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
         "tr_has_child": _tr_has_child_sql(10),
         "tr_dis_max": _tr_dis_max_sql(10),
+        "tr_sort_by_field": _tr_sort_by_field_sql(10),
         "tr_bm25_recency": _tr_bm25_recency_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),

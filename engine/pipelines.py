@@ -2052,6 +2052,67 @@ def ft_composite_buckets(sf_dir: str) -> pd.DataFrame:
     return buckets.astype({"n_docs": "int64"})
 
 
+# term-vectors request: the doc set whose vectors the driver entry serves
+TV_DOC_IDS = [0, 5, 17, 42]
+
+
+def ft_term_vectors(sf_dir: str) -> pd.DataFrame:
+    """Term vectors (ES `_termvectors` with `term_statistics: true`): for a
+    requested doc set, each document's (term, tf) pairs plus every term's
+    corpus df — served INDEX-NATIVELY, no tokenization at request time:
+    tf comes from the positional occurrence sidecar (the engine's forward
+    view of the token stream) filtered to the doc set with a parquet
+    predicate pushdown, df from the committed term_stats artifact
+    (engine/index/build.py::ensure_term_stats).
+
+    Scale shape: a doc's occurrences hash across ALL term partitions, so
+    the read scans every partition but the doc_key predicate prunes at
+    the row-group level and only requested-doc rows leave the scan
+    (request-bounded); tf is a per-batch partial + ONE groupby-sum; df
+    attaches via a keyed join against the vocab-sized stats table (no
+    broadcast). Columns: doc_id, term, tf, df."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_index(sf_dir)
+    pos_dir = documents_positions(sf_dir)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"doc_id": np.asarray(b["doc_key"]),
+                           "term": np.asarray(b["term"])})
+        g = df.groupby(["doc_id", "term"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    occ = rd.read_parquet(
+        os.path.join(pos_dir, "data"),
+        columns=["term", "doc_key"],
+        filter=pads.field("doc_key").isin(TV_DOC_IDS),
+    )
+    tf = (
+        occ.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_id", "term"])
+        .aggregate(Sum("n", alias_name="tf"))
+    )
+    stats = rd.read_parquet(ensure_term_stats(idx), columns=["term", "df"])
+    jargs = join_args(n_joins=1)
+    out = (
+        tf.join(stats, "inner", jargs.pop("num_partitions"), on=("term",), **jargs)
+        .to_pandas()
+    )
+    cols = ["doc_id", "term", "tf", "df"]
+    if len(out) == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"), "term": pd.Series([], dtype="object"),
+            "tf": pd.Series([], dtype="int64"), "df": pd.Series([], dtype="int64"),
+        })
+    out = out.sort_values(["doc_id", "term"]).reset_index(drop=True)[cols]
+    return out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+
+
 RARE_MAX_DF = 3  # rare_terms: bucket values with at most this many matches
 
 
@@ -3016,6 +3077,65 @@ def tr_has_child(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = out[out["rank"] <= k][cols].reset_index(drop=True)
     return out.astype({"qid": "int64", "rank": "int64",
                        "sum_micro": "int64", "n_hits": "int64"})
+
+
+def tr_sort_by_field(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Field-sorted retrieval (ES ``sort: [{ts: desc}]``): each query's
+    matching turns ordered by timestamp (newest first, doc_key asc
+    tie-break) instead of relevance — the audit-log / activity-feed view.
+
+    Scale shape: match stream (MatchServer — never collected) ⋈ keyed ts
+    join (corpus-sized side: no broadcast) → per-batch partial top-k on
+    (ts desc, doc_key asc) → tiny driver merge. No global sort: the sort
+    key reduction is the same partial-top-k shape as the score path.
+    Columns: qid, rank, doc_key, ts_us."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import MatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_key": b["doc_key"],
+            "ts_us": b["ts"].cast(pa.int64()),
+        })
+
+    ts_ds = rd.read_parquet(path, columns=["doc_key", "ts"]).map_batches(
+        to_us, batch_format="pyarrow", zero_copy_batch=True
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        ts_ds, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "ts_us", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = joined.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "doc_key", "ts_us"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "ts_us", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
 
 
 def tr_conv_stats(sf_dir: str) -> pd.DataFrame:

@@ -1178,3 +1178,63 @@ def test_ft_rare_terms_vs_duckdb(ray_session):
         f"HAVING count(*) <= {RARE_MAX_DF}", "")
     n_all = len(con.execute(no_having).fetchdf())
     assert len(got) < n_all
+
+
+def test_tr_sort_by_field_vs_oracle(ray_session):
+    """Field-sorted retrieval: newest-first within each query, and every
+    hit is a genuine match — vs a pandas recompute."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle, seeded_query_set
+    from engine.pipelines import tr_oracle_corpus_path, tr_sort_by_field
+
+    k = 10
+    out = tr_sort_by_field("/root/testdata/sf0.001", k=k)
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    oracle = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    ts_us = src.set_index("doc_key")["ts"].astype("int64")
+    if ts_us.iloc[0] > 10**16:  # ns-resolution frame
+        ts_us = ts_us // 1000
+    rows = []
+    for qid, qtext in seeded_query_set(20, seed=7):
+        s = oracle.score_query(qtext)
+        nz = oracle.doc_keys[np.nonzero(s)[0]]
+        df = pd.DataFrame({"doc_key": nz, "ts_us": ts_us.loc[nz].to_numpy()})
+        df = df.sort_values(["ts_us", "doc_key"], ascending=[False, True],
+                            kind="stable").head(k)
+        for r, t in enumerate(df.itertuples(), 1):
+            rows.append({"qid": qid, "rank": r, "doc_key": int(t.doc_key),
+                         "ts_us": int(t.ts_us)})
+    exp = pd.DataFrame(rows).astype({c: "int64" for c in
+                                     ["qid", "rank", "doc_key", "ts_us"]})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    for _qid, g in out.groupby("qid"):
+        assert (g["ts_us"].diff().dropna() <= 0).all()
+
+
+def test_ft_term_vectors_vs_analyzer(ray_session):
+    """Term vectors served from the index equal a fresh analyzer recompute
+    (tf) and the corpus df for every term of every requested doc."""
+    import pandas as pd
+
+    from engine.pipelines import TV_DOC_IDS, ft_term_vectors
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = ft_term_vectors(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    tok = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
+    dfc: dict[str, int] = {}
+    for ts in tok.values():
+        for t in set(ts):
+            dfc[t] = dfc.get(t, 0) + 1
+    rows = []
+    for d in TV_DOC_IDS:
+        cnt: dict[str, int] = {}
+        for t in tok[d]:
+            cnt[t] = cnt.get(t, 0) + 1
+        for t in sorted(cnt):
+            rows.append({"doc_id": d, "term": t, "tf": cnt[t], "df": dfc[t]})
+    exp = pd.DataFrame(rows).astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
