@@ -2346,6 +2346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean,
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
+        # knn with filter: pre-filtered exact cosine within the query's label
+        "ann_filtered_topk": lambda sf: ann.filtered_cosine_topk(sf, n_queries=5, k=10),
         # per-label embedding centroids (order-free integer-exact sums)
         "emb_label_centroids": ann.label_centroids,
         # kNN graph seed: every vector's nearest other vector. Exact
@@ -2712,6 +2714,19 @@ sims AS (
   SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
          floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
   FROM embeddings e JOIN q ON e.vec_id <> q.qid
+)
+SELECT qid, rank, vec_id, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
+  FROM sims
+) WHERE rank <= 10 ORDER BY qid, rank
+""",
+        "ann_filtered_topk": """
+WITH q AS (SELECT vec_id qid, label, embedding FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid AND e.label = q.label
 )
 SELECT qid, rank, vec_id, sim_micro FROM (
   SELECT qid, vec_id, sim_micro,

@@ -27,10 +27,13 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _read_embeddings(sf_dir: str):
+def _read_embeddings(sf_dir: str, extra_columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", *(extra_columns or [])],
+    )
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -492,3 +495,53 @@ def ivf_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10, n_lists: int = 16,
     q_ids = qdf["vec_id"].to_numpy()
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     return ivf_query(index_dir, q_ids, qm, k=k, nprobe=nprobe)
+
+
+def filtered_cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """FILTERED vector search (ES `knn` with `filter`): exact top-k cosine
+    neighbours of the first ``n_queries`` vectors restricted to candidates
+    sharing the query vector's OWN `label` (self excluded) — the
+    "similar items within my category" query.
+
+    Scale shape: same as cosine_topk (broadcast query matrix, one scan,
+    per-batch partial top-k, tiny exact merge) with the attribute
+    predicate applied INSIDE the batch as a vectorized mask BEFORE the
+    partial top-k — pre-filtering, so k survivors per batch are guaranteed
+    to satisfy the filter (ES post-filtering can return < k; this path
+    cannot, short of the category running dry).
+    Output: (qid, rank, vec_id, sim_micro)."""
+    import ray
+
+    ds = _read_embeddings(sf_dir, extra_columns=["label"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy()
+    q_labels = qdf["label"].to_numpy().astype(np.int64)
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]))
+    q_ref = ray.put((q_ids, qm, q_labels))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, qlab = ray.get(q_ref)
+        ids, mat = _to_matrix(batch)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        sims = _normalize(mat) @ qmat.T
+        sim_micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            mask = (labels == qlab[j]) & (ids != qid)
+            vids, s = ids[mask], sim_micro[mask, j]
+            if s.size > k:
+                kth = np.partition(-s, k - 1)[k - 1]
+                keep = s >= -kth
+                vids, s = vids[keep], s[keep]
+            order = np.lexsort((vids, -s))[:k]
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_v.append(vids[order])
+            out_s.append(s[order])
+        return pa.table({
+            "qid": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_v).astype(np.int64),
+            "sim_micro": np.concatenate(out_s),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _merge_topk(cand, k)

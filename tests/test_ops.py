@@ -1625,3 +1625,22 @@ def test_ev_pipeline_aggs_vs_pandas(ray_session):
     # the pipeline columns are genuinely non-trivial on this data
     assert (out["deriv_events"] != 0).any()
     assert (out["mv3_value_micro"] != out["sum_value_micro"] if "sum_value_micro" in out else True)
+
+
+def test_ann_filtered_topk_semantics(ray_session):
+    """Filtered kNN: every neighbour shares the query's label, self is
+    excluded, and the filter genuinely changes the unfiltered ranking."""
+    from engine.ops.ann import cosine_topk, filtered_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = filtered_cosine_topk(sf, n_queries=5, k=10)
+    assert len(got) > 0
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+    lab = emb.set_index("vec_id")["label"]
+    assert (got["vec_id"] != got["qid"]).all()
+    for r in got.itertuples():
+        assert lab.loc[int(r.vec_id)] == lab.loc[int(r.qid)]
+    plain = cosine_topk(sf, n_queries=5, k=10)
+    merged = got.merge(plain, on=["qid", "rank"], suffixes=("_f", "_p"))
+    assert (merged["vec_id_f"] != merged["vec_id_p"]).any(), \
+        "label filter must change some ranking"
