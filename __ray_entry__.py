@@ -811,6 +811,29 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _diversified_sampler_sql() -> str:
+    """Sampler oracle: first SAMPLER_SHARD docs per (qid, source) in
+    doc_id order over the OR-match gate."""
+    from engine.pipelines import SAMPLER_SHARD
+
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT qid, source, doc_id FROM (
+  SELECT m.qid, d.source, m.doc_id,
+         row_number() OVER (PARTITION BY m.qid, d.source ORDER BY m.doc_id ASC) rn
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+) WHERE rn <= {SAMPLER_SHARD}
+ORDER BY qid, source, doc_id
+"""
+
+
 def _term_vectors_sql() -> str:
     """Term-vectors oracle: tf by retokenizing the requested docs, df over
     the whole corpus."""
@@ -2255,6 +2278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_rare_terms": P.ft_rare_terms,
         # _termvectors: per-doc (term, tf) + corpus df, index-native
         "ft_term_vectors": P.ft_term_vectors,
+        # diversified sampler: deterministic ≤m-per-source match sample
+        "ft_diversified_sampler": P.ft_diversified_sampler,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2426,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_terms_sub_aggs": _terms_sub_aggs_sql(),
         "ft_rare_terms": _rare_terms_sql(),
         "ft_term_vectors": _term_vectors_sql(),
+        "ft_diversified_sampler": _diversified_sampler_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

@@ -2113,6 +2113,74 @@ def ft_term_vectors(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
 
 
+SAMPLER_SHARD = 2  # diversified_sampler: max docs kept per (query, source)
+
+
+def ft_diversified_sampler(sf_dir: str) -> pd.DataFrame:
+    """Diversified sampler aggregation (ES `diversified_sampler` with
+    `max_docs_per_value`): a deterministic sample of each query's match
+    set keeping at most SAMPLER_SHARD docs per `source` value — the
+    de-bias stage run before expensive sub-aggregations so one dominant
+    source can't swamp them. Determinism: within a bucket docs are kept
+    in doc_key order (the stable tie-break every ranking in this engine
+    uses), making the "sample" reproducible and SQL-checkable.
+
+    Scale shape: match stream ⋈ keyed attr join → per-batch partial
+    keep-first-m per (qid, source) → ONE groupby.map_groups final
+    keep-first-m over the ≤ batches × m survivors per bucket.
+    Columns: qid, source, doc_id."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "source"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "source", "doc_key"], kind="stable")
+        return df.groupby(["qid", "source"], sort=False).head(SAMPLER_SHARD)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_key", kind="stable").head(SAMPLER_SHARD)
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["qid", "source"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["qid", "source", "doc_id"]
+    if len(out) == 0:
+        return pd.DataFrame({
+            "qid": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+            "doc_id": pd.Series([], dtype="int64"),
+        })
+    out = out.rename(columns={"doc_key": "doc_id"})
+    out = out.sort_values(cols).reset_index(drop=True)[cols]
+    return out.astype({"qid": "int64", "doc_id": "int64"})
+
+
 RARE_MAX_DF = 3  # rare_terms: bucket values with at most this many matches
 
 

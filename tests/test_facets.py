@@ -1238,3 +1238,29 @@ def test_ft_term_vectors_vs_analyzer(ray_session):
             rows.append({"doc_id": d, "term": t, "tf": cnt[t], "df": dfc[t]})
     exp = pd.DataFrame(rows).astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_ft_diversified_sampler_vs_duckdb(ray_session):
+    """Sampler: ≤ m docs per (query, source), deterministic keep-lowest
+    doc_key order, and the cap genuinely drops docs somewhere."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _diversified_sampler_sql
+    from engine.pipelines import SAMPLER_SHARD, ft_diversified_sampler
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_diversified_sampler(sf)
+    assert len(got) > 0
+    sizes = got.groupby(["qid", "source"]).size()
+    assert (sizes <= SAMPLER_SHARD).all()
+    assert (sizes == SAMPLER_SHARD).any(), "cap must bind somewhere"
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_diversified_sampler_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
