@@ -811,6 +811,46 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _extended_stats_sql() -> str:
+    """extended_stats oracle: integer-exact moments over the OR-match gate."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term)
+SELECT qid, n_matches, min_chars, max_chars, sum_chars, sum_sq_chars,
+       (n_matches * sum_sq_chars - sum_chars * sum_chars)::BIGINT var_num
+FROM (
+  SELECT m.qid, count(*)::BIGINT n_matches,
+         min(d.n_chars)::BIGINT min_chars, max(d.n_chars)::BIGINT max_chars,
+         sum(d.n_chars)::BIGINT sum_chars,
+         sum(d.n_chars::BIGINT * d.n_chars::BIGINT)::BIGINT sum_sq_chars
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.qid
+) ORDER BY qid
+"""
+
+
+def _ev_max_bucket_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT day_epoch, event_type,
+         count(*)::BIGINT n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_epoch, n_events FROM (
+  SELECT event_type, day_epoch, n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, day_epoch ASC) rn
+  FROM daily
+) WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def _diversified_sampler_sql() -> str:
     """Sampler oracle: first SAMPLER_SHARD docs per (qid, source) in
     doc_id order over the OR-match gate."""
@@ -2280,6 +2320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_vectors": P.ft_term_vectors,
         # diversified sampler: deterministic ≤m-per-source match sample
         "ft_diversified_sampler": P.ft_diversified_sampler,
+        # extended_stats: integer-exact moments incl. the variance pair
+        "ft_extended_stats": P.ft_extended_stats,
+        # max_bucket sibling pipeline agg over the daily histogram
+        "ev_max_bucket": P.ev_max_bucket,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
         "ft_significant_terms": lambda sf: P.ft_significant_terms(sf, top_n=5),
         "ft_match_percentiles": P.ft_match_percentiles,
@@ -2452,6 +2496,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_rare_terms": _rare_terms_sql(),
         "ft_term_vectors": _term_vectors_sql(),
         "ft_diversified_sampler": _diversified_sampler_sql(),
+        "ft_extended_stats": _extended_stats_sql(),
+        "ev_max_bucket": _ev_max_bucket_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

@@ -2113,6 +2113,86 @@ def ft_term_vectors(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
 
 
+def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
+    """Extended-stats aggregation (ES `extended_stats`): count / min / max /
+    sum / sum-of-squares of n_chars over each query's FULL match set, plus
+    the variance carried EXACTLY as the integer numerator
+    n·Σx² − (Σx)² (denominator n² is implied by n) — no float in the row,
+    so the driver hash is stable and the math is auditable.
+
+    Scale shape: match stream ⋈ keyed attr join → per-batch partial
+    (count, min, max, sum, sum_sq) → ONE associative groupby combine.
+    Columns: qid, n_matches, min_chars, max_chars, sum_chars,
+    sum_sq_chars, var_num."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].astype("int64")
+        g = df.assign(sq=x * x).groupby("qid", as_index=False).agg(
+            n=("n_chars", "size"), mn=("n_chars", "min"), mx=("n_chars", "max"),
+            sm=("n_chars", "sum"), sq=("sq", "sum"),
+        )
+        return g
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("qid")
+        .aggregate(Sum("n", alias_name="n_matches"),
+                   Min("mn", alias_name="min_chars"),
+                   Max("mx", alias_name="max_chars"),
+                   Sum("sm", alias_name="sum_chars"),
+                   Sum("sq", alias_name="sum_sq_chars"))
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    n = out["n_matches"].astype("int64")
+    s = out["sum_chars"].astype("int64")
+    out["var_num"] = n * out["sum_sq_chars"].astype("int64") - s * s
+    return out.astype({c: "int64" for c in out.columns})
+
+
+def ev_max_bucket(sf_dir: str) -> pd.DataFrame:
+    """max_bucket sibling-pipeline aggregation (ES `max_bucket`): for each
+    event_type, the day bucket with the highest event count (earliest day
+    wins ties — deterministic). Runs over the ALREADY-aggregated daily
+    series from the same linear reduction as ev_pipeline_aggs.
+    Columns: event_type, day_epoch, n_events."""
+    from engine.ops.relational import events_pipeline_aggs
+
+    daily = events_pipeline_aggs(sf_dir)[["event_type", "day_epoch", "n_events"]]
+    daily = daily.sort_values(["event_type", "n_events", "day_epoch"],
+                              ascending=[True, False, True], kind="stable")
+    out = daily.groupby("event_type", sort=True).head(1).reset_index(drop=True)
+    return out.astype({"day_epoch": "int64", "n_events": "int64"})
+
+
 SAMPLER_SHARD = 2  # diversified_sampler: max docs kept per (query, source)
 
 

@@ -1264,3 +1264,52 @@ def test_ft_diversified_sampler_vs_duckdb(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_ft_extended_stats_vs_duckdb(ray_session):
+    """Integer-exact moments: DuckDB parity plus the variance-numerator
+    identity n·Σx² − (Σx)² ≥ 0 with equality iff all values equal."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _extended_stats_sql
+    from engine.pipelines import ft_extended_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_extended_stats(sf)
+    assert len(got) > 0
+    assert (got["var_num"] >= 0).all()
+    const = got["min_chars"] == got["max_chars"]
+    assert (got.loc[const, "var_num"] == 0).all()
+    assert (got.loc[~const, "var_num"] > 0).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_extended_stats_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ev_max_bucket_vs_pandas(ray_session):
+    """max_bucket picks each type's busiest day (earliest wins ties)."""
+    import pandas as pd
+
+    from engine.pipelines import ev_max_bucket
+
+    sf = "/root/testdata/sf0.001"
+    got = ev_max_bucket(sf)
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["day_epoch"] = (
+        (ev["ts"].dt.floor("D") - pd.Timestamp(0)).dt.total_seconds().astype("int64")
+    )
+    daily = (ev.groupby(["event_type", "day_epoch"], as_index=False).size()
+               .rename(columns={"size": "n_events"})
+               .sort_values(["event_type", "n_events", "day_epoch"],
+                            ascending=[True, False, True], kind="stable"))
+    exp = (daily.groupby("event_type", sort=True).head(1)
+                .reset_index(drop=True)
+                .astype({"day_epoch": "int64", "n_events": "int64"}))
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
