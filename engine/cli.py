@@ -103,6 +103,11 @@ def main(argv=None):
     dn = sub.add_parser("densify")
     dn.add_argument("--index", required=True)
 
+    sn = sub.add_parser("snapshot", help="point-in-time hardlinked queryable "
+                        "copy of an index (segments+docmap+deletes+manifest)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--convs", type=int, required=True)
@@ -239,6 +244,10 @@ def main(argv=None):
             from engine.query.densify import densify_index
 
             print(json.dumps(densify_index(args.index)))
+        elif args.verb == "snapshot":
+            from engine.index.snapshot import create_snapshot
+
+            print(json.dumps(create_snapshot(args.index, args.out)))
         elif args.verb == "clean":
             import pyarrow as pa
             import pyarrow.parquet as pq
