@@ -811,6 +811,24 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _autocomplete_sql() -> str:
+    """Autocomplete oracle: distinct-doc count of tokens extending each
+    probe prefix (token LIKE 'p%')."""
+    from engine.pipelines import AUTOCOMPLETE_PREFIXES
+
+    rows = ", ".join(f"('{p}')" for p in AUTOCOMPLETE_PREFIXES)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) term FROM documents
+),
+p(prefix) AS (VALUES {rows})
+SELECT p.prefix, count(DISTINCT tok.doc_id)::BIGINT df
+FROM p JOIN tok ON tok.term LIKE p.prefix || '%'
+GROUP BY p.prefix
+ORDER BY p.prefix
+"""
+
+
 def _extended_stats_sql() -> str:
     """extended_stats oracle: integer-exact moments over the OR-match gate."""
     return f"""
@@ -2322,6 +2340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_diversified_sampler": P.ft_diversified_sampler,
         # extended_stats: integer-exact moments incl. the variance pair
         "ft_extended_stats": P.ft_extended_stats,
+        # edge-ngram autocomplete: prefix df as exact term lookups
+        "ft_autocomplete": P.ft_autocomplete,
         # max_bucket sibling pipeline agg over the daily histogram
         "ev_max_bucket": P.ev_max_bucket,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
@@ -2497,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_vectors": _term_vectors_sql(),
         "ft_diversified_sampler": _diversified_sampler_sql(),
         "ft_extended_stats": _extended_stats_sql(),
+        "ft_autocomplete": _autocomplete_sql(),
         "ev_max_bucket": _ev_max_bucket_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),

@@ -2113,6 +2113,46 @@ def ft_term_vectors(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
 
 
+# autocomplete probes (len within the edge analyzer's gram window)
+AUTOCOMPLETE_PREFIXES = ("ha", "sca", "cust", "quer", "zzqq")
+
+
+def documents_edge_index(sf_dir: str, num_shards: int = 8) -> str:
+    """Build (once per corpus CONTENT) the edge-n-gram AUTOCOMPLETE index
+    over documents: same build machinery, `edge_ngram` analyzer plugin
+    (engine/text/analyzer.py::EdgeNGramAnalyzer) — each token contributes
+    its 2..8-char prefixes, so prefix df/tf lookups are exact term matches
+    instead of dictionary scans."""
+    fp = _src_fp(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|{num_shards}|{fp}|edge-v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"edge-{key}")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            build_index(documents_corpus(sf_dir), idx, num_shards=num_shards,
+                        build_id="edge", analyzer="edge_ngram", exchange="sort")
+    return idx
+
+
+def ft_autocomplete(sf_dir: str) -> pd.DataFrame:
+    """Index-native autocomplete counts (ES `search_as_you_type` /
+    edge-ngram completion): for each probe prefix, the number of documents
+    containing a token completing it — an EXACT TERM LOOKUP in the
+    edge-n-gram index's committed term_stats (freshness-sealed via
+    ensure_term_stats), zero dictionary scans at query time; contrast with
+    X7 term suggest, which scans dictionaries. Prefixes with no
+    completions produce no row. Columns: prefix, df."""
+    import pyarrow.parquet as pqt
+
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_edge_index(sf_dir)
+    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    hit = stats[stats["term"].isin(AUTOCOMPLETE_PREFIXES)]
+    out = hit.rename(columns={"term": "prefix"})[["prefix", "df"]]
+    out = out.sort_values("prefix").reset_index(drop=True)
+    return out.astype({"df": "int64"})
+
+
 def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
     """Extended-stats aggregation (ES `extended_stats`): count / min / max /
     sum / sum-of-squares of n_chars over each query's FULL match set, plus

@@ -142,9 +142,62 @@ class NFKCAnalyzer(Analyzer):
         return self._RE.findall(unicodedata.normalize("NFKC", text).casefold())
 
 
+class EdgeNGramAnalyzer(Analyzer):
+    """Edge-n-gram analyzer (ES `edge_ngram` token filter): every base
+    token (default grammar) additionally emits its prefixes of length
+    MIN_GRAM..min(len, MAX_GRAM) — the index-native autocomplete path,
+    where a prefix lookup is an exact term match instead of a dictionary
+    scan. Base tokens shorter than MIN_GRAM emit nothing (ES default).
+
+    The vectorized path reorders grams doc-grouped (g-major within a doc),
+    NOT text-order — tf/df/dl are order-invariant, which is all this
+    index family serves; positional artifacts should not be built with
+    this analyzer."""
+
+    name = "edge_ngram"
+    MIN_GRAM = 2
+    MAX_GRAM = 8
+
+    def __init__(self):
+        self._base = Analyzer()
+
+    def tokens(self, text: str) -> list[str]:
+        out: list[str] = []
+        for t in self._base.tokens(text):
+            for g in range(self.MIN_GRAM, min(len(t), self.MAX_GRAM) + 1):
+                out.append(t[:g])
+        return out
+
+    def tokenize_arrow(self, texts):
+        import pyarrow.compute as pc
+
+        base, dl = self._base.tokenize_arrow(texts)
+        n = int(dl.size)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), dl.astype(np.int64))
+        # token grammar is [a-z0-9]+ → 1 byte per codeunit, length is cheap
+        lens = pc.utf8_length(base).to_numpy(zero_copy_only=False)
+        gram_parts, doc_parts = [], []
+        for g in range(self.MIN_GRAM, self.MAX_GRAM + 1):
+            mask = lens >= g
+            if not mask.any():
+                break
+            sel = pa.array(mask)
+            gram_parts.append(pc.utf8_slice_codeunits(base.filter(sel), 0, g))
+            doc_parts.append(doc_of[mask])
+        if not gram_parts:
+            return pa.array([], type=pa.large_string()), np.zeros(n, dtype=np.int32)
+        docs_all = np.concatenate(doc_parts)
+        grams_all = pa.concat_arrays([a.cast(pa.large_string()) for a in gram_parts])
+        order = np.argsort(docs_all, kind="stable")  # doc-grouped stream
+        flat = grams_all.take(pa.array(order))
+        out_dl = np.bincount(docs_all, minlength=n).astype(np.int32)
+        return flat, out_dl
+
+
 _REGISTRY: dict[str, tuple[type, bool]] = {
     "default": (Analyzer, False),
     "nfkc": (NFKCAnalyzer, False),
+    "edge_ngram": (EdgeNGramAnalyzer, False),
 }
 
 

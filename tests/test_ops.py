@@ -1644,3 +1644,45 @@ def test_ann_filtered_topk_semantics(ray_session):
     merged = got.merge(plain, on=["qid", "rank"], suffixes=("_f", "_p"))
     assert (merged["vec_id_f"] != merged["vec_id_p"]).any(), \
         "label filter must change some ranking"
+
+
+class TestEdgeNGram:
+    def test_analyzer_row_arrow_multiset_parity(self):
+        """Vectorized path emits the same per-doc gram MULTISET as the
+        per-row path (order differs by design)."""
+        from engine.text.analyzer import EdgeNGramAnalyzer
+
+        an = EdgeNGramAnalyzer()
+        texts = ["hash join a", "scanner", "", "x yz", "HASH-scan x0",
+                 "supercalifragilistic"]
+        rows = [an.tokens(t) for t in texts]
+        flat, dl = an.tokenize_arrow(texts)
+        flat = flat.to_pylist()
+        pos = 0
+        for i, r in enumerate(rows):
+            got = flat[pos:pos + dl[i]]
+            pos += dl[i]
+            assert sorted(got) == sorted(r), (i, got, r)
+        # gram window honoured: nothing shorter than MIN or longer than MAX
+        assert all(an.MIN_GRAM <= len(t) <= an.MAX_GRAM for r in rows for t in r)
+
+    def test_ft_autocomplete_vs_duckdb(self, ray_session):
+        import duckdb
+
+        from __ray_entry__ import _autocomplete_sql
+        from engine.pipelines import AUTOCOMPLETE_PREFIXES, ft_autocomplete
+
+        sf = "/root/testdata/sf0.001"
+        got = ft_autocomplete(sf)
+        assert len(got) > 0
+        assert "zzqq" not in set(got["prefix"])  # no completions → no row
+        assert set(got["prefix"]) <= set(AUTOCOMPLETE_PREFIXES)
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+        )
+        ref = con.execute(_autocomplete_sql()).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+        )
