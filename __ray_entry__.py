@@ -811,6 +811,43 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _did_you_mean_sql() -> str:
+    """did-you-mean oracle: argmax-df vocab term within levenshtein ≤ 1
+    (DuckDB's levenshtein matches _within_edit1: transposition = 2)."""
+    from engine.pipelines import DYM_QUERIES
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+    rows = ", ".join(
+        f"({qid}, {pos}, '{tok}')"
+        for qid, qtext in DYM_QUERIES
+        for pos, tok in enumerate(an.tokens(qtext))
+    )
+    return f"""
+WITH {_TOK_CTE},
+probes(qid, pos, token) AS (VALUES {rows}),
+invocab AS (
+  SELECT p.qid::BIGINT qid, p.pos::BIGINT pos, p.token, p.token suggestion, d.df
+  FROM probes p JOIN df d ON d.term = p.token
+),
+oov AS (SELECT * FROM probes WHERE token NOT IN (SELECT term FROM df)),
+cand AS (
+  SELECT p.qid::BIGINT qid, p.pos::BIGINT pos, p.token, d.term suggestion, d.df,
+         row_number() OVER (PARTITION BY p.qid, p.pos
+                            ORDER BY d.df DESC, d.term ASC) rn
+  FROM oov p JOIN df d ON levenshtein(p.token, d.term) <= 1
+)
+SELECT qid, pos, token, suggestion, df FROM invocab
+UNION ALL
+SELECT qid, pos, token, suggestion, df FROM cand WHERE rn = 1
+UNION ALL
+SELECT p.qid::BIGINT, p.pos::BIGINT, p.token, p.token, 0::BIGINT
+FROM oov p
+WHERE NOT EXISTS (SELECT 1 FROM df d WHERE levenshtein(p.token, d.term) <= 1)
+ORDER BY qid, pos
+"""
+
+
 def _autocomplete_sql() -> str:
     """Autocomplete oracle: distinct-doc count of tokens extending each
     probe prefix (token LIKE 'p%')."""
@@ -2342,6 +2379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_extended_stats": P.ft_extended_stats,
         # edge-ngram autocomplete: prefix df as exact term lookups
         "ft_autocomplete": P.ft_autocomplete,
+        # phrase suggester: per-token argmax-df edit-1 correction
+        "ft_did_you_mean": P.ft_did_you_mean,
         # max_bucket sibling pipeline agg over the daily histogram
         "ev_max_bucket": P.ev_max_bucket,
         "ft_bm25_proximity": lambda sf: P.ft_bm25_proximity(sf, k=10),
@@ -2518,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_diversified_sampler": _diversified_sampler_sql(),
         "ft_extended_stats": _extended_stats_sql(),
         "ft_autocomplete": _autocomplete_sql(),
+        "ft_did_you_mean": _did_you_mean_sql(),
         "ev_max_bucket": _ev_max_bucket_sql(),
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),

@@ -489,6 +489,55 @@ def ft_bm25_fuzzy(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.
     return _run_doc_queries(sf_dir, items, k)
 
 
+# did-you-mean probes: misspelled tokens (some with no edit-1 neighbour,
+# some that ARE vocab terms and must pass through unchanged)
+DYM_QUERIES: list[tuple[int, str]] = [
+    (0, "hashh joinn"),
+    (1, "tabel scan"),
+    (2, "qeury plann"),
+    (3, "zzzzzzz customer"),
+]
+
+
+def ft_did_you_mean(sf_dir: str) -> pd.DataFrame:
+    """Phrase suggester / did-you-mean (ES `suggest.phrase`): every query
+    token that is NOT a vocabulary term is rewritten to its highest-df
+    vocabulary term within Levenshtein distance 1 (df desc, term asc
+    tie-break); in-vocab tokens pass through with their own df; tokens
+    with no candidate emit df 0 and themselves. The correction source is
+    the vocab-sized committed term_stats artifact — the rewrite never
+    touches postings, so suggestion cost is independent of corpus size.
+    Columns: qid, pos, token, suggestion, df."""
+    import pyarrow.parquet as pqt
+
+    from engine.index.build import ensure_term_stats
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    df_of = dict(zip(stats["term"], stats["df"].astype("int64")))
+    an = Analyzer()
+    rows = []
+    for qid, qtext in DYM_QUERIES:
+        for pos, tok in enumerate(an.tokens(qtext)):
+            if tok in df_of:
+                rows.append({"qid": qid, "pos": pos, "token": tok,
+                             "suggestion": tok, "df": int(df_of[tok])})
+                continue
+            hit = stats[[_within_edit1(tok, t) for t in stats["term"]]]
+            if len(hit) == 0:
+                rows.append({"qid": qid, "pos": pos, "token": tok,
+                             "suggestion": tok, "df": 0})
+                continue
+            best = hit.sort_values(["df", "term"], ascending=[False, True],
+                                   kind="stable").iloc[0]
+            rows.append({"qid": qid, "pos": pos, "token": tok,
+                         "suggestion": str(best["term"]), "df": int(best["df"])})
+    out = pd.DataFrame(rows).sort_values(["qid", "pos"]).reset_index(drop=True)
+    return out.astype({"qid": "int64", "pos": "int64", "df": "int64"})
+
+
 # symmetric synonym classes (every member expands to the whole class) and
 # the synonym query set — both mirrored in the oracle SQL.
 SYNONYM_GROUPS: list[tuple[str, ...]] = [

@@ -1686,3 +1686,33 @@ class TestEdgeNGram:
             got.reset_index(drop=True),
             ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
         )
+
+
+def test_ft_did_you_mean_semantics(ray_session):
+    """Pass-through for in-vocab tokens, argmax-df edit-1 correction for
+    misspellings, df=0 self-suggestion when nothing is within distance 1 —
+    and at least one probe is genuinely corrected."""
+    import duckdb
+
+    from __ray_entry__ import _did_you_mean_sql
+    from engine.pipelines import _within_edit1, ft_did_you_mean
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_did_you_mean(sf)
+    assert len(got) > 0
+    corrected = got[got["token"] != got["suggestion"]]
+    assert len(corrected) > 0
+    for r in corrected.itertuples():
+        assert _within_edit1(r.token, r.suggestion)
+        assert r.df > 0
+    none_found = got[got["df"] == 0]
+    assert (none_found["token"] == none_found["suggestion"]).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_did_you_mean_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
