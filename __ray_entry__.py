@@ -811,6 +811,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _span_first_sql(k: int) -> str:
+    """span_first oracle: term within the first `end` positions (SQL pos is
+    1-indexed: pos <= end ⟺ engine 0-indexed pos < end), BM25-ranked."""
+    from engine.pipelines import SPAN_FIRST_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}', {e})" for q, t, e in SPAN_FIRST_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+qspec(qid, term, window_end) AS (VALUES {rows}),
+tokpos AS (
+  SELECT doc_id,
+         unnest({_TOKS}) term,
+         unnest(range(1, len({_TOKS}) + 1)) pos
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.qid::BIGINT qid, t.doc_id
+  FROM qspec q JOIN tokpos t ON t.term = q.term AND t.pos <= q.window_end
+),
+contrib AS (
+  SELECT q.qid::BIGINT qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qspec q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN matched m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _did_you_mean_sql() -> str:
     """did-you-mean oracle: argmax-df vocab term within levenshtein ≤ 1
     (DuckDB's levenshtein matches _within_edit1: transposition = 2)."""
@@ -2359,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in_order=true variant: keyed greedy-chain verify (order couples
         # position choices — no associative vote form exists)
         "ft_span_near_ordered": lambda sf: P.ft_span_near_ordered(sf, k=10),
+        "ft_span_first": lambda sf: P.ft_span_first(sf, k=10),
         # reverse search: registered rule set matched against every doc in
         # one shuffle-free broadcast-join scan
         "ft_percolate": P.ft_percolate,
@@ -2529,6 +2573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipeline aggs over the daily histogram: derivative, cumulative
         # sum, trailing 3-bucket moving sum
         "ev_pipeline_aggs": relational.events_pipeline_aggs,
+        # exact cumulative cardinality via the first-seen decomposition
+        "ev_cumulative_cardinality": relational.events_cumulative_cardinality,
         "ev_json_stats": relational.events_json_stats,
         "ev_sessions": lambda sf: relational.events_sessions(sf, gap_minutes=30),
     }
@@ -2547,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_proximity_pos": _bm25_proximity_sql(10),
         "ft_span_near": _span_near_sql(10),
         "ft_span_near_ordered": _span_near_ordered_sql(10),
+        "ft_span_first": _span_first_sql(10),
         "ft_percolate": _percolate_sql(),
         "ft_top_hits": _top_hits_sql(3),
         "ft_composite_buckets": _composite_buckets_sql(),
@@ -2935,6 +2982,19 @@ SELECT event_type, day_epoch, n_events,
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch)
 ORDER BY event_type, day_epoch
+""",
+        "ev_cumulative_cardinality": """
+WITH first_seen AS (
+  SELECT user_id, min(epoch(date_trunc('day', ts))::BIGINT) first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day day_epoch, count(*)::BIGINT new_users
+  FROM first_seen GROUP BY 1
+)
+SELECT day_epoch, new_users,
+       SUM(new_users) OVER (ORDER BY day_epoch ROWS UNBOUNDED PRECEDING)::BIGINT cum_users
+FROM daily ORDER BY day_epoch
 """,
         "ev_json_stats": """
 SELECT event_type, count(*)::BIGINT n,

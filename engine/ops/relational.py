@@ -441,3 +441,50 @@ def events_pipeline_aggs(sf_dir: str):
     for c in ["day_epoch", "n_events", "deriv_events", "cum_events", "mv3_value_micro"]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_cumulative_cardinality(sf_dir: str):
+    """Cumulative-cardinality pipeline aggregation (ES
+    `cumulative_cardinality`: distinct users ever seen, per day) — EXACT,
+    via the first-seen decomposition: min(day) per user is ONE keyed
+    groupby (linear, associative), daily new-user counts are a tiny
+    second groupby, and the running total is a vectorized cumsum over the
+    |days|-row series. No per-day distinct-set unions, no sketch error.
+    Columns: day_epoch, new_users, cum_users."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        day_epoch = day.cast(pa.int64()).to_numpy() // 1_000_000
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
+                           "day_epoch": day_epoch})
+        return df.groupby("user_id", as_index=False)["day_epoch"].min()
+
+    first_seen = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Min("day_epoch", alias_name="first_day"))
+    )
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("first_day", as_index=False).size()
+        return g.rename(columns={"first_day": "day_epoch", "size": "n"})
+
+    from ray.data.aggregate import Sum
+
+    daily = (
+        first_seen.map_batches(day_counts, batch_format="pandas")
+        .groupby("day_epoch")
+        .aggregate(Sum("n", alias_name="new_users"))
+        .to_pandas()
+        .sort_values("day_epoch")
+        .reset_index(drop=True)
+    )
+    daily["cum_users"] = daily["new_users"].astype("int64").cumsum()
+    return daily.astype({"day_epoch": "int64", "new_users": "int64",
+                         "cum_users": "int64"})

@@ -2574,6 +2574,72 @@ def ft_percolate(sf_dir: str) -> pd.DataFrame:
     return out.astype({"qid": "int64", "doc_id": "int64"})
 
 
+# span_first query set: (qid, term, end) — term must occur within the
+# first `end` token positions (ES span_first). Edge coverage: end=1
+# (leading token only), a mid-window, a no-such-term probe.
+SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash", 1),
+    (1, "query", 5),
+    (2, "customer", 12),
+    (3, "nosuchterm", 4),
+]
+
+
+def ft_span_first(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """span_first (ES `span_first`): the term occurs within the first
+    ``end`` token positions of the document, ranked by BM25 over the term.
+    Index-native: retrieval supplies scored candidates; the positional
+    sidecar proves the position predicate — occurrences are read PRUNED to
+    the query terms' partitions, filtered to candidates, and the survivor
+    set is one distinct-project away (occurrence pos < end; no groupby at
+    all, the cheapest member of the span family).
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    from engine.index.positions import phrase_votes_fn, positions_paths
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": t} for q, t, _ in SPAN_FIRST_QUERIES],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    ends = {q: e for q, _t, e in SPAN_FIRST_QUERIES}
+    slot_rows = [(q, t, 0) for q, t, _e in SPAN_FIRST_QUERIES]
+    terms = {t for _q, t, _e in SPAN_FIRST_QUERIES}
+    pos_dir = documents_positions(sf_dir)
+    paths = positions_paths(pos_dir, terms)
+    if not paths:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    votes = phrase_votes_fn(slot_rows, cand["qid"].to_numpy(), cand["doc_id"].to_numpy())
+
+    def first_window(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        lim = df["qid"].map(ends).to_numpy()
+        keep = df["base"].to_numpy() < lim  # base == pos (offset 0)
+        out = df[keep][["qid", "doc_key"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    surv = (
+        rd.read_parquet(paths, columns=["term", "doc_key", "pos"])
+        .map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(first_window, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+        .rename(columns={"doc_key": "doc_id"})
+    )
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation. Segments come from

@@ -1716,3 +1716,48 @@ def test_ft_did_you_mean_semantics(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_ft_span_first_semantics(tmp_path_factory, ray_session, monkeypatch):
+    """Boundary-exact first-window containment: end=1 keeps only docs whose
+    FIRST token is the term; end=2 widens by exactly one position."""
+    import engine.pipelines as P
+
+    d = tmp_path_factory.mktemp("spanfirst")
+    texts = [
+        "alpha beta",     # q0 (alpha, end=1): in; q1 (beta, end=2): in (pos 1)
+        "beta alpha",     # q0: alpha at pos 1 -> out; q1: beta pos 0 -> in
+        "x y alpha beta", # q0: out; q1: beta at pos 3 -> out
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+    monkeypatch.setattr(P, "SPAN_FIRST_QUERIES",
+                        [(0, "alpha", 1), (1, "beta", 2)])
+    out = P.ft_span_first(str(d), k=10)
+    got = {(q, doc) for q, doc in zip(out["qid"], out["doc_id"])}
+    assert got == {(0, 0), (1, 0), (1, 1)}
+
+
+def test_ev_cumulative_cardinality_vs_pandas(ray_session):
+    from engine.ops.relational import events_cumulative_cardinality
+
+    sf = "/root/testdata/sf0.001"
+    got = events_cumulative_cardinality(sf)
+    assert len(got) > 0
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    ev["day_epoch"] = (
+        (ev["ts"].dt.floor("D") - pd.Timestamp(0)).dt.total_seconds().astype("int64")
+    )
+    first = ev.groupby("user_id")["day_epoch"].min()
+    daily = (first.value_counts().sort_index().rename("new_users")
+             .reset_index().rename(columns={"index": "day_epoch"}))
+    daily["cum_users"] = daily["new_users"].cumsum()
+    exp = daily.astype({"day_epoch": "int64", "new_users": "int64",
+                        "cum_users": "int64"})
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+    # total distinct users conserved
+    assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
