@@ -811,6 +811,35 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _query_profile_sql() -> str:
+    """Profile oracle: per query, in-vocab term count, Σdf (postings a
+    union scan touches) and distinct-candidate count — zero rows for
+    queries with no vocabulary hits are still emitted (left joins)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+hits AS (
+  SELECT qt.qid, count(*)::BIGINT n_terms, sum(d.df)::BIGINT sum_df
+  FROM qterm qt JOIN df d ON d.term = qt.term GROUP BY 1
+),
+m AS (
+  SELECT qt.qid, count(DISTINCT tf.doc_id)::BIGINT n_candidates
+  FROM qterm qt JOIN tf ON tf.term = qt.term GROUP BY 1
+)
+SELECT q.qid::BIGINT qid,
+       coalesce(h.n_terms, 0)::BIGINT n_terms,
+       coalesce(h.sum_df, 0)::BIGINT sum_df,
+       coalesce(m.n_candidates, 0)::BIGINT n_candidates
+FROM q LEFT JOIN hits h ON h.qid = q.qid LEFT JOIN m ON m.qid = q.qid
+ORDER BY qid
+"""
+
+
 def _span_first_sql(k: int) -> str:
     """span_first oracle: term within the first `end` positions (SQL pos is
     1-indexed: pos <= end ⟺ engine 0-indexed pos < end), BM25-ranked."""
@@ -2403,6 +2432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # position choices — no associative vote form exists)
         "ft_span_near_ordered": lambda sf: P.ft_span_near_ordered(sf, k=10),
         "ft_span_first": lambda sf: P.ft_span_first(sf, k=10),
+        # deterministic query profile: the index accounts for its own work
+        "ft_query_profile": P.ft_query_profile,
         # reverse search: registered rule set matched against every doc in
         # one shuffle-free broadcast-join scan
         "ft_percolate": P.ft_percolate,
@@ -2594,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_near": _span_near_sql(10),
         "ft_span_near_ordered": _span_near_ordered_sql(10),
         "ft_span_first": _span_first_sql(10),
+        "ft_query_profile": _query_profile_sql(),
         "ft_percolate": _percolate_sql(),
         "ft_top_hits": _top_hits_sql(3),
         "ft_composite_buckets": _composite_buckets_sql(),

@@ -2640,6 +2640,62 @@ def ft_span_first(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+def ft_query_profile(sf_dir: str) -> pd.DataFrame:
+    """Query profile (ES `_search?profile=true`, made DETERMINISTIC): per
+    query, the work a union scan provably does — in-vocabulary term count,
+    total postings touched (Σ df over the query's distinct terms, from the
+    committed term_stats artifact: the index accounting for itself) and
+    the candidate-set size (distinct matched docs, counted DISTRIBUTED
+    from the MatchServer stream, never collected). Deterministic counts
+    instead of wall-times, so the profile is oracle-checkable — SQL
+    recomputes the same three numbers from the corpus.
+    Columns: qid, n_terms, sum_df, n_candidates."""
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.index.build import ensure_term_stats
+    from engine.query.engine import MatchServer
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    df_of = dict(zip(stats["term"].astype(str), stats["df"].astype("int64")))
+    an = Analyzer()
+    prof = []
+    for qid, qtext in DOC_QUERIES:
+        terms = sorted(set(an.tokens(qtext)))
+        hit = [t for t in terms if t in df_of]
+        prof.append({"qid": qid, "n_terms": len(hit),
+                     "sum_df": int(sum(df_of[t] for t in hit))})
+    prof_df = pd.DataFrame(prof)
+
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"qid": np.asarray(b["qid"])})
+        return df.groupby("qid", as_index=False).size().rename(columns={"size": "n"})
+
+    counts = (
+        matches.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .aggregate(Sum("n", alias_name="n_candidates"))
+        .to_pandas()
+    )
+    out = prof_df.merge(counts, on="qid", how="left")
+    out["n_candidates"] = out["n_candidates"].fillna(0)
+    out = out.sort_values("qid").reset_index(drop=True)
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (term, df, cf) read back from the segment dictionaries —
     the index audits itself against SQL recomputation. Segments come from

@@ -1761,3 +1761,30 @@ def test_ev_cumulative_cardinality_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
     # total distinct users conserved
     assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+
+
+def test_ft_query_profile_invariants(ray_session):
+    """The index's self-accounting is internally consistent: candidates
+    never exceed postings touched, per-term df bounds hold, and the
+    profile matches the SQL recompute."""
+    import duckdb
+
+    from __ray_entry__ import _query_profile_sql
+    from engine.pipelines import ft_query_profile
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_query_profile(sf)
+    assert len(got) > 0
+    # union candidates <= total postings scanned; both 0 iff no vocab terms
+    assert (got["n_candidates"] <= got["sum_df"]).all()
+    assert ((got["n_terms"] == 0) == (got["sum_df"] == 0)).all()
+    assert ((got["sum_df"] == 0) == (got["n_candidates"] == 0)).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_query_profile_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
