@@ -811,6 +811,79 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _match_phrase_prefix_sql(k: int) -> str:
+    """match_phrase_prefix oracle: base tokens adjacent, next position's
+    token among the prefix's top-max_expand df-desc dictionary terms (the
+    same wildcard rewrite recomputed in SQL); ranked by BM25 over the
+    base tokens."""
+    from engine.pipelines import MPP_MAX_EXPAND, MPP_QUERIES
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+    pfx_rows, qbase_rows, chains = [], [], []
+    for qid, qtext in MPP_QUERIES:
+        toks = an.tokens(qtext)
+        base, p = toks[:-1], toks[-1]
+        pfx_rows.append(f"({qid}, '{p}')")
+        qbase_rows.extend(f"({qid}, '{t}')" for t in sorted(set(base)))
+        joins = "".join(
+            f"\n    JOIN tokpos o{i + 1} ON o{i + 1}.doc_id = o1.doc_id"
+            f" AND o{i + 1}.term = '{t}' AND o{i + 1}.pos = o1.pos + {i}"
+            for i, t in enumerate(base[1:], start=1)
+        )
+        chains.append(
+            f"  SELECT DISTINCT {qid}::BIGINT qid, o1.doc_id FROM tokpos o1"
+            f"{joins}\n    JOIN tokpos oe ON oe.doc_id = o1.doc_id"
+            f" AND oe.pos = o1.pos + {len(base)}"
+            f"\n    JOIN expand x ON x.qid = {qid} AND x.term = oe.term"
+            f"\n    WHERE o1.term = '{base[0]}'"
+        )
+    matched = "\n  UNION ALL\n".join(chains)
+    return f"""
+WITH {_TOK_CTE},
+tokpos AS (
+  SELECT doc_id,
+         unnest({_TOKS}) term,
+         unnest(range(1, len({_TOKS}) + 1)) pos
+  FROM documents
+),
+pfx(qid, p) AS (VALUES {', '.join(pfx_rows)}),
+expand AS (
+  SELECT qid::BIGINT qid, term FROM (
+    SELECT pfx.qid, df.term,
+           row_number() OVER (PARTITION BY pfx.qid
+                              ORDER BY df.df DESC, df.term ASC) r
+    FROM pfx JOIN df ON df.term LIKE pfx.p || '%'
+  ) WHERE r <= {MPP_MAX_EXPAND}
+),
+matched AS (
+{matched}
+),
+qbase(qid, term) AS (VALUES {', '.join(qbase_rows)}),
+contrib AS (
+  SELECT qb.qid::BIGINT qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qbase qb
+  JOIN df ON df.term = qb.term
+  JOIN tf ON tf.term = qb.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(c.w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c JOIN matched m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _query_profile_sql() -> str:
     """Profile oracle: per query, in-vocab term count, Σdf (postings a
     union scan touches) and distinct-candidate count — zero rows for
@@ -2434,6 +2507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_first": lambda sf: P.ft_span_first(sf, k=10),
         # deterministic query profile: the index accounts for its own work
         "ft_query_profile": P.ft_query_profile,
+        # search-as-you-type phrase completion
+        "ft_match_phrase_prefix": lambda sf: P.ft_match_phrase_prefix(sf, k=10),
         # reverse search: registered rule set matched against every doc in
         # one shuffle-free broadcast-join scan
         "ft_percolate": P.ft_percolate,
@@ -2626,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_near_ordered": _span_near_ordered_sql(10),
         "ft_span_first": _span_first_sql(10),
         "ft_query_profile": _query_profile_sql(),
+        "ft_match_phrase_prefix": _match_phrase_prefix_sql(10),
         "ft_percolate": _percolate_sql(),
         "ft_top_hits": _top_hits_sql(3),
         "ft_composite_buckets": _composite_buckets_sql(),

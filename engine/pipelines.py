@@ -2640,6 +2640,114 @@ def ft_span_first(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+# match_phrase_prefix probes: LAST whitespace token is an implicit prefix
+# (ES match_phrase_prefix); at least one literal base token required (the
+# ranking contract scores the base).
+MPP_QUERIES: list[tuple[int, str]] = [
+    (0, "hash jo"),
+    (1, "table sc"),
+    (2, "customer valu"),
+    (3, "query zzqq"),
+]
+MPP_MAX_EXPAND = 5
+
+
+def ft_match_phrase_prefix(sf_dir: str, k: int = 10,
+                           max_expand: int = MPP_MAX_EXPAND) -> pd.DataFrame:
+    """match_phrase_prefix (ES search-as-you-type phrase completion): the
+    query's literal tokens must occur as an adjacent phrase immediately
+    followed by some completion of the trailing prefix. The prefix expands
+    to its ``max_expand`` highest-df dictionary terms (df desc, term asc —
+    the wildcard rewrite, vocab-sized artifact, no postings touched);
+    each expanded phrase is proven by positional window votes under a
+    synthetic per-expansion qid, then expansions collapse by OR. Ranking
+    contract: BM25 over the literal base tokens (every match contains
+    them), tie-break doc asc. Columns: qid, rank, doc_id, score_micro."""
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from engine.index.build import ensure_term_stats
+    from engine.index.positions import phrase_votes_fn, positions_paths
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    an = Analyzer()
+
+    base_of: dict[int, list[str]] = {}
+    expansions: dict[int, list[str]] = {}
+    for qid, qtext in MPP_QUERIES:
+        toks = an.tokens(qtext)
+        assert len(toks) >= 2, "match_phrase_prefix needs >=1 literal + prefix"
+        base_of[qid] = toks[:-1]
+        p = toks[-1]
+        hit = stats[stats["term"].str.startswith(p)]
+        hit = hit.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable").head(max_expand)
+        expansions[qid] = [str(t) for t in hit["term"]]
+
+    cand = _run_doc_queries(
+        sf_dir,
+        [{"qid": q, "text": " ".join(b)} for q, b in base_of.items()],
+        1_000_000,
+        conjunctive=True,
+    )
+    cols = ["qid", "rank", "doc_id", "score_micro"]
+    if len(cand) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    # synthetic qid per (query, expansion): votes for different expansions
+    # must not mix inside one phrase count
+    SYN = 1 << 10
+    slot_rows: list[tuple[int, str, int]] = []
+    n_slots: dict[int, int] = {}
+    terms: set[str] = set()
+    syn_qid, syn_doc = [], []
+    cq, cd = cand["qid"].to_numpy(), cand["doc_id"].to_numpy()
+    for qid, base in base_of.items():
+        mask = cq == qid
+        for j, e in enumerate(expansions[qid]):
+            sq = qid * SYN + j
+            phrase = base + [e]
+            n_slots[sq] = len(phrase)
+            terms.update(phrase)
+            slot_rows.extend((sq, t, off) for off, t in enumerate(phrase))
+            syn_qid.append(np.full(int(mask.sum()), sq, dtype=np.int64))
+            syn_doc.append(cd[mask])
+    if not slot_rows:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    pos_dir = documents_positions(sf_dir)
+    paths = positions_paths(pos_dir, terms)
+    if not paths:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    votes = phrase_votes_fn(
+        slot_rows, np.concatenate(syn_qid), np.concatenate(syn_doc)
+    )
+    grp = (
+        rd.read_parquet(paths, columns=["term", "doc_key", "pos"])
+        .map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["qid", "doc_key", "base"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    need = grp["qid"].map(n_slots).to_numpy()
+    hit = grp[grp["n"].to_numpy() == need]
+    surv = (
+        pd.DataFrame({"qid": hit["qid"].to_numpy() // SYN,
+                      "doc_id": hit["doc_key"].to_numpy()})
+        .drop_duplicates()
+    )
+    out = cand.merge(surv, on=["qid", "doc_id"], how="inner")
+    out = out.sort_values(["qid", "score_micro", "doc_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols]
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def ft_query_profile(sf_dir: str) -> pd.DataFrame:
     """Query profile (ES `_search?profile=true`, made DETERMINISTIC): per
     query, the work a union scan provably does — in-vocabulary term count,

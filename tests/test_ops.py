@@ -1788,3 +1788,50 @@ def test_ft_query_profile_invariants(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_ft_match_phrase_prefix_semantics(tmp_path_factory, ray_session, monkeypatch):
+    """Adjacency + prefix completion: base phrase must be immediately
+    followed by a completion; reversed order and gaps are out; a prefix
+    that IS a full vocab term still matches as its own completion."""
+    import engine.pipelines as P
+
+    d = tmp_path_factory.mktemp("mpp")
+    texts = [
+        "alpha beta gamma",    # q0 (alpha be-): beta completes -> in
+        "alpha bet",           # "bet" completes "be" -> in
+        "beta alpha",          # order wrong -> out
+        "alpha x beta",        # gap -> out
+        "alpha benchmark",     # "benchmark" completes "be" -> in
+        "alpha zeta",          # no be- completion after alpha -> out
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    monkeypatch.setattr(P, "INDEX_ROOT", str(d / "indexes"))
+    monkeypatch.setattr(P, "MPP_QUERIES", [(0, "alpha be")])
+    out = P.ft_match_phrase_prefix(str(d), k=10)
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 4]
+
+
+def test_ft_match_phrase_prefix_matches_duckdb(ray_session, monkeypatch, tmp_path):
+    import duckdb
+
+    import engine.pipelines as P
+    from __ray_entry__ import _match_phrase_prefix_sql
+
+    monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+    sf = "/root/testdata/sf0.001"
+    got = P.ft_match_phrase_prefix(sf, k=10)
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(_match_phrase_prefix_sql(10)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
