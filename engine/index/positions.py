@@ -171,3 +171,22 @@ def phrase_votes_fn(slot_rows: list[tuple[int, str, int]], cand_qid: np.ndarray,
         return pa.table(out)
 
     return votes
+
+
+def ordered_chain_match(sides: list[np.ndarray], bound: int) -> bool:
+    """∃ strictly increasing positions p1 < … < pn (p_i drawn from the
+    SORTED array sides[i]) with extent pn − p1 ≤ bound. Greedy successor
+    chains evaluated for ALL side-0 starts at once via per-side
+    searchsorted — greedy minimizes pn for each start, so the existence
+    answer is exact (tests/test_positional_property.py brute-forces the
+    equivalence). The ft_span_near_ordered verification kernel."""
+    if any(s.size == 0 for s in sides):
+        return False
+    p = sides[0]
+    start = p
+    ok = np.ones(p.size, dtype=bool)
+    for arr in sides[1:]:
+        j = np.searchsorted(arr, p, side="right")
+        ok &= j < arr.size
+        p = arr[np.minimum(j, arr.size - 1)]
+    return bool(np.any(ok & (p - start <= bound)))

@@ -1955,23 +1955,15 @@ def ft_span_near_ordered(sf_dir: str, k: int = 10) -> pd.DataFrame:
     empty = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
                           "doc_id": pd.Series([], dtype="int64")})
 
+    from engine.index.positions import ordered_chain_match
+
     def chain_verify(g: pd.DataFrame) -> pd.DataFrame:
         qid = int(g["qid"].iloc[0])
         n, bound = spec[qid]
         side = g["side"].to_numpy()
         pos = g["base"].to_numpy()
         sides = [np.sort(pos[side == i]) for i in range(n)]
-        if any(s.size == 0 for s in sides):
-            return empty
-        p = sides[0]
-        start = p
-        ok = np.ones(p.size, dtype=bool)
-        for i in range(1, n):
-            arr = sides[i]
-            j = np.searchsorted(arr, p, side="right")
-            ok &= j < arr.size
-            p = arr[np.minimum(j, arr.size - 1)]
-        if np.any(ok & (p - start <= bound)):
+        if ordered_chain_match(sides, bound):
             return pd.DataFrame({"qid": [qid], "doc_id": [int(g["doc_key"].iloc[0])]})
         return empty
 
