@@ -2292,6 +2292,113 @@ ORDER BY qid, rank
 """
 
 
+def _tr_has_parent_sql(k: int) -> str:
+    """has_parent oracle: per-turn BM25 restricted to turns whose
+    conversation has at least HAS_PARENT_MIN_TURNS turns."""
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.pipelines import HAS_PARENT_MIN_TURNS, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
+    return f"""
+WITH src AS (SELECT doc_key, conv_id, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+sizes AS (SELECT conv_id, count(*)::BIGINT n_turns FROM src GROUP BY 1)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT s.qid, s.doc_key, s.score_micro,
+         row_number() OVER (PARTITION BY s.qid ORDER BY s.score_micro DESC, s.doc_key ASC)::BIGINT rank
+  FROM scored s
+  JOIN src ON src.doc_key = s.doc_key
+  JOIN sizes z ON z.conv_id = src.conv_id
+  WHERE z.n_turns >= {HAS_PARENT_MIN_TURNS}
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _tr_boosting_sql(k: int) -> str:
+    """Boosting oracle: positive BM25, matches of the negative term
+    demoted by integer halving (score_micro // 2)."""
+    from engine.pipelines import _boosting_query_set, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({q}, '{t}', '{n}')" for q, t, n in _boosting_query_set())
+    return f"""
+WITH src AS (SELECT doc_key, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
+tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext, negterm) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+negm AS (
+  SELECT DISTINCT q.qid::BIGINT qid, t.doc_key
+  FROM q JOIN tok t ON t.term = q.negterm
+),
+demoted AS (
+  SELECT s.qid, s.doc_key,
+         CASE WHEN n.doc_key IS NULL THEN s.score_micro
+              ELSE s.score_micro // 2 END::BIGINT score_micro
+  FROM scored s LEFT JOIN negm n ON n.qid = s.qid AND n.doc_key = s.doc_key
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM demoted
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_dis_max_sql(k: int) -> str:
     """dis_max oracle: BM25 recomputed per FIELD (text and tool, each with
     its own tf/dl/df and avgdl = Σdl / n_docs over the SAME n_docs — the
@@ -2604,6 +2711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
         # field-sorted retrieval: newest matching turns first
         "tr_sort_by_field": lambda sf: P.tr_sort_by_field(sf, k=10),
+        # has_parent: turns gated by a conversation-level predicate
+        "tr_has_parent": lambda sf: P.tr_has_parent(sf, k=10),
+        # boosting query: negative clause demotes (integer halving)
+        "tr_boosting_query": lambda sf: P.tr_boosting_query(sf, k=10),
         "tr_bm25_recency": lambda sf: P.tr_bm25_recency(sf, k=10),
         # two-pass incremental build (lineage resume + tiered merge) vs
         # a single-pass SQL truth over the union corpus
@@ -2749,6 +2860,8 @@ def oracle_sql() -> dict[str, str]:
         "tr_has_child": _tr_has_child_sql(10),
         "tr_dis_max": _tr_dis_max_sql(10),
         "tr_sort_by_field": _tr_sort_by_field_sql(10),
+        "tr_has_parent": _tr_has_parent_sql(10),
+        "tr_boosting_query": _tr_boosting_sql(10),
         "tr_bm25_recency": _tr_bm25_recency_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),

@@ -3597,6 +3597,120 @@ def tr_sort_by_field(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+HAS_PARENT_MIN_TURNS = 8  # parent predicate: conversations at least this long
+# (oracle corpus conv sizes span 2..11, median 7 — the gate must genuinely
+# split the population, tests assert both sides are non-empty)
+
+
+def tr_has_parent(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """has_parent retrieval (ES `has_parent`): rank TURNS (children) whose
+    CONVERSATION (parent) satisfies a parent-level predicate — here
+    "conversation has ≥ HAS_PARENT_MIN_TURNS turns". The inverse join
+    direction of tr_has_child.
+
+    Scale shape: parent sizes are ONE keyed conv groupby-count (linear);
+    the scored match stream joins conv_id by key, then the qualifying-size
+    predicate filters and per-batch partial top-k reduces — the parent
+    table is corpus-sized at 100 TB, so it joins keyed, never broadcast.
+    Columns: qid, rank, doc_key, score_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import ScoredMatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    convs = rd.read_parquet(path, columns=["doc_key", "conv_id"])
+    sizes = (
+        rd.read_parquet(path, columns=["conv_id"])
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n_turns"))
+    )
+    jargs = join_args(n_joins=2)
+    np_ = jargs.pop("num_partitions")
+    joined = matches.join(convs, "inner", np_, on=("doc_key",), **jargs)
+    joined = joined.join(sizes, "inner", np_, on=("conv_id",), **jargs)
+
+    def filter_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_turns"].to_numpy() >= HAS_PARENT_MIN_TURNS]
+        df = df.sort_values(["qid", "score", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)[["qid", "doc_key", "score"]]
+
+    out = joined.map_batches(filter_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "score", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k].rename(columns={"score": "score_micro"})[cols]
+    return out.reset_index(drop=True).astype({c: "int64" for c in cols})
+
+
+# boosting query set: (qid, positive text, negative clause) — hits
+# matching the negative clause keep eligibility but demote by an integer
+# factor (ES `boosting` with negative_boost = 0.5, exact via //2). Derived
+# from the seeded synth-vocabulary queries so both clauses genuinely match.
+def _boosting_query_set() -> list[tuple[int, str, str]]:
+    from engine.oracle.bm25 import seeded_query_set
+
+    qs = seeded_query_set(8, seed=7)
+    # negative clause: the first term of the NEXT seeded query — a common
+    # corpus term unrelated to the positive clause
+    return [
+        (qid, text, qs[(i + 1) % len(qs)][1].split()[0])
+        for i, (qid, text) in enumerate(qs[:4])
+    ]
+
+
+def tr_boosting_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boosting query (ES `boosting`: positive clause ranked, negative
+    clause DEMOTED, not excluded — negative_boost 0.5 realized exactly as
+    integer score_micro // 2). Matches of the negative clause keep
+    eligibility; only ordering changes.
+
+    Scale shape: demotion happens INSIDE the server
+    (engine/query/engine.py::BoostingServer) — both clauses' postings are
+    local to the actor, exactly like the NOT path, so no cross-stream
+    exchange exists at any corpus scale. Columns: qid, rank, doc_key,
+    score_micro."""
+    import ray.data as rd
+
+    from engine.query.engine import BoostingServer
+
+    _path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t, "neg": n} for q, t, n in _boosting_query_set()]
+    )
+    out = qds.map_batches(
+        BoostingServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.rename(columns={"score": "score_micro"})
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)[cols]
+    return out.astype({c: "int64" for c in cols})
+
+
 def tr_conv_stats(sf_dir: str) -> pd.DataFrame:
     """Conversation-level rollup: per conv_id — turn count, tool-turn
     count, first/last timestamp (epoch µs) and duration, total text chars.

@@ -571,6 +571,59 @@ class SegmentServer:
         )
 
 
+class BoostingServer(SegmentServer):
+    """ES `boosting` query: the positive clause ranks as plain BM25; docs
+    matching the NEGATIVE clause are DEMOTED (not excluded) by exact
+    integer halving of the micro score (negative_boost = 0.5 with no
+    float). Demotion runs entirely inside the server — both clauses'
+    postings are local, the same reason the NOT path (D4) needs no
+    exchange — so a boosting query costs one extra local union lookup at
+    any corpus scale. Query batches carry a `neg` column (negative clause
+    text). Requires score_micro construction (the halving contract is
+    integer)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("score_micro", True)
+        super().__init__(*args, **kwargs)
+        if not self.score_micro:
+            raise ValueError("BoostingServer requires score_micro=True")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_numpy()
+        texts = batch["text"].to_pylist()
+        negs = batch["neg"].to_pylist()
+        out_qid, out_rank, out_key, out_score = [], [], [], []
+        for qid, text, neg in zip(qids, texts, negs):
+            dk, sc = self.score_query(text)
+            dk, sc = self._filter_deleted(dk, sc)
+            micro = np.floor(sc * 1e6 + 0.5).astype(np.int64)
+            if neg:
+                nset = np.sort(self.score_query(neg)[0])
+                if nset.size and dk.size:
+                    pos = np.searchsorted(nset, dk)
+                    pos[pos >= nset.size] = 0
+                    micro = np.where(nset[pos] == dk, micro // 2, micro)
+            order = np.lexsort((dk, -micro))[: self.k]
+            n = order.size
+            out_qid.append(np.full(n, qid, dtype=np.int64))
+            out_rank.append(np.arange(1, n + 1, dtype=np.int32))
+            out_key.append(dk[order])
+            out_score.append(micro[order])
+        schema = pa.schema(
+            [("qid", pa.int64()), ("rank", pa.int32()),
+             ("doc_key", pa.int64()), ("score", pa.int64())]
+        )
+        if not out_qid:
+            return schema.empty_table()
+        return pa.table(
+            {"qid": np.concatenate(out_qid),
+             "rank": np.concatenate(out_rank).astype(np.int32),
+             "doc_key": np.concatenate(out_key),
+             "score": np.concatenate(out_score)},
+            schema=schema,
+        )
+
+
 def _driver_analyzer(index_dir: str):
     """Resolve a non-default analyzer in the driver (registry lives here)."""
     name = Manifest(index_dir).data.get("analyzer", "default")

@@ -1313,3 +1313,66 @@ def test_ev_max_bucket_vs_pandas(ray_session):
                 .reset_index(drop=True)
                 .astype({"day_epoch": "int64", "n_events": "int64"}))
     pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+def test_tr_has_parent_gate(ray_session):
+    """Every hit's conversation satisfies the parent predicate; the gate
+    genuinely splits the corpus (both sides non-empty); survivors keep
+    their relative BM25 order vs the ungated ranking."""
+    import pandas as pd
+
+    from engine.pipelines import (HAS_PARENT_MIN_TURNS, tr_bm25_oracle,
+                                  tr_has_parent, tr_oracle_corpus_path)
+
+    out = tr_has_parent("/root/testdata/sf0.001", k=10)
+    assert len(out) > 0
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    sizes = src.groupby("conv_id").size()
+    assert (sizes >= HAS_PARENT_MIN_TURNS).any()
+    assert (sizes < HAS_PARENT_MIN_TURNS).any(), "gate must split the corpus"
+    conv_of = src.set_index("doc_key")["conv_id"]
+    assert (sizes.loc[conv_of.loc[out["doc_key"]].to_numpy()].to_numpy()
+            >= HAS_PARENT_MIN_TURNS).all()
+    # relative order preserved vs the ungated ranking (same scores)
+    full = tr_bm25_oracle("/root/testdata/sf0.001", k=1000)
+    for qid, g in out.groupby("qid"):
+        fq = full[full["qid"] == qid].set_index("doc_key")["rank"]
+        ranks = fq.loc[g.sort_values("rank")["doc_key"]].to_numpy()
+        assert (np.diff(ranks) > 0).all()
+
+
+def test_tr_boosting_demotes_not_excludes(ray_session):
+    """Demoted docs stay in the result set (when k allows) with exactly
+    halved micro scores, and the demotion reorders at least one query."""
+    import pandas as pd
+
+    from engine.oracle.bm25 import BM25Oracle
+    from engine.pipelines import (_boosting_query_set, tr_boosting_query,
+                                  tr_oracle_corpus_path)
+
+    k = 10
+    out = tr_boosting_query("/root/testdata/sf0.001", k=k)
+    assert len(out) > 0
+    src = pq.read_table(tr_oracle_corpus_path()).to_pandas()
+    oracle = BM25Oracle(src["doc_key"].tolist(), src["text"].tolist())
+    reordered = False
+    for qid, text, neg in _boosting_query_set():
+        s = oracle.score_query(text)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        negset = set(oracle.doc_keys[np.nonzero(oracle.score_query(neg))[0]])
+        rows = pd.DataFrame({"doc_key": oracle.doc_keys[nz], "m": micro[nz]})
+        hit = rows["doc_key"].isin(negset).to_numpy()
+        rows["m"] = np.where(hit, rows["m"].to_numpy() // 2, rows["m"].to_numpy())
+        rows = rows.sort_values(["m", "doc_key"], ascending=[False, True],
+                                kind="stable").head(k)
+        g = out[out["qid"] == qid]
+        assert g["doc_key"].tolist() == rows["doc_key"].tolist()
+        assert g["score_micro"].tolist() == rows["m"].tolist()
+        plain = pd.DataFrame({"doc_key": oracle.doc_keys[nz], "m": micro[nz]})
+        plain = plain.sort_values(["m", "doc_key"], ascending=[False, True],
+                                  kind="stable").head(k)
+        reordered |= plain["doc_key"].tolist() != rows["doc_key"].tolist()
+        # demoted docs are demoted, not dropped: any demoted doc in top-k
+        # appears with its halved score (checked above via exact equality)
+    assert reordered, "the negative clause must reorder some query"
