@@ -2711,6 +2711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
         # field-sorted retrieval: newest matching turns first
         "tr_sort_by_field": lambda sf: P.tr_sort_by_field(sf, k=10),
+        # same semantics served from the mmap'd docvalues sidecar: zero
+        # query-time shuffle — shares the sort-by-field SQL oracle
+        "tr_sort_by_field_dv": lambda sf: P.tr_sort_by_field_dv(sf, k=10),
         # has_parent: turns gated by a conversation-level predicate
         "tr_has_parent": lambda sf: P.tr_has_parent(sf, k=10),
         # boosting query: negative clause demotes (integer halving)
@@ -2860,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_has_child": _tr_has_child_sql(10),
         "tr_dis_max": _tr_dis_max_sql(10),
         "tr_sort_by_field": _tr_sort_by_field_sql(10),
+        "tr_sort_by_field_dv": _tr_sort_by_field_sql(10),
         "tr_has_parent": _tr_has_parent_sql(10),
         "tr_boosting_query": _tr_boosting_sql(10),
         "tr_bm25_recency": _tr_bm25_recency_sql(10),

@@ -3597,6 +3597,56 @@ def tr_sort_by_field(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+def tr_sort_by_field_dv(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """tr_sort_by_field served from the DOCVALUES sidecar
+    (engine/query/docvalues.py) instead of a corpus join: the match
+    stream's timestamps attach via part-routed binary search in mmap'd
+    sorted columns — ZERO query-time shuffle (the join the plain variant
+    pays per query batch becomes one build-once artifact), rank-identical
+    by construction and sharing the same SQL oracle. Columns: qid, rank,
+    doc_key, ts_us."""
+    import ray.data as rd
+
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.engine import MatchServer
+
+    path, idx = tr_oracle_index()
+    dv = ensure_docvalues(idx, path, field="ts")
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).map_batches(
+        DocValuesLookup,
+        fn_constructor_kwargs={"dv_dir": dv, "out_col": "ts_us"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "ts_us", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = matches.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "doc_key", "ts_us"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "ts_us", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 HAS_PARENT_MIN_TURNS = 8  # parent predicate: conversations at least this long
 # (oracle corpus conv sizes span 2..11, median 7 — the gate must genuinely
 # split the population, tests assert both sides are non-empty)

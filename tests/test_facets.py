@@ -1376,3 +1376,58 @@ def test_tr_boosting_demotes_not_excludes(ray_session):
         # demoted docs are demoted, not dropped: any demoted doc in top-k
         # appears with its halved score (checked above via exact equality)
     assert reordered, "the negative clause must reorder some query"
+
+
+def test_tr_sort_by_field_docvalues(ray_session, tmp_path):
+    """The docvalues variant is frame-identical to the join variant; the
+    artifact is genuinely USED (poisoning one part's vals changes what a
+    lookup returns) and a corpus-identity change invalidates it."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from engine.pipelines import (tr_oracle_index, tr_sort_by_field,
+                                  tr_sort_by_field_dv)
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+
+    sf = "/root/testdata/sf0.001"
+    dv_out = tr_sort_by_field_dv(sf, k=10)
+    join_out = tr_sort_by_field(sf, k=10)
+    pd.testing.assert_frame_equal(dv_out, join_out)
+
+    path, idx = tr_oracle_index()
+    dv = ensure_docvalues(idx, path, field="ts")
+    probe = int(dv_out["doc_key"].iloc[0])
+    part = probe % json.load(open(os.path.join(dv, "_DV.json")))["parts"]
+    vals_path = os.path.join(dv, f"part={part}", "vals.npy")
+    orig = np.load(vals_path)
+    keys = np.load(os.path.join(dv, f"part={part}", "keys.npy"))
+    poisoned = orig.copy()
+    poisoned[np.searchsorted(keys, probe)] = -12345
+    np.save(vals_path, poisoned)
+    try:
+        got = DocValuesLookup(dv, out_col="v")(
+            pa.table({"doc_key": pa.array([probe], pa.int64())})
+        )
+        assert got["v"][0].as_py() == -12345, "artifact must be the source"
+    finally:
+        np.save(vals_path, orig)
+    # fingerprint invalidation: a corpus identity change forces a rebuild
+    os.utime(path)  # mtime_ns changes -> fingerprint changes
+    dv2 = ensure_docvalues(idx, path, field="ts")
+    assert dv2 == dv
+    fresh = DocValuesLookup(dv2, out_col="v")(
+        pa.table({"doc_key": pa.array([probe], pa.int64())})
+    )
+    assert fresh["v"][0].as_py() == int(orig[np.searchsorted(keys, probe)])
+
+    # unknown keys refuse loudly (the hydrate invariant)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="missing"):
+        DocValuesLookup(dv2, out_col="v")(
+            pa.table({"doc_key": pa.array([np.int64(3)], pa.int64())})
+        )
