@@ -2655,6 +2655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_hit_count": P.ft_hit_count,
         # numeric stats agg (count/sum/min/max/avg) over full match sets
         "ft_match_stats": P.ft_match_stats,
+        # same agg served from the n_chars docvalues sidecar (no join)
+        "ft_match_stats_dv": P.ft_match_stats_dv,
         # per-term BM25 contribution breakdown for every top-k hit (explain)
         "ft_bm25_explain": lambda sf: P.ft_bm25_explain(sf, k=5),
         # minimum_should_match: >= 2 distinct query terms must match
@@ -2795,6 +2797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_pipeline_aggs": relational.events_pipeline_aggs,
         # exact cumulative cardinality via the first-seen decomposition
         "ev_cumulative_cardinality": relational.events_cumulative_cardinality,
+        # behavioral analytics: ordered in-window funnel; cohort retention
+        "ev_funnel": relational.events_funnel,
+        "ev_retention": relational.events_retention,
         "ev_json_stats": relational.events_json_stats,
         "ev_sessions": lambda sf: relational.events_sessions(sf, gap_minutes=30),
     }
@@ -2837,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),
         "ft_match_stats": _match_stats_sql(),
+        "ft_match_stats_dv": _match_stats_sql(),
         "ft_bm25_explain": _bm25_explain_sql(5),
         "ft_bm25_msm": _bm25_msm_sql(10, 2),
         "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
@@ -3207,6 +3213,46 @@ SELECT event_type, day_epoch, n_events,
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch)
 ORDER BY event_type, day_epoch
+""",
+        "ev_funnel": f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT t FROM events),
+s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+s2 AS (
+  SELECT DISTINCT a.user_id FROM e a
+  JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click'
+          AND b.t > a.t AND b.t <= a.t + {72 * 3_600_000_000}
+  WHERE a.event_type = 'view'
+),
+s3 AS (
+  SELECT DISTINCT a.user_id FROM e a
+  JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click' AND b.t > a.t
+  JOIN e c ON c.user_id = a.user_id AND c.event_type = 'purchase'
+          AND c.t > b.t AND c.t <= a.t + {72 * 3_600_000_000}
+  WHERE a.event_type = 'view' AND b.t <= a.t + {72 * 3_600_000_000}
+)
+SELECT * FROM (
+  SELECT 1::BIGINT step, 'view' event_type, (SELECT count(*) FROM s1)::BIGINT n_users
+  UNION ALL
+  SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+  UNION ALL
+  SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+) ORDER BY step
+""",
+        "ev_retention": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch(date_trunc('day', ts))::BIGINT ud FROM events
+),
+f AS (SELECT user_id, min(ud) first_day FROM d GROUP BY 1),
+r AS (
+  SELECT f.user_id, f.first_day,
+         max(CASE WHEN d.ud BETWEEN f.first_day + 7 * 86400
+                              AND f.first_day + 13 * 86400
+                  THEN 1 ELSE 0 END) ret
+  FROM f JOIN d ON d.user_id = f.user_id GROUP BY 1, 2
+)
+SELECT first_day cohort_day_epoch, count(*)::BIGINT n_users,
+       sum(ret)::BIGINT n_retained_w1
+FROM r GROUP BY 1 ORDER BY 1
 """,
         "ev_cumulative_cardinality": """
 WITH first_seen AS (

@@ -488,3 +488,99 @@ def events_cumulative_cardinality(sf_dir: str):
     daily["cum_users"] = daily["new_users"].astype("int64").cumsum()
     return daily.astype({"day_epoch": "int64", "new_users": "int64",
                          "cum_users": "int64"})
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_H = 72  # whole funnel must complete within this many hours
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel analysis (the behavioral-analytics staple; ES
+    eventstream transforms / product-analytics funnels): per user, the
+    deepest prefix of FUNNEL_STEPS completable at STRICTLY increasing
+    timestamps with total extent ≤ FUNNEL_WINDOW_H hours — the exact
+    chain-existence question the positional span engine answers, so the
+    per-user check IS positions.ordered_chain_match on µs timestamps
+    (greedy minimizes extent per start ⟹ existence is exact). Output:
+    one row per step with the user count reaching it.
+
+    Scale shape: events hash-partition ONCE by user_id (groupby.map_groups
+    — the sessionize shape); each group reduces to a 1-row step vector;
+    the final reduction is a tiny column sum. Columns: step, event_type,
+    n_users."""
+    import ray.data as rd
+
+    from engine.index.positions import ordered_chain_match
+
+    ensure_hash_shuffle()
+    window_us = FUNNEL_WINDOW_H * 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        if ts.dtype != np.int64:
+            ts = ts.astype(np.int64)
+        # pandas may hold ns resolution; normalize to µs
+        if ts.size and ts.max() > 4_000_000_000_000_000_000 // 1000:
+            ts = ts // 1000
+        et = g["event_type"].to_numpy()
+        sides = [np.sort(ts[et == s]) for s in FUNNEL_STEPS]
+        reach = np.zeros(len(FUNNEL_STEPS), dtype=np.int64)
+        for k in range(1, len(FUNNEL_STEPS) + 1):
+            if ordered_chain_match(sides[:k], window_us):
+                reach[k - 1] = 1
+        return pd.DataFrame([{f"s{k}": int(reach[k - 1])
+                              for k in range(1, len(FUNNEL_STEPS) + 1)}])
+
+    per = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for k, step in enumerate(FUNNEL_STEPS, start=1):
+        rows.append({"step": k, "event_type": step,
+                     "n_users": int(per[f"s{k}"].sum()) if len(per) else 0})
+    return pd.DataFrame(rows).astype({"step": "int64", "n_users": "int64"})
+
+
+RETENTION_DAYS = (7, 13)  # week-1 retention window, inclusive day offsets
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention (product-analytics classic): users cohorted by
+    first-seen day; a user is week-1 retained when they have ANY event
+    between day first+7 and first+13 (inclusive). Exact, via the same
+    first-seen decomposition as cumulative cardinality: per-user day sets
+    reduce inside ONE keyed groupby (vectorized searchsorted window
+    check), cohort rollup is a tiny second groupby. Columns:
+    cohort_day_epoch, n_users, n_retained_w1."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ensure_hash_shuffle()
+    lo, hi = RETENTION_DAYS
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].dt.floor("D") - pd.Timestamp(0)).dt.total_seconds()
+        days = np.unique(day.to_numpy().astype(np.int64))
+        first = int(days[0])
+        w0, w1 = first + lo * 86400, first + hi * 86400
+        j = np.searchsorted(days, w0)
+        retained = int(j < days.size and days[j] <= w1)
+        return pd.DataFrame([{"cohort_day_epoch": first, "n": 1,
+                              "ret": retained}])
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("cohort_day_epoch")
+        .aggregate(Sum("n", alias_name="n_users"),
+                   Sum("ret", alias_name="n_retained_w1"))
+        .to_pandas()
+        .sort_values("cohort_day_epoch")
+        .reset_index(drop=True)
+    )
+    return out.astype({"cohort_day_epoch": "int64", "n_users": "int64",
+                       "n_retained_w1": "int64"})

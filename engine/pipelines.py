@@ -3647,6 +3647,65 @@ def tr_sort_by_field_dv(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+def ft_match_stats_dv(sf_dir: str) -> pd.DataFrame:
+    """ft_match_stats (numeric stats agg over match sets) served from the
+    n_chars DOCVALUES sidecar instead of the keyed attribute join — the
+    attribute attach becomes an mmap binary search inside the match
+    stream's own map stage, then the same per-batch partials + ONE
+    groupby combine. Shares ft_match_stats' SQL oracle (value-identical
+    by construction). Columns: qid, n_matches, sum_chars, min_chars,
+    max_chars, avg_chars_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    dv = ensure_docvalues(idx, f"{sf_dir}/documents.parquet",
+                          field="n_chars", key_col="doc_id")
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    joined = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).map_batches(
+        DocValuesLookup,
+        fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("qid", as_index=False).agg(
+            n=("n_chars", "size"), sm=("n_chars", "sum"),
+            mn=("n_chars", "min"), mx=("n_chars", "max"),
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("qid")
+        .aggregate(Sum("n", alias_name="n_matches"),
+                   Sum("sm", alias_name="sum_chars"),
+                   Min("mn", alias_name="min_chars"),
+                   Max("mx", alias_name="max_chars"))
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    out["avg_chars_micro"] = (
+        out["sum_chars"].astype("int64") * 1_000_000
+        // out["n_matches"].astype("int64")
+    )
+    cols = ["qid", "n_matches", "sum_chars", "min_chars", "max_chars",
+            "avg_chars_micro"]
+    return out[cols].astype({c: "int64" for c in cols})
+
+
 HAS_PARENT_MIN_TURNS = 8  # parent predicate: conversations at least this long
 # (oracle corpus conv sizes span 2..11, median 7 — the gate must genuinely
 # split the population, tests assert both sides are non-empty)

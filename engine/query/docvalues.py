@@ -32,7 +32,7 @@ def _corpus_fp(path: str) -> str:
 
 
 def ensure_docvalues(index_dir: str, corpus_path: str, field: str = "ts",
-                     parts: int = DV_PARTS) -> str:
+                     parts: int = DV_PARTS, key_col: str = "doc_key") -> str:
     """Build-once (per corpus content + committed stats) the ``field``
     docvalues artifact; returns its directory. Caller may race: the
     check-build-commit runs under a per-artifact flock (the
@@ -46,7 +46,7 @@ def ensure_docvalues(index_dir: str, corpus_path: str, field: str = "ts",
     st = Manifest(index_dir).stats
     fp = {"corpus": _corpus_fp(corpus_path),
           "n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"]),
-          "parts": int(parts)}
+          "parts": int(parts), "key_col": key_col}
     root = os.path.join(index_dir, "docvalues", field)
     meta_path = os.path.join(root, "_DV.json")
     with _index_lock(root):
@@ -61,7 +61,7 @@ def ensure_docvalues(index_dir: str, corpus_path: str, field: str = "ts",
         tmp_pq = f"{root}.stage-{os.getpid()}"
 
         def emit(b: pa.Table) -> pa.Table:
-            dk = b["doc_key"].to_numpy().astype(np.int64)
+            dk = b[key_col].to_numpy().astype(np.int64)
             val = b[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
             return pa.table({
                 "part": pa.array((dk % parts).astype(np.int32)),
@@ -69,7 +69,7 @@ def ensure_docvalues(index_dir: str, corpus_path: str, field: str = "ts",
                 "val": pa.array(val.astype(np.int64)),
             })
 
-        (rd.read_parquet(corpus_path, columns=["doc_key", field])
+        (rd.read_parquet(corpus_path, columns=[key_col, field])
            .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
            .write_parquet(tmp_pq, partition_cols=["part"]))
 

@@ -1835,3 +1835,68 @@ def test_ft_match_phrase_prefix_matches_duckdb(ray_session, monkeypatch, tmp_pat
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_ev_funnel_matches_duckdb(ray_session):
+    """Funnel counts are monotone non-increasing and match the self-join
+    SQL oracle exactly (same query the driver runs)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.relational import events_funnel
+
+    sf = "/root/testdata/sf0.001"
+    got = events_funnel(sf)
+    assert list(got["step"]) == [1, 2, 3]
+    assert (got["n_users"].to_numpy()[:-1] >= got["n_users"].to_numpy()[1:]).all()
+    assert got["n_users"].iloc[0] > 0
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{sf}/events.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ev_funnel"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ev_retention_matches_duckdb(ray_session):
+    """Cohort retention matches the first-seen SQL oracle; retained is a
+    subset of each cohort and cohorts partition the user population."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.relational import events_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = events_retention(sf)
+    assert len(got) > 0
+    assert (got["n_retained_w1"] <= got["n_users"]).all()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id"]).to_pandas()
+    assert got["n_users"].sum() == ev["user_id"].nunique()
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{sf}/events.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ev_retention"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ft_match_stats_dv_identity(ray_session, monkeypatch, tmp_path):
+    """The docvalues-served stats agg is frame-identical to the keyed-join
+    variant (shared SQL oracle ⟹ value-identical by transitivity)."""
+    import engine.pipelines as P
+
+    monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+    sf = "/root/testdata/sf0.001"
+    via_join = P.ft_match_stats(sf)
+    via_dv = P.ft_match_stats_dv(sf)
+    assert len(via_dv) > 0
+    pd.testing.assert_frame_equal(
+        via_dv.reset_index(drop=True),
+        via_join[via_dv.columns].astype(via_dv.dtypes.to_dict()).reset_index(drop=True),
+    )
