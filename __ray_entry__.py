@@ -1364,6 +1364,29 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _pii_sql() -> str:
+    """ta_pii_redact oracle: the SAME RE2 rule chain as engine/ops/pii.py
+    (constants imported so engine and SQL can never drift), applied in the
+    same order over the same deterministically-planted text; each rule's
+    count is taken over the text state that rule actually sees. Arrow C++
+    and DuckDB both execute RE2, so counts and rewrites are byte-identical."""
+    from engine.ops.pii import PII_RULES, plant_sql
+
+    prog = [f"({plant_sql()})"]
+    for _name, pat, repl in PII_RULES:
+        prog.append(f"regexp_replace({prog[-1]}, '{pat}', '{repl}', 'g')")
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all({prog[i]}, '{pat}'))::BIGINT n_{name}"
+        for i, (name, pat, _repl) in enumerate(PII_RULES)
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       {prog[-1]} text_redacted
+FROM documents ORDER BY doc_id
+"""
+
+
 def _feature_hash_sql() -> str:
     """Hashing-trick oracle: bucket = md5(token)[:8 hex] % FH_BUCKETS
     (constant imported so engine and SQL can never drift), per-doc bucket
@@ -2591,7 +2614,7 @@ def _q_clean(sf: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, multimodal, relational, sampling, textstats
+    from engine.ops import ann, dedup, multimodal, pii, relational, sampling, textstats
     from engine import pipelines as P
 
     return {
@@ -2784,6 +2807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
+        # PII detection + redaction (RE2 kernel chain; deterministic
+        # planted fixture — see engine/ops/pii.py docstring)
+        "ta_pii_redact": pii.pii_redact,
         # relational operator layer
         "rel_pricing_summary": relational.q1_pricing_summary,
         "rel_nation_revenue": relational.nation_revenue,
@@ -2909,6 +2935,7 @@ SELECT doc_id, n_tokens,
 FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
+        "ta_pii_redact": _pii_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_contamination": _contamination_sql(),
         "ta_repetition": _repetition_sql(),

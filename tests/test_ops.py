@@ -1900,3 +1900,43 @@ def test_ft_match_stats_dv_identity(ray_session, monkeypatch, tmp_path):
         via_dv.reset_index(drop=True),
         via_join[via_dv.columns].astype(via_dv.dtypes.to_dict()).reset_index(drop=True),
     )
+
+def test_ta_pii_redact_matches_duckdb(ray_session):
+    """RE2 redaction chain: counts + redacted text byte-identical to the
+    DuckDB oracle; every planted arm fires somewhere; no residual PII
+    survives its own pattern in the redacted output."""
+    import re
+
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.pii import PII_RULES, pii_redact
+
+    sf = "/root/testdata/sf0.001"
+    got = pii_redact(sf)
+    for name, pat, _repl in PII_RULES:
+        assert got[f"n_{name}"].sum() > 0, name
+        assert not got["text_redacted"].str.contains(pat, regex=True).any(), name
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ta_pii_redact"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ta_pii_redact_unplanted_clean(ray_session):
+    """plant=False runs the same kernels over the raw corpus: digit-free
+    word salad carries zero PII and text passes through unchanged."""
+    from engine.ops.pii import PII_RULES, pii_redact
+
+    sf = "/root/testdata/sf0.001"
+    got = pii_redact(sf, plant=False)
+    for name, _pat, _repl in PII_RULES:
+        assert got[f"n_{name}"].sum() == 0, name
+    raw = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    raw = raw.sort_values("doc_id").reset_index(drop=True)
+    assert (got["text_redacted"] == raw["text"]).all()
