@@ -1387,6 +1387,81 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _pack_cte() -> str:
+    """Shared CTE for the packing oracles: slim (doc_id, part, n_tokens)
+    rows + per-part ordered cumulative sums — constants imported from
+    engine/ops/packing.py so engine and SQL can never drift. The Knuth
+    multiplicative hash products stay far below 2^63 (exact BIGINT)."""
+    from engine.ops.packing import KNUTH, PACK_PARTS
+    from engine.ops.textstats import TokenCounter
+
+    return f"""t AS (
+  SELECT doc_id,
+         (((doc_id * {KNUTH}) % 4294967296) % {PACK_PARTS})::BIGINT part,
+         len(regexp_extract_all(text, '{TokenCounter.NON_WS_PATTERN}'))::BIGINT n_tokens
+  FROM documents
+),
+o AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+         row_number() OVER (PARTITION BY part ORDER BY doc_id) rn
+  FROM t
+)"""
+
+
+def _seq_pack_sql() -> str:
+    """ta_seq_pack oracle: concat-and-chunk ids from the windowed cumsum
+    (all operands non-negative, so // floors identically in both engines)."""
+    from engine.ops.packing import PACK_BUDGET as B
+
+    return f"""
+WITH {_pack_cte()}
+SELECT doc_id, part, n_tokens,
+       ((cum - n_tokens) // {B})::BIGINT start_chunk,
+       (CASE WHEN n_tokens > 0 THEN (cum - 1) // {B}
+             ELSE (cum - n_tokens) // {B} END)::BIGINT end_chunk,
+       (CASE WHEN n_tokens > 0
+             THEN (cum - 1) // {B} - (cum - n_tokens) // {B} + 1
+             ELSE 0 END)::BIGINT n_chunks
+FROM o ORDER BY doc_id
+"""
+
+
+def _pack_greedy_sql() -> str:
+    """ta_pack_greedy oracle: greedy first-fit boundaries recomputed by a
+    recursive CTE — each step jumps to the furthest row whose cumulative
+    sum fits base+budget (≥ one row, so an oversized doc owns its pack),
+    exactly the engine's searchsorted jump loop."""
+    from engine.ops.packing import PACK_BUDGET as B
+
+    return f"""
+WITH RECURSIVE {_pack_cte()},
+b(part, pack_id, last_rn, last_cum) AS (
+  SELECT part, -1, 0, 0::BIGINT FROM (SELECT DISTINCT part FROM o) p
+  UNION ALL
+  SELECT b.part, b.pack_id + 1,
+         greatest(b.last_rn + 1,
+           coalesce((SELECT max(rn) FROM o WHERE o.part = b.part
+                     AND o.cum <= b.last_cum + {B}), 0)),
+         (SELECT cum FROM o WHERE o.part = b.part AND o.rn =
+           greatest(b.last_rn + 1,
+             coalesce((SELECT max(rn) FROM o WHERE o.part = b.part
+                       AND o.cum <= b.last_cum + {B}), 0)))
+  FROM b WHERE b.last_rn < (SELECT max(rn) FROM o WHERE o.part = b.part)
+),
+p AS (
+  SELECT part, pack_id, last_rn,
+         lag(last_rn, 1, 0) OVER (PARTITION BY part ORDER BY pack_id) prev_rn
+  FROM b WHERE pack_id >= 0
+)
+SELECT o.doc_id, o.part, o.n_tokens,
+       p.pack_id::BIGINT pack_id, (o.rn - p.prev_rn)::BIGINT pack_pos
+FROM o JOIN p ON o.part = p.part AND o.rn > p.prev_rn AND o.rn <= p.last_rn
+ORDER BY o.doc_id
+"""
+
+
 def _feature_hash_sql() -> str:
     """Hashing-trick oracle: bucket = md5(token)[:8 hex] % FH_BUCKETS
     (constant imported so engine and SQL can never drift), per-doc bucket
@@ -2614,7 +2689,16 @@ def _q_clean(sf: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, multimodal, pii, relational, sampling, textstats
+    from engine.ops import (
+        ann,
+        dedup,
+        multimodal,
+        packing,
+        pii,
+        relational,
+        sampling,
+        textstats,
+    )
     from engine import pipelines as P
 
     return {
@@ -2810,6 +2894,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII detection + redaction (RE2 kernel chain; deterministic
         # planted fixture — see engine/ops/pii.py docstring)
         "ta_pii_redact": pii.pii_redact,
+        # sequence packing: concat-and-chunk + greedy first-fit (slim-row
+        # exchange only; see engine/ops/packing.py)
+        "ta_seq_pack": packing.seq_pack,
+        "ta_pack_greedy": packing.pack_greedy,
         # relational operator layer
         "rel_pricing_summary": relational.q1_pricing_summary,
         "rel_nation_revenue": relational.nation_revenue,
@@ -2936,6 +3024,8 @@ FROM s ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_pii_redact": _pii_sql(),
+        "ta_seq_pack": _seq_pack_sql(),
+        "ta_pack_greedy": _pack_greedy_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_contamination": _contamination_sql(),
         "ta_repetition": _repetition_sql(),

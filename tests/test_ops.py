@@ -1940,3 +1940,78 @@ def test_ta_pii_redact_unplanted_clean(ray_session):
     raw = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
     raw = raw.sort_values("doc_id").reset_index(drop=True)
     assert (got["text_redacted"] == raw["text"]).all()
+
+def test_ta_seq_pack_invariants(ray_session):
+    """Concat-and-chunk: per-part chunk supply is exactly
+    ceil(part_tokens/budget); straddles are contiguous; DuckDB parity."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.packing import PACK_BUDGET, seq_pack
+
+    sf = "/root/testdata/sf0.001"
+    got = seq_pack(sf)
+    assert (got["end_chunk"] >= got["start_chunk"]).all()
+    for part, g in got.groupby("part"):
+        total = int(g["n_tokens"].sum())
+        assert int(g["end_chunk"].max()) == (total - 1) // PACK_BUDGET
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ta_seq_pack"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_ta_pack_greedy_invariants(ray_session):
+    """Greedy first-fit: no pack exceeds the budget unless it is a single
+    oversized doc; packs are maximal (next doc would not have fit); DuckDB
+    recursive-CTE parity."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.packing import PACK_BUDGET, pack_greedy
+
+    sf = "/root/testdata/sf0.001"
+    got = pack_greedy(sf)
+    fills = got.groupby(["part", "pack_id"])["n_tokens"].agg(["sum", "size"])
+    over = fills[fills["sum"] > PACK_BUDGET]
+    assert (over["size"] == 1).all()
+    for part, g in got.sort_values("doc_id").groupby("part"):
+        f = g.groupby("pack_id")["n_tokens"].sum()
+        firsts = g.drop_duplicates("pack_id").set_index("pack_id")["n_tokens"]
+        for pid in f.index[:-1]:
+            assert f[pid] + firsts[pid + 1] > PACK_BUDGET
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ta_pack_greedy"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_greedy_pack_ids_kernel():
+    """Pure-kernel property: greedy ids vs a row-at-a-time reference over
+    randomized lengths (no Ray)."""
+    rng = np.random.default_rng(11)
+    from engine.ops.packing import greedy_pack_ids
+
+    for _ in range(25):
+        n = int(rng.integers(1, 60))
+        lens = rng.integers(0, 40, size=n)
+        budget = int(rng.integers(8, 64))
+        got = greedy_pack_ids(np.cumsum(lens), budget)
+        ref, pid, fill = [], 0, 0
+        for i, L in enumerate(lens):
+            if i > 0 and fill + L > budget:
+                pid += 1
+                fill = 0
+            ref.append(pid)
+            fill += L
+        assert list(got) == ref, (list(lens), budget)
