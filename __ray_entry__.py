@@ -1348,6 +1348,68 @@ ORDER BY qid, rank
 """
 
 
+def _rank_eval_sql(k: int) -> str:
+    """ft_rank_eval oracle: union BM25 top-k (the _bm25_sql CTE) evaluated
+    against conjunctive-containment qrels (the _bm25_and_sql HAVING shape,
+    presence-only). Micro ratios repeat the engine's exact IEEE op
+    sequence: one double division, *1e6, floor(+0.5)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+qn AS (SELECT qid, count(*)::BIGINT n_terms FROM qterm GROUP BY 1),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+topk AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+rel AS (
+  SELECT qt.qid, tf.doc_id
+  FROM qterm qt
+  JOIN tf ON tf.term = qt.term
+  JOIN qn ON qn.qid = qt.qid
+  GROUP BY qt.qid, tf.doc_id, qn.n_terms
+  HAVING count(DISTINCT qt.term) = qn.n_terms
+),
+m AS (
+  SELECT qq.qid,
+         coalesce(r.n_rel, 0)::BIGINT n_rel,
+         coalesce(h.hits, 0)::BIGINT hits,
+         h.best_rank
+  FROM (SELECT DISTINCT qid::BIGINT qid FROM q) qq
+  LEFT JOIN (SELECT qid, count(*)::BIGINT n_rel FROM rel GROUP BY 1) r USING (qid)
+  LEFT JOIN (SELECT t.qid, count(*)::BIGINT hits, min(t.rank) best_rank
+             FROM topk t JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+             GROUP BY 1) h USING (qid)
+)
+SELECT qid, n_rel, hits,
+       floor(hits / {k}::DOUBLE * 1e6 + 0.5)::BIGINT p_at_k_micro,
+       floor(hits / greatest(n_rel, 1)::DOUBLE * 1e6 + 0.5)::BIGINT recall_micro,
+       (CASE WHEN hits > 0 THEN floor(1e6 / best_rank::DOUBLE + 0.5) ELSE 0 END)::BIGINT mrr_micro
+FROM m ORDER BY qid
+"""
+
+
 def _token_count_sql() -> str:
     """ta_token_count oracle built from the SAME pattern constants the
     engine compiles (engine/ops/textstats.py) — explicit ASCII whitespace
@@ -2721,6 +2783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_first": lambda sf: P.ft_span_first(sf, k=10),
         # deterministic query profile: the index accounts for its own work
         "ft_query_profile": P.ft_query_profile,
+        # ES _rank_eval: p@k / recall / MRR vs containment qrels
+        "ft_rank_eval": P.ft_rank_eval,
         # search-as-you-type phrase completion
         "ft_match_phrase_prefix": lambda sf: P.ft_match_phrase_prefix(sf, k=10),
         # reverse search: registered rule set matched against every doc in
@@ -2934,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_near_ordered": _span_near_ordered_sql(10),
         "ft_span_first": _span_first_sql(10),
         "ft_query_profile": _query_profile_sql(),
+        "ft_rank_eval": _rank_eval_sql(10),
         "ft_match_phrase_prefix": _match_phrase_prefix_sql(10),
         "ft_percolate": _percolate_sql(),
         "ft_top_hits": _top_hits_sql(3),

@@ -4023,3 +4023,92 @@ def ft_bm25_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = out[["qid", "rank", "doc_id", "score_micro"]]
     out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
     return out.astype({"qid": "int64", "rank": "int64", "score_micro": "int64"})
+
+
+def ft_rank_eval(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Ranked-retrieval evaluation (the ES ``_rank_eval`` API): per
+    DOC_QUERY, precision@k / recall@k / MRR of the BM25 union top-k against
+    deterministic qrels — a doc is *relevant* iff it contains EVERY token
+    of the query (the conjunctive containment set, so the qrels are a pure
+    function of the corpus, no human labels needed).
+
+    Scale shape: the top-k table is tiny (|queries|·k rows) and broadcast
+    into the relevance scan; the relevant set streams out of the
+    conjunctive MatchServer and is reduced MAP-SIDE to ≤ |queries| partial
+    rows per block (n_rel sum, hits sum, best-rank min — each (qid, doc)
+    pair appears exactly once in the stream, so partial sums compose);
+    ONE tiny groupby finishes. The match volume never reaches the driver.
+
+    Columns: qid, n_rel, hits, p_at_k_micro, recall_micro, mrr_micro
+    (micro ratios are single IEEE divisions, floor(x*1e6+0.5) — the SQL
+    oracle repeats the identical op sequence)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from engine.query.engine import MatchServer
+
+    topk = _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k
+    )
+    # broadcast lookup: (qid, doc_key) -> rank. |queries|*k entries.
+    rank_of = {
+        (int(q), int(d)): int(r)
+        for q, d, r in zip(topk["qid"], topk["doc_id"], topk["rank"])
+    }
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "conjunctive": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        qid = b["qid"].to_numpy()
+        dk = b["doc_key"].to_numpy()
+        ranks = np.fromiter(
+            (rank_of.get((int(q), int(d)), 0) for q, d in zip(qid, dk)),
+            dtype=np.int64,
+            count=len(qid),
+        )
+        df = pd.DataFrame({"qid": qid, "one": 1, "hit": (ranks > 0).astype(np.int64),
+                           "rank": np.where(ranks > 0, ranks, k + 1)})
+        return df.groupby("qid", as_index=False).agg(
+            n_rel=("one", "sum"), hits=("hit", "sum"), best_rank=("rank", "min")
+        )
+
+    per = (
+        matches.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .aggregate(Sum("n_rel", alias_name="n_rel"),
+                   Sum("hits", alias_name="hits"),
+                   Min("best_rank", alias_name="best_rank"))
+        .to_pandas()
+    )
+    base = pd.DataFrame({"qid": [q for q, _t in DOC_QUERIES]})
+    out = base.merge(per, on="qid", how="left").fillna(
+        {"n_rel": 0, "hits": 0, "best_rank": k + 1}
+    )
+    n_rel = out["n_rel"].to_numpy().astype(np.int64)
+    hits = out["hits"].to_numpy().astype(np.int64)
+    best = out["best_rank"].to_numpy().astype(np.int64)
+    out["p_at_k_micro"] = np.floor(hits / float(k) * 1e6 + 0.5).astype(np.int64)
+    out["recall_micro"] = np.floor(
+        hits / np.maximum(n_rel, 1).astype(np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    out["mrr_micro"] = np.where(
+        (hits > 0) & (best <= k),
+        np.floor(1e6 / best.astype(np.float64) + 0.5),
+        0,
+    ).astype(np.int64)
+    cols = ["qid", "n_rel", "hits", "p_at_k_micro", "recall_micro", "mrr_micro"]
+    return (
+        out[cols]
+        .sort_values("qid")
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in cols})
+    )

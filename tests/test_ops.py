@@ -2015,3 +2015,32 @@ def test_greedy_pack_ids_kernel():
             ref.append(pid)
             fill += L
         assert list(got) == ref, (list(lens), budget)
+
+
+def test_ft_rank_eval_matches_duckdb(ray_session):
+    """_rank_eval: p@k / recall / MRR against conjunctive-containment qrels.
+    Invariants: hits <= min(k, n_rel); MRR > 0 iff hits > 0; recall == 1e6
+    exactly when every relevant doc is retrieved; plus full DuckDB parity
+    (the SQL recomputes qrels AND the BM25 top-k from the corpus)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.pipelines import ft_rank_eval
+
+    sf = "/root/testdata/sf0.001"
+    k = 10
+    got = ft_rank_eval(sf, k=k)
+    assert (got["hits"] <= np.minimum(got["n_rel"], k)).all()
+    assert ((got["mrr_micro"] > 0) == (got["hits"] > 0)).all()
+    full = got["n_rel"] == got["hits"]
+    assert (got.loc[full & (got["n_rel"] > 0), "recall_micro"] == 1_000_000).all()
+    assert (got["hits"] > 0).any()  # fixture queries actually retrieve
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ft_rank_eval"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
