@@ -1646,6 +1646,63 @@ ORDER BY d.doc_id
 """
 
 
+def _span_coverage_sql() -> str:
+    """dedup_span_coverage oracle: SAME md5-mod-prime token hash +
+    SPAN_WIDTH Horner rolling polynomial as engine/ops/dedup._SpanGrams
+    (constants imported — no drift), dup grams = min(doc)!=max(doc), then
+    per doc the island union of duplicated windows via a lag window: first
+    span of a doc contributes w_eff = least(W, n_tokens), later spans
+    min(pos_gap, w_eff) — identical to the engine's vectorised kernel."""
+    from engine.ops.dedup import SPAN_BASE, SPAN_MOD, SPAN_WIDTH
+
+    B, M, W = SPAN_BASE, SPAN_MOD, SPAN_WIDTH
+    expr = "hs[i]"
+    for j in range(1, W):
+        expr = f"(({expr}) * {B} % {M} + hs[i+{j}])"
+    expr = f"({expr}) % {M}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+h AS (SELECT doc_id, len(toks)::BIGINT n_tokens,
+             list_transform(toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % {M})::BIGINT) hs
+      FROM t),
+g AS (
+  SELECT doc_id, n_tokens,
+    CASE
+      WHEN len(hs) = 0 THEN []::BIGINT[]
+      WHEN len(hs) < {W} THEN [list_reduce(hs, (a, b) -> (a * {B} + b) % {M})]
+      ELSE list_transform(range(1, len(hs) - {W - 2}), i -> {expr})
+    END AS grams
+  FROM h
+),
+p AS (
+  SELECT doc_id, unnest(grams) gram, unnest(range(1, len(grams) + 1)) pos
+  FROM g
+),
+dup AS (SELECT gram FROM p GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (gram)),
+contrib AS (
+  SELECT dp.doc_id,
+         CASE WHEN lag(dp.pos) OVER w IS NULL THEN least({W}, g.n_tokens)
+              ELSE least(dp.pos - lag(dp.pos) OVER w, least({W}, g.n_tokens))
+         END c
+  FROM dp JOIN g ON g.doc_id = dp.doc_id
+  WINDOW w AS (PARTITION BY dp.doc_id ORDER BY dp.pos)
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT n_dup_spans, sum(c)::BIGINT dup_tokens
+  FROM contrib GROUP BY 1
+)
+SELECT g.doc_id,
+       g.n_tokens,
+       len(g.grams)::BIGINT n_spans,
+       coalesce(agg.n_dup_spans, 0)::BIGINT n_dup_spans,
+       coalesce(agg.dup_tokens, 0)::BIGINT dup_tokens,
+       floor(coalesce(agg.dup_tokens, 0) / greatest(g.n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT dup_ratio_micro
+FROM g LEFT JOIN agg USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def _dedup_simhash_sql() -> str:
     """PARTIAL oracle for simhash banding (VERDICT r2 #8): the signature
     function is engine-defined (Jaccard-SQL equivalence is measured
@@ -2903,6 +2960,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_minhash_verified": lambda sf: dedup.minhash_verified(sf, threshold_micro=900_000),
         "dedup_simhash_pairs": dedup.simhash_pairs,
+        # exact substring dedup: per-doc duplicated-span count + union
+        # token coverage of cross-doc repeated SPAN_WIDTH-token windows
+        "dedup_span_coverage": dedup.span_coverage,
         # connected components over the verified pair graph (the "keep one
         # representative per duplicate cluster" action)
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold_micro=900_000),
@@ -3491,4 +3551,5 @@ FROM documents ORDER BY doc_id
         sql["dedup_simhash_pairs"] = _dedup_simhash_sql()
     except OSError:
         pass
+    sql["dedup_span_coverage"] = _span_coverage_sql()
     return sql

@@ -1093,3 +1093,233 @@ def embedding_lsh_pairs(
     if len(out) == 0:
         return empty
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True).astype("int64")
+
+
+# cross-document duplicate-span detection (exact substring dedup, the Lee
+# et al. 2022 "Deduplicating Training Data Makes Language Models Better"
+# shape) — constants mirrored EXACTLY in the SQL oracle (__ray_entry__.py
+# _span_coverage_sql). md5-mod-prime token hashes + Horner rolling
+# polynomial: the same SQL-reproducible arithmetic family as
+# textstats.CONTAM_* (values re-declared here so engine/ops/textstats and
+# this module stay import-acyclic).
+SPAN_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+SPAN_BASE = 131
+SPAN_WIDTH = 5
+
+
+def _span_md5(t: str) -> int:
+    return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % SPAN_MOD
+
+
+class _SpanGrams:
+    """Per-worker stage state: positional SPAN_WIDTH-token shingle hashes.
+    Returns (flat gram hashes int64, grams-per-doc int64, tokens-per-doc
+    int64); docs shorter than SPAN_WIDTH contribute ONE whole-doc gram
+    (rolling_shingle_hashes' fold), empty docs none."""
+
+    def __init__(self) -> None:
+        self._th = _TokenHashes(hasher=_span_md5, dtype=np.int64)
+
+    def doc_grams(self, texts):
+        hs, dl = self._th.flat_hashes(texts)
+        grams, gpd = rolling_shingle_hashes(
+            hs, dl, width=SPAN_WIDTH, base=SPAN_BASE, mod=SPAN_MOD
+        )
+        return grams, gpd.astype(np.int64), dl.astype(np.int64)
+
+
+class _SpanMinMax(_SpanGrams):
+    """Pass-1 map-side combine: per batch, each DISTINCT gram reduced to one
+    (g, lo=min doc_id, hi=max doc_id) row, so the pass-1 exchange carries at
+    most |distinct grams per batch| slim rows — never the token stream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, gpd, _dl = self.doc_grams(batch["text"])
+        doc = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), gpd)
+        ug, inv = np.unique(grams, return_inverse=True)
+        lo = np.full(ug.size, np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(ug.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, doc)
+        np.maximum.at(hi, inv, doc)
+        return pa.table({
+            "g": pa.array(ug, type=pa.int64()),
+            "lo": pa.array(lo, type=pa.int64()),
+            "hi": pa.array(hi, type=pa.int64()),
+        })
+
+
+def _coverage_contrib(doc_idx: np.ndarray, pos: np.ndarray, w_eff: np.ndarray) -> np.ndarray:
+    """Vectorised union-of-intervals length: for ascending positions within
+    each doc (doc_idx grouped, pos sorted inside a group), each duplicated
+    span [pos, pos+w) contributes w for the first span of its doc and
+    min(gap, w) after — exactly the merged-island length, no per-doc loop.
+    Returns the per-ROW contribution (caller bincounts by doc)."""
+    if pos.size == 0:
+        return np.empty(0, dtype=np.int64)
+    new_doc = np.empty(pos.size, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc_idx[1:] != doc_idx[:-1]
+    gap = np.empty(pos.size, dtype=np.int64)
+    gap[0] = 0
+    gap[1:] = pos[1:] - pos[:-1]
+    w = w_eff[doc_idx]
+    return np.where(new_doc, w, np.minimum(gap, w)).astype(np.int64)
+
+
+class _SpanCoverage(_SpanGrams):
+    """Pass-2 scan (broadcast path): per doc, count duplicated span
+    positions and the union token coverage of their windows — vectorised
+    searchsorted membership against the broadcast sorted dup-gram array,
+    then the island kernel. Zero shuffle; output is one slim row per doc."""
+
+    def __init__(self, dup_ref) -> None:
+        super().__init__()
+        import ray
+
+        self._dup = ray.get(dup_ref)  # sorted int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, gpd, dl = self.doc_grams(batch["text"])
+        n = gpd.size
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), gpd)
+        starts = np.concatenate(([0], np.cumsum(gpd)))[:-1]
+        pos = np.arange(grams.size, dtype=np.int64) - starts[doc_idx]
+        dup = np.zeros(grams.size, dtype=bool)
+        if grams.size and self._dup.size:
+            p = np.searchsorted(self._dup, grams)
+            p[p == self._dup.size] = 0
+            dup = self._dup[p] == grams
+        w_eff = np.minimum(dl, SPAN_WIDTH)
+        n_dup = np.bincount(doc_idx[dup], minlength=n).astype(np.int64)
+        contrib = _coverage_contrib(doc_idx[dup], pos[dup], w_eff)
+        cov = np.bincount(doc_idx[dup], weights=contrib, minlength=n).astype(np.int64)
+        ratio = np.floor(cov / np.maximum(dl, 1).astype(np.float64) * 1e6 + 0.5)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl, type=pa.int64()),
+            "n_spans": pa.array(gpd, type=pa.int64()),
+            "n_dup_spans": pa.array(n_dup, type=pa.int64()),
+            "dup_tokens": pa.array(cov, type=pa.int64()),
+            "dup_ratio_micro": pa.array(ratio.astype(np.int64), type=pa.int64()),
+        })
+
+
+class _SpanPositions(_SpanGrams):
+    """Scale-path explode: (g, doc_id, pos) rows for the keyed join. Only
+    used when the dup-gram set exceeds the broadcast bound."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, gpd, _dl = self.doc_grams(batch["text"])
+        doc_idx = np.repeat(np.arange(gpd.size, dtype=np.int64), gpd)
+        starts = np.concatenate(([0], np.cumsum(gpd)))[:-1]
+        pos = np.arange(grams.size, dtype=np.int64) - starts[doc_idx]
+        return pa.table({
+            "g": pa.array(grams, type=pa.int64()),
+            "doc_id": pa.array(batch["doc_id"].to_numpy().astype(np.int64)[doc_idx],
+                               type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+        })
+
+
+class _SpanBase(_SpanGrams):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _grams, gpd, dl = self.doc_grams(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl, type=pa.int64()),
+            "n_spans": pa.array(gpd, type=pa.int64()),
+        })
+
+
+def span_coverage(
+    sf_dir: str, table: str = "documents", *, broadcast_max: int = 2_000_000
+) -> pd.DataFrame:
+    """Cross-document duplicate-span detection: a SPAN_WIDTH-token span is
+    *duplicated* iff its rolling hash occurs in ≥2 DISTINCT documents; per
+    document report how many of its span positions are duplicated and how
+    many token positions the duplicated windows cover (union of intervals —
+    the Lee et al. 2022 "fraction of duplicated text" metric, here in exact
+    SQL-reproducible arithmetic).
+
+    Scale shape: pass 1 is a map-side-combined (g, min_doc, max_doc)
+    exchange — volume bounded by DISTINCT grams, never the token stream —
+    and ONE small groupby; `min(doc) != max(doc)` is exactly "appears in
+    ≥2 distinct docs" (doc_ids are unique), so no distinct-count sketch is
+    needed. Pass 2 is a shuffle-free corpus scan against the broadcast
+    sorted dup-gram array (ray.put once, searchsorted per batch) when the
+    dup set fits ``broadcast_max``; beyond it (heavily templated crawl), a
+    keyed hash join of exploded (g, doc_id, pos) rows against the dup-gram
+    table, per-doc island reduction in map_groups, and a slim base-table
+    merge — no corpus-sized driver structure on either path.
+
+    Columns: doc_id, n_tokens, n_spans, n_dup_spans, dup_tokens,
+    dup_ratio_micro (floor(dup_tokens/max(n_tokens,1)*1e6+0.5))."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    path = f"{sf_dir}/{table}.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    gmm = (
+        ds.map_batches(_SpanMinMax, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("g")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+
+    cols = ["doc_id", "n_tokens", "n_spans", "n_dup_spans", "dup_tokens",
+            "dup_ratio_micro"]
+
+    n_dup_grams = gmm.filter(expr="lo != hi").count()
+    if n_dup_grams <= broadcast_max:
+        dup = gmm.filter(expr="lo != hi").to_pandas()["g"].to_numpy()
+        dup_ref = ray.put(np.sort(dup.astype(np.int64)))
+        out = ds.map_batches(
+            _SpanCoverage,
+            fn_constructor_args=(dup_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 4),
+        ).to_pandas()
+        return (out[cols].sort_values("doc_id").reset_index(drop=True)
+                .astype({c: "int64" for c in cols}))
+
+    # keyed-join scale path: dup grams never gathered to the driver
+    from engine.core.context import join_args
+
+    jargs = join_args(n_joins=1)
+    n_parts = jargs.pop("num_partitions")
+    dup_ds = gmm.filter(expr="lo != hi").select_columns(["g"])
+    pos_ds = ds.map_batches(_SpanPositions, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 4))
+    hit = pos_ds.join(dup_ds, "inner", n_parts, on=("g",), **jargs)
+
+    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("pos")
+        d = g["doc_id"].to_numpy()
+        # single doc per group; w_eff resolved in the base merge below
+        return pd.DataFrame({
+            "doc_id": [int(d[0])],
+            "n_dup_spans": [len(g)],
+            "_pos": [g["pos"].to_numpy().astype(np.int64)],
+        })
+
+    hits_pd = hit.groupby("doc_id").map_groups(per_doc, batch_format="pandas").to_pandas()
+    base = ds.map_batches(_SpanBase, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4)).to_pandas()
+    out = base.merge(hits_pd, on="doc_id", how="left")
+    out["n_dup_spans"] = out["n_dup_spans"].fillna(0).astype(np.int64)
+    w_eff = np.minimum(out["n_tokens"].to_numpy(), SPAN_WIDTH).astype(np.int64)
+    cov = np.zeros(len(out), dtype=np.int64)
+    for i, p in enumerate(out["_pos"]):
+        if isinstance(p, np.ndarray) and p.size:
+            c = _coverage_contrib(np.zeros(p.size, dtype=np.int64), p,
+                                  w_eff[i:i + 1])
+            cov[i] = int(c.sum())
+    out["dup_tokens"] = cov
+    out["dup_ratio_micro"] = np.floor(
+        cov / np.maximum(out["n_tokens"].to_numpy(), 1).astype(np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    return (out[cols].sort_values("doc_id").reset_index(drop=True)
+            .astype({c: "int64" for c in cols}))

@@ -2044,3 +2044,49 @@ def test_ft_rank_eval_matches_duckdb(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_span_coverage_matches_duckdb_and_join_path(ray_session, tmp_path):
+    """dedup_span_coverage: exact substring-dedup coverage (Lee et al. 2022
+    shape). A planted shared SPAN_WIDTH-token run must be flagged in BOTH
+    carriers and nowhere else; the broadcast and keyed-join paths are
+    row-identical; full DuckDB parity at sf0.001 (same md5-mod-prime +
+    Horner rolling-hash arithmetic)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.dedup import SPAN_WIDTH, span_coverage
+
+    # planted corpus: docs 0/1 share a 7-token run, doc 2 is disjoint
+    shared = " ".join(f"s{i}" for i in range(SPAN_WIDTH + 2))
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [
+            "alpha beta " + shared + " gamma delta",
+            "zeta " + shared + " eta theta iota",
+            "one two three four five six seven eight nine",
+        ],
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = span_coverage(str(tmp_path))
+    by = out.set_index("doc_id")
+    assert by.loc[0, "n_dup_spans"] == 3  # 3 windows inside the 7-token run
+    assert by.loc[1, "n_dup_spans"] == 3
+    assert by.loc[2, "n_dup_spans"] == 0 and by.loc[2, "dup_tokens"] == 0
+    assert by.loc[0, "dup_tokens"] == SPAN_WIDTH + 2  # union of overlaps
+    assert by.loc[1, "dup_tokens"] == SPAN_WIDTH + 2
+
+    sf = "/root/testdata/sf0.001"
+    got = span_coverage(sf)
+    joined = span_coverage(sf, broadcast_max=0)  # force keyed-join path
+    pd.testing.assert_frame_equal(got, joined)
+    assert (got["n_dup_spans"] > 0).any()  # synth corpus has real dups
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["dedup_span_coverage"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
