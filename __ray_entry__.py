@@ -3012,6 +3012,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
         "sample_stratified": lambda sf: sampling.stratified_sample(sf, k=30),
+        # source-weighted epoch mixing (fractional upsample by md5 draw)
+        "sample_mixture_epochs": sampling.mixture_epochs,
+        # hash-partitioned training-shard export (written + read back)
+        "sample_export_shards": sampling.export_shards,
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
@@ -3255,6 +3259,39 @@ r AS (
   FROM h
 )
 SELECT lang, rank, doc_id FROM r WHERE rank <= 30 ORDER BY lang, rank
+""",
+        # engine/ops/sampling.py::mixture_epochs — weight = pure function of
+        # the source STRING, fractional epoch by the doc's md5 draw
+        "sample_mixture_epochs": """
+WITH w AS (
+  SELECT source,
+         (250000 + (('0x' || substr(md5(source), 1, 8))::UBIGINT % 30)
+                   * 100000)::BIGINT weight_micro
+  FROM (SELECT DISTINCT source FROM documents)
+),
+d AS (
+  SELECT doc_id, dd.source, n_chars, weight_micro,
+         (weight_micro // 1000000
+          + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                       % 1000000) < weight_micro % 1000000
+                 THEN 1 ELSE 0 END)::BIGINT reps
+  FROM documents dd JOIN w USING (source)
+)
+SELECT source, weight_micro, count(*)::BIGINT n_docs,
+       sum(reps)::BIGINT n_emitted,
+       sum(reps * n_chars)::BIGINT n_chars_emitted
+FROM d GROUP BY 1, 2 ORDER BY source
+""",
+        # engine/ops/sampling.py::export_shards — the SQL recomputes the
+        # shard assignment + per-shard checksum the engine derives from the
+        # WRITTEN hive partitions (round-trip proof)
+        "sample_export_shards": """
+SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::BIGINT shard_id,
+       count(*)::BIGINT n_docs,
+       sum(n_chars)::BIGINT n_chars,
+       sum((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+            % 2147483647))::BIGINT key_checksum
+FROM documents GROUP BY 1 ORDER BY 1
 """,
         "ev_sessions": """
 WITH e AS (

@@ -2090,3 +2090,64 @@ def test_span_coverage_matches_duckdb_and_join_path(ray_session, tmp_path):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+class TestMixtureAndShards:
+    """Epoch mixing + sharded export: pure-function determinism, bounds,
+    artifact round-trip, and DuckDB parity at sf0.001."""
+
+    def test_mixture_epochs_bounds_and_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+        from engine.ops.sampling import mixture_epochs
+
+        sf = "/root/testdata/sf0.001"
+        out = mixture_epochs(sf)
+        # every source present, n_emitted within [floor(w), ceil(w)] × n_docs
+        lo = (out["weight_micro"] // 1_000_000) * out["n_docs"]
+        hi = -(-out["weight_micro"] // 1_000_000) * out["n_docs"]
+        assert ((out["n_emitted"] >= lo) & (out["n_emitted"] <= hi)).all()
+        # fractional upsampling actually fires somewhere (not all floor/ceil)
+        assert (out["n_emitted"] > lo).any() and (out["n_emitted"] < hi).any()
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+        )
+        ref = con.execute(E.oracle_sql()["sample_mixture_epochs"]).fetchdf()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True),
+            ref[out.columns].astype(out.dtypes.to_dict()).reset_index(drop=True),
+        )
+
+    def test_export_shards_roundtrip_and_invalidation(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_mod
+
+        from engine.ops.sampling import export_shards
+
+        sf = "/root/testdata/sf0.001"
+        root = str(tmp_path / "shards")
+        out = export_shards(sf, n_shards=4, out_root=root)
+        assert list(out["shard_id"]) == [0, 1, 2, 3]
+        assert out["n_docs"].sum() == 500
+        # the artifact is real hive-partitioned parquet, one dir per shard
+        import glob
+        import os
+
+        dirs = sorted(glob.glob(os.path.join(root, "*", "shard_id=*")))
+        assert len(dirs) == 4
+        total = sum(
+            pq_mod.read_table(d, columns=["doc_id"]).num_rows for d in dirs
+        )
+        assert total == 500
+        # cached re-run returns identical summary without rewriting
+        st = {d: os.stat(d).st_mtime_ns for d in dirs}
+        again = export_shards(sf, n_shards=4, out_root=root)
+        pd.testing.assert_frame_equal(out, again)
+        assert st == {d: os.stat(d).st_mtime_ns for d in dirs}
+        # a corpus swap (different source path → different fingerprint)
+        # builds a separate artifact rather than reusing the stale one
+        other = export_shards("/root/testdata/sf0.01", n_shards=4, out_root=root)
+        assert other["n_docs"].sum() == 500  # sf0.01 is also 500 docs...
+        assert not out.equals(other)  # ...but different content
+        assert len(glob.glob(os.path.join(root, "*", "shard_id=*"))) == 8
