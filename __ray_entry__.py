@@ -3042,6 +3042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # behavioral analytics: ordered in-window funnel; cohort retention
         "ev_funnel": relational.events_funnel,
         "ev_retention": relational.events_retention,
+        # 3-sigma hourly-count spikes via the integer-variance identity
+        "ev_anomaly": relational.events_anomaly,
         "ev_json_stats": relational.events_json_stats,
         "ev_sessions": lambda sf: relational.events_sessions(sf, gap_minutes=30),
     }
@@ -3460,6 +3462,25 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT hour_epoch, event_type,
        count(*)::BIGINT n_events,
        sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT sum_value_micro
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # engine/ops/relational.py::events_anomaly — |x-μ| > 3σ tested as
+        # (n·x-S)² > 9·(n·Q-S²) in exact HUGEINT (no float mean/std)
+        "ev_anomaly": """
+WITH h AS (
+  SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT hour_epoch,
+         count(*)::HUGEINT x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*)::HUGEINT n, sum(x)::HUGEINT S,
+         sum(x * x)::HUGEINT Q
+  FROM h GROUP BY 1
+)
+SELECT h.event_type, hour_epoch, x::BIGINT n_events,
+       (CASE WHEN (n * x - S) * (n * x - S) > 9 * (n * Q - S * S)
+             THEN 1 ELSE 0 END)::BIGINT is_anomaly
+FROM h JOIN s USING (event_type)
+ORDER BY event_type, hour_epoch
 """,
         "ev_sliding": """
 WITH hourly AS (

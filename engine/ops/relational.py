@@ -584,3 +584,42 @@ def events_retention(sf_dir: str):
     )
     return out.astype({"cohort_day_epoch": "int64", "n_users": "int64",
                        "n_retained_w1": "int64"})
+
+
+def events_anomaly(sf_dir: str, k: int = 3):
+    """Hourly-count anomaly flags (the ops-dashboard "3-sigma spike" check)
+    in EXACT integer arithmetic: an hour is anomalous iff
+    |x - mean| > k·sigma over the per-event_type hourly count series, tested
+    as (n·x - S)² > k²·(n·Q - S²) with S = Σx, Q = Σx² — the ft_extended_stats
+    integer-variance identity, so no float mean/std ever enters the
+    comparison and SQL reproduces it bit-for-bit.
+
+    Shape: the heavy pass is the distributed hourly partial-combine +
+    ONE (hour × type)-sized groupby (events_hourly's exchange); the series
+    itself (≤ hours × types rows — ~10⁴ for a year of one pipeline) is then
+    scanned per type with vectorized numpy. Python ints would be needed
+    beyond ~3e9 events/hour (n·x overflowing int64) — counts here are far
+    below that; the SQL side uses HUGEINT and would catch drift.
+
+    Columns: event_type, hour_epoch, n_events, is_anomaly (int64 0/1)."""
+    hourly = events_hourly(sf_dir)[["hour_epoch", "event_type", "n_events"]]
+    out = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        x = g["n_events"].to_numpy().astype(object)  # exact bigint math
+        n = len(x)
+        S = x.sum()
+        Q = (x * x).sum()
+        lhs = (n * x - S) ** 2
+        rhs = (k * k) * (n * Q - S * S)
+        flag = (lhs > rhs).astype(np.int64)
+        out.append(pd.DataFrame({
+            "event_type": et,
+            "hour_epoch": g["hour_epoch"].to_numpy(),
+            "n_events": g["n_events"].to_numpy(),
+            "is_anomaly": flag,
+        }))
+    res = pd.concat(out, ignore_index=True).sort_values(
+        ["event_type", "hour_epoch"]).reset_index(drop=True)
+    res["event_type"] = res["event_type"].astype(str)
+    return res.astype({"hour_epoch": "int64", "n_events": "int64",
+                       "is_anomaly": "int64"})

@@ -2151,3 +2151,46 @@ class TestMixtureAndShards:
         assert other["n_docs"].sum() == 500  # sf0.01 is also 500 docs...
         assert not out.equals(other)  # ...but different content
         assert len(glob.glob(os.path.join(root, "*", "shard_id=*"))) == 8
+
+
+def test_events_anomaly_planted_spike_and_parity(ray_session, tmp_path):
+    """ev_anomaly: a planted 100× hourly spike must be the ONLY flagged hour
+    of its type; flat series flag nothing; DuckDB parity at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.relational import events_anomaly
+
+    # 48 quiet hours of 5 events + one hour of 500 for type 'spike';
+    # type 'flat' is constant → zero variance → nothing flagged
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for h in range(48):
+        ts = base + pd.Timedelta(hours=h)
+        n = 500 if h == 20 else 5
+        for i in range(n):
+            rows.append((eid, ts, 1, "spike", 1.0, "{}")); eid += 1
+        for i in range(3):
+            rows.append((eid, ts, 2, "flat", 1.0, "{}")); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                     "value", "props"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = events_anomaly(str(tmp_path))
+    sp = out[out.event_type == "spike"]
+    assert sp["is_anomaly"].sum() == 1
+    assert int(sp.loc[sp.is_anomaly == 1, "n_events"].iloc[0]) == 500
+    assert out[out.event_type == "flat"]["is_anomaly"].sum() == 0
+
+    sf = "/root/testdata/sf0.001"
+    got = events_anomaly(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{sf}/events.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ev_anomaly"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
