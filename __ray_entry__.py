@@ -2374,6 +2374,46 @@ ORDER BY qid, rank
 """
 
 
+def _function_score_sql(k: int) -> str:
+    """ft_function_score oracle: _bm25_sql's scoring with the linear
+    field_value_factor applied as the SAME integer expression the engine
+    uses — score_micro × (1000 + n_chars) // 1000 — then re-ranked."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+fv AS (
+  SELECT sc.qid, sc.doc_id,
+         ((sc.score_micro * (1000 + d.n_chars)) // 1000)::BIGINT score_micro
+  FROM scored sc JOIN documents d USING (doc_id)
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM fv
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_bm25_oracle_sql(k: int, where: str = "") -> str:
     """Oracle for tr_bm25_oracle: BM25 recomputed by DuckDB over the SAME
     materialized transcript parquet the engine indexes (engine/pipelines.py::
@@ -2823,6 +2863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # full-text engine (documents corpus, real build+query path)
         "ft_bm25_topk10": lambda sf: P.ft_bm25_topk(sf, k=10),
+        # function_score: linear field_value_factor on n_chars via DocValues
+        "ft_function_score": lambda sf: P.ft_function_score(sf, k=10),
         "ft_bm25_topk100": lambda sf: P.ft_bm25_topk(sf, k=100),
         "ft_bm25_not": lambda sf: P.ft_bm25_not(sf, k=10),
         "ft_bm25_and": lambda sf: P.ft_bm25_and(sf, k=10),
@@ -3054,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql = {
         "ft_bm25_topk10": _bm25_sql(10),
+        "ft_function_score": _function_score_sql(10),
         "ft_bm25_topk100": _bm25_sql(100),
         "ft_bm25_not": _bm25_not_sql(10),
         "ft_bm25_and": _bm25_and_sql(10),

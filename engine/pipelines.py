@@ -4112,3 +4112,68 @@ def ft_rank_eval(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .reset_index(drop=True)
         .astype({c: "int64" for c in cols})
     )
+
+
+FVF_DIV = 1000  # linear field_value_factor: final = bm25 × (1 + n_chars/1000)
+
+
+def ft_function_score(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """function_score retrieval (ES `function_score` with a linear
+    `field_value_factor` on n_chars): final = bm25 × (1 + n_chars/FVF_DIV),
+    realized in EXACT integer arithmetic as
+    score_micro × (FVF_DIV + n_chars) // FVF_DIV so the SQL oracle
+    reproduces the ranking bit-for-bit (no float factor drift at rank
+    boundaries). Longer documents get a deterministic boost — the classic
+    "prefer substantial pages" relevance shim.
+
+    Scale shape: scored match stream (ScoredMatchServer) → n_chars fetched
+    per batch from the mmap'd DocValues sidecar (X68 — zero query-time
+    shuffle, no attribute join) → in-stream integer rescale + per-batch
+    partial top-k per qid → driver merge over ≤ batches × |q| × k slim
+    rows. Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.engine import ScoredMatchServer
+
+    idx = documents_index(sf_dir)
+    dv = ensure_docvalues(idx, f"{sf_dir}/documents.parquet",
+                          field="n_chars", key_col="doc_id")
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).map_batches(
+        DocValuesLookup,
+        fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def rescale_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["score"].to_numpy().astype(np.int64)
+        nc = df["n_chars"].to_numpy().astype(np.int64)
+        df = df.assign(score_micro=(s * (FVF_DIV + nc)) // FVF_DIV)
+        df = df.sort_values(["qid", "score_micro", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)[
+            ["qid", "doc_key", "score_micro"]]
+
+    out = (
+        matches.map_batches(rescale_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score_micro", "doc_key"],
+                     ascending=[True, False, True], kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out.rename(columns={"doc_key": "doc_id"})[
+        ["qid", "rank", "doc_id", "score_micro"]]
+    return out.astype({c: "int64" for c in out.columns})

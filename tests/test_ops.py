@@ -2194,3 +2194,30 @@ def test_events_anomaly_planted_spike_and_parity(ray_session, tmp_path):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_ft_function_score_reranks_and_matches_duckdb(ray_session):
+    """function_score (linear field_value_factor on n_chars): integer
+    rescale must change the ordering somewhere vs plain BM25 (otherwise the
+    factor is a no-op and the test is vacuous), every final score equals
+    bm25_micro × (1000+n_chars) // 1000, and DuckDB reproduces the full
+    ranking at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.pipelines import ft_bm25_topk, ft_function_score
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_function_score(sf, k=10)
+    plain = ft_bm25_topk(sf, k=10)
+    merged = got.merge(plain, on=["qid", "rank"], suffixes=("_fv", "_plain"))
+    assert (merged["doc_id_fv"] != merged["doc_id_plain"]).any()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ft_function_score"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
