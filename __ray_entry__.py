@@ -2414,6 +2414,44 @@ ORDER BY qid, rank
 """
 
 
+def _tr_sft_examples_sql() -> str:
+    """tr_sft_examples oracle: same longest-suffix-under-budget cut via a
+    turn_idx-DESC running token sum, same "role: text" newline assembly,
+    md5-first-8-hex fingerprint — over the SAME materialized corpus."""
+    from engine.pipelines import SFT_BUDGET, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    B = SFT_BUDGET
+    return f"""
+WITH src AS (
+  SELECT conv_id, turn_idx, role, text, len({_TOKS})::BIGINT ntok
+  FROM read_parquet('{path}')
+),
+w AS (
+  SELECT *, sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)::BIGINT cum
+  FROM src
+),
+w2 AS (
+  SELECT *, min(cum) OVER (PARTITION BY conv_id) mn,
+         max(turn_idx) OVER (PARTITION BY conv_id) mxt
+  FROM w
+),
+kept AS (SELECT * FROM w2 WHERE cum <= {B} OR (mn > {B} AND turn_idx = mxt)),
+ka AS (
+  SELECT conv_id, count(*)::BIGINT n_kept, sum(ntok)::BIGINT n_tokens_kept,
+         ('0x' || substr(md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)), 1, 8))::UBIGINT::BIGINT text_fp
+  FROM kept GROUP BY 1
+),
+ta AS (
+  SELECT conv_id, count(*)::BIGINT n_turns, sum(ntok)::BIGINT n_tokens_total
+  FROM src GROUP BY 1
+)
+SELECT ta.conv_id, n_turns, n_kept, n_tokens_total, n_tokens_kept, text_fp
+FROM ta JOIN ka USING (conv_id)
+ORDER BY conv_id
+"""
+
+
 def _tr_bm25_oracle_sql(k: int, where: str = "") -> str:
     """Oracle for tr_bm25_oracle: BM25 recomputed by DuckDB over the SAME
     materialized transcript parquet the engine indexes (engine/pipelines.py::
@@ -2996,6 +3034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_bm25_incremental": lambda sf: P.tr_bm25_incremental(sf, k=10),
         # conversation-level rollup (multi-aggregate keyed groupby)
         "tr_conv_stats": P.tr_conv_stats,
+        # chat-SFT example assembly: suffix-truncated per-conv examples
+        "tr_sft_examples": P.tr_sft_examples,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold_micro=900_000),
@@ -3163,6 +3203,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_recency": _tr_bm25_recency_sql(10),
         "tr_bm25_incremental": _tr_bm25_incremental_sql(10),
         "tr_conv_stats": _tr_conv_stats_sql(),
+        "tr_sft_examples": _tr_sft_examples_sql(),
         "ft_term_stats": f"""
 WITH {_TOK_CTE}
 SELECT tf.term, count(*)::BIGINT df, sum(tf.tf)::BIGINT cf

@@ -4177,3 +4177,73 @@ def ft_function_score(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = out.rename(columns={"doc_key": "doc_id"})[
         ["qid", "rank", "doc_id", "score_micro"]]
     return out.astype({c: "int64" for c in out.columns})
+
+
+SFT_BUDGET = 96  # token budget per assembled example (turn-granularity cut)
+
+
+def tr_sft_examples(sf_dir: str, budget: int = SFT_BUDGET) -> pd.DataFrame:
+    """Chat-SFT example assembly: each conversation becomes ONE training
+    example — turns rendered as "role: text", joined by newlines in turn
+    order, truncated to the LONGEST SUFFIX of turns whose analyzer-token
+    total fits ``budget`` (chat fine-tuning keeps the most recent context;
+    if even the last turn alone exceeds the budget it is kept by itself so
+    every conversation yields an example).
+
+    Scale shape: ONE conv_id-keyed exchange (the partitioning key every
+    transcript op here reuses) → per-group vectorized reverse-cumsum cut +
+    md5 fingerprint of the assembled text; per-turn token counts are an
+    Arrow count_substring_regex kernel applied BEFORE the exchange so the
+    shuffle carries no re-tokenization work. Output is one slim row per
+    conversation (the assembled text itself would go to the shard writer
+    at production scale; the fingerprint proves its exact bytes).
+
+    Columns: conv_id, n_turns, n_kept, n_tokens_total, n_tokens_kept,
+    text_fp."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    path = tr_oracle_corpus_path()
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def with_ntok(batch: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(
+            pc.utf8_lower(batch["text"]), "[a-z0-9]+"
+        ).cast(pa.int64())
+        return batch.append_column("ntok", ntok)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        ntok = g["ntok"].to_numpy()
+        cum = np.cumsum(ntok[::-1])[::-1]  # tokens from this turn to the end
+        keep = cum <= budget
+        if not keep.any():
+            keep[-1] = True  # oversized final turn still yields an example
+        kept = g[keep]
+        text = "\n".join(
+            f"{r}: {t}" for r, t in zip(kept["role"], kept["text"])
+        )
+        fp = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "n_turns": [len(g)],
+            "n_kept": [int(keep.sum())],
+            "n_tokens_total": [int(ntok.sum())],
+            "n_tokens_kept": [int(ntok[keep].sum())],
+            "text_fp": [fp],
+        })
+
+    out = (
+        ds.map_batches(with_ntok, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["conv_id"] = out["conv_id"].astype(str)
+    ints = ["n_turns", "n_kept", "n_tokens_total", "n_tokens_kept", "text_fp"]
+    return out.astype({c: "int64" for c in ints})

@@ -2221,3 +2221,27 @@ def test_ft_function_score_reranks_and_matches_duckdb(ray_session):
         got.reset_index(drop=True),
         ref[got.columns].astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_tr_sft_examples_suffix_cut_and_parity(ray_session):
+    """tr_sft_examples: the kept set is the longest SUFFIX under budget
+    (n_tokens_kept ≤ budget unless a lone oversized final turn), truncation
+    actually fires on the fixture corpus, and DuckDB reproduces counts AND
+    the assembled-text fingerprint."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.pipelines import SFT_BUDGET, tr_sft_examples
+
+    out = tr_sft_examples("ignored")
+    over = out["n_tokens_kept"] > SFT_BUDGET
+    # only lone-oversized-final-turn rows may exceed the budget
+    assert (out.loc[over, "n_kept"] == 1).all()
+    assert (out["n_kept"] <= out["n_turns"]).all()
+    assert (out["n_kept"] < out["n_turns"]).any()  # truncation fires
+    assert (out["n_kept"] == out["n_turns"]).any()  # some convs fit whole
+    ref = duckdb.connect().execute(E.oracle_sql()["tr_sft_examples"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        ref[out.columns].astype(out.dtypes.to_dict()).reset_index(drop=True),
+    )
