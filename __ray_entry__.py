@@ -3101,6 +3101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
         "ta_quality": textstats.quality,
+        # CCNet-style head/middle/tail bucketing by quality-score terciles
+        "ta_quality_buckets": textstats.quality_buckets,
         # PII detection + redaction (RE2 kernel chain; deterministic
         # planted fixture — see engine/ops/pii.py docstring)
         "ta_pii_redact": pii.pii_redact,
@@ -3236,6 +3238,25 @@ SELECT doc_id, n_tokens,
        floor(n_uniq / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT uniq_ratio_micro,
        floor(sum_len / greatest(n_tokens, 1)::DOUBLE * 1e6 + 0.5)::BIGINT mean_token_len_micro
 FROM s ORDER BY doc_id
+""",
+        "ta_quality_buckets": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+s AS (SELECT doc_id,
+             floor(len(list_distinct(toks))
+                   / greatest(len(toks), 1)::DOUBLE * 1e6 + 0.5)::BIGINT score
+      FROM t),
+n AS (SELECT count(*)::BIGINT c FROM s),
+h AS (SELECT score, count(*)::BIGINT cnt FROM s GROUP BY 1),
+cum AS (SELECT score, sum(cnt) OVER (ORDER BY score)::BIGINT cum FROM h),
+th AS (SELECT
+         (SELECT min(score) FROM cum, n WHERE cum >= (c + 2) // 3) t1,
+         (SELECT min(score) FROM cum, n WHERE cum >= (2 * c + 2) // 3) t2
+       FROM n)
+SELECT doc_id, score,
+       CASE WHEN score <= t1 THEN 'tail'
+            WHEN score <= t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM s CROSS JOIN th ORDER BY doc_id
 """,
         "ta_token_count": _token_count_sql(),
         "ta_pii_redact": _pii_sql(),

@@ -1264,3 +1264,68 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     )
     out["bigram"] = out["bigram"].astype(str)
     return out.astype({"cnt": "int64"})
+
+
+def quality_buckets(sf_dir: str):
+    """CCNet-style quality bucketing: docs split into head/middle/tail by
+    corpus terciles of the unique-token-ratio quality score (higher = more
+    lexically diverse = 'head'). Thresholds are exact quantile VALUES —
+    t_q = smallest score v with |{score ≤ v}| ≥ ceil(q·n) — and buckets are
+    assigned by VALUE, so ties land in one bucket deterministically.
+
+    Scale shape: pass 1 reduces the corpus to a VALUE HISTOGRAM (per-batch
+    (score, count) partials + one ≤|distinct scores|-row groupby — scores
+    are micro ints, so the table is bounded by 1e6 rows at ANY corpus
+    size); thresholds come from the cumulative histogram on the driver;
+    pass 2 re-scores and assigns per batch against the two broadcast
+    scalars. No global sort, no corpus materialization.
+
+    Columns: doc_id, score (uniq_ratio_micro), bucket."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def scores(batch: pa.Table) -> pd.DataFrame:
+        st = DocStats()(batch).to_pandas()
+        n = np.maximum(st["n_tokens"].to_numpy().astype(np.float64), 1.0)
+        st["score"] = np.floor(
+            st["n_uniq_tokens"].to_numpy() / n * 1e6 + 0.5
+        ).astype(np.int64)
+        return st[["doc_id", "score"]]
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("score", as_index=False).agg(cnt=("score", "size"))
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    hist = (
+        ds.map_batches(scores, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(hist_partial, batch_format="pandas")
+        .groupby("score")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("score")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = hist["score"].to_numpy()
+    t1 = int(vals[np.searchsorted(cum, (n + 2) // 3)])
+    t2 = int(vals[np.searchsorted(cum, (2 * n + 2) // 3)])
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        df = scores(batch)
+        s = df["score"].to_numpy()
+        df["bucket"] = np.where(s <= t1, "tail", np.where(s <= t2, "middle", "head"))
+        return df
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["bucket"] = out["bucket"].astype(str)
+    return out.astype({"doc_id": "int64", "score": "int64"})

@@ -2245,3 +2245,35 @@ def test_tr_sft_examples_suffix_cut_and_parity(ray_session):
         out.reset_index(drop=True),
         ref[out.columns].astype(out.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_quality_buckets_terciles_and_parity(ray_session):
+    """ta_quality_buckets: thresholds are exact tercile values (each bucket
+    within one tie-run of n/3), bucket is monotone in score, DuckDB parity."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from engine.ops.textstats import quality_buckets
+
+    sf = "/root/testdata/sf0.001"
+    out = quality_buckets(sf)
+    n = len(out)
+    counts = out["bucket"].value_counts()
+    assert set(counts.index) == {"head", "middle", "tail"}
+    # value-threshold semantics: every tail score < every middle score
+    # < every head score (strict, since buckets split on <= threshold)
+    assert out.loc[out.bucket == "tail", "score"].max() < \
+        out.loc[out.bucket == "middle", "score"].min()
+    assert out.loc[out.bucket == "middle", "score"].max() < \
+        out.loc[out.bucket == "head", "score"].min()
+    # tail holds at least ceil(n/3) docs (ties only ever grow it)
+    assert counts["tail"] >= (n + 2) // 3 - 1
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    ref = con.execute(E.oracle_sql()["ta_quality_buckets"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        ref[out.columns].astype(out.dtypes.to_dict()).reset_index(drop=True),
+    )
