@@ -2374,6 +2374,64 @@ ORDER BY qid, rank
 """
 
 
+def _emb_kmeans_sql() -> str:
+    """emb_kmeans oracle: the KM_ITERS Lloyd rounds UNROLLED — micro-int
+    quantization, hash-order seeds, floor-averaged integer centroids
+    (explicit floor(): DuckDB's // truncates toward zero), Σ(x−c)² int64
+    distances, ties to the smallest cluster id. Empty clusters simply have
+    no rows in c{t} and stop being candidates, same as the engine."""
+    from engine.ops.ann import KM_ITERS, KM_K
+
+    k = KM_K
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, i, floor(e::DOUBLE * 1e6 + 0.5)::BIGINT x
+  FROM (SELECT vec_id, unnest(embedding) e,
+               generate_subscripts(embedding, 1) i
+        FROM embeddings)
+),
+sd AS (
+  SELECT vec_id, rn - 1 AS cluster FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT, vec_id) rn
+    FROM embeddings)
+  WHERE rn <= {k}
+),
+c0 AS (SELECT sd.cluster, v.i, v.x cx FROM sd JOIN v USING (vec_id))"""]
+    for t in range(KM_ITERS):
+        parts.append(f""",
+d{t} AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.x - c.cx) * (v.x - c.cx))::BIGINT d
+  FROM v JOIN c{t} c ON c.i = v.i GROUP BY 1, 2
+),
+a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+    FROM d{t}) WHERE rn = 1
+),
+c{t + 1} AS (
+  SELECT a.cluster, v.i,
+         CAST(floor(sum(v.x)::DOUBLE / count(*)) AS BIGINT) cx
+  FROM a{t} a JOIN v USING (vec_id) GROUP BY 1, 2
+)""")
+    T = KM_ITERS
+    parts.append(f""",
+dF AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.x - c.cx) * (v.x - c.cx))::BIGINT d
+  FROM v JOIN c{T} c ON c.i = v.i GROUP BY 1, 2
+)
+SELECT vec_id, cluster, d AS dist2 FROM (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+  FROM dF) WHERE rn = 1
+ORDER BY vec_id
+""")
+    return "".join(parts)
+
+
 def _function_score_sql(k: int) -> str:
     """ft_function_score oracle: _bm25_sql's scoring with the linear
     field_value_factor applied as the SAME integer expression the engine
@@ -3056,6 +3114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knn with filter: pre-filtered exact cosine within the query's label
         "ann_filtered_topk": lambda sf: ann.filtered_cosine_topk(sf, n_queries=5, k=10),
         # per-label embedding centroids (order-free integer-exact sums)
+        # distributed Lloyd k-means, exact integer contract
+        "emb_kmeans": ann.emb_kmeans,
         "emb_label_centroids": ann.label_centroids,
         # kNN graph seed: every vector's nearest other vector. Exact
         # all-vectors brute force — the documented small-scale oracle of
@@ -3505,6 +3565,7 @@ SELECT "label", dim,
        floor(sum(floor(v * 1e6 + 0.5)::BIGINT) / count(*))::BIGINT mean_micro
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        "emb_kmeans": _emb_kmeans_sql(),
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 sims AS (

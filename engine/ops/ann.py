@@ -545,3 +545,131 @@ def filtered_cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
 
     cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return _merge_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means over the embeddings table — EXACT integer
+# contract so the unrolled SQL oracle reproduces every assignment:
+# components quantized to micro ints (floor(x*1e6+0.5) — float32→double is
+# exact, so both engines quantize identical doubles), centroids are the
+# FLOOR-averaged integer vectors (floor(S/n) via double division — S,n ≪ 2^53
+# so the rounding is identical everywhere; DuckDB's // truncates toward zero
+# which is why floor() is spelled out), distances are Σ(x−c)² in int64
+# (|x−c| ≤ 2e6, d ≤ 4096 → ≤ 1.6e16, no overflow), argmin ties break on the
+# smallest cluster id. Seeds are the k vectors smallest in
+# (md5(vec_id) 16-hex, vec_id) order — the sampling.py hash-order
+# 'reservoir', a pure function of the keys.
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def _emb_micro(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy().astype(np.int64)
+    lst = batch["embedding"]
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(len(ids), 1)
+    X = np.floor(flat * 1e6 + 0.5).astype(np.int64).reshape(len(ids), dim)
+    return ids, X
+
+
+def _km_seed_hash(ids: np.ndarray) -> np.ndarray:
+    import hashlib
+
+    out = np.empty(ids.size, dtype=np.uint64)
+    for j, v in enumerate(ids):
+        out[j] = np.uint64(int(hashlib.md5(str(int(v)).encode()).hexdigest()[:16], 16))
+    return out
+
+
+def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFrame:
+    """Distributed Lloyd k-means (iters fixed iterations + one final
+    assignment) over the embeddings table.
+
+    Scale shape — the canonical Ray Data iterative-ML loop: centroids are a
+    tiny k×d int64 matrix broadcast via ray.put each round; every pass is
+    ONE map_batches over the corpus emitting k-row partials (per-cluster
+    count + component sums), combined on the driver (≤ k × n_batches slim
+    rows — never vectors); seeds come from a per-batch partial top-k by
+    hash order. No shuffle anywhere; empty clusters drop out of the
+    candidate set (documented, mirrored in SQL).
+
+    Columns: vec_id, cluster, dist2 (int64 Σ(x−c)² in micro²)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def seed_partial(batch: pa.Table) -> pd.DataFrame:
+        ids, X = _emb_micro(batch)
+        hv = _km_seed_hash(ids)
+        ordx = np.lexsort((ids, hv))[:k]
+        return pd.DataFrame({
+            "vec_id": ids[ordx], "hv": hv[ordx].astype("uint64"),
+            "vec": [X[i].tobytes() for i in ordx],
+        })
+
+    sp = ds.map_batches(seed_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    sp = sp.sort_values(["hv", "vec_id"]).head(k).reset_index(drop=True)
+    C = np.stack([np.frombuffer(b, dtype=np.int64) for b in sp["vec"]])
+    # cluster ids 0..k-1 in hash order (the SQL row_number mirror)
+    live = np.arange(len(C), dtype=np.int64)
+
+    def assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # (n×k) distances in int64; argmin tie → first = smallest LIVE id
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        return a, d[np.arange(len(X)), a]
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        lv_ref = ray.put(live)
+
+        def upd_partial(batch: pa.Table, c_ref=c_ref) -> pd.DataFrame:
+            Cb = ray.get(c_ref)
+            ids, X = _emb_micro(batch)
+            a, _ = assign(X, Cb)
+            rows = []
+            for ci in np.unique(a):
+                m = a == ci
+                rows.append((int(ci), int(m.sum()), X[m].sum(axis=0).tobytes()))
+            return pd.DataFrame(rows, columns=["ci", "n", "s"])
+
+        parts = ds.map_batches(upd_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        dim = C.shape[1]
+        newC, newlive = [], []
+        for pos in range(len(C)):
+            sub = parts[parts["ci"] == pos]
+            n = int(sub["n"].sum())
+            if n == 0:
+                continue  # empty cluster drops out (SQL: absent from c{t})
+            S = np.zeros(dim, dtype=np.int64)
+            for b in sub["s"]:
+                S += np.frombuffer(b, dtype=np.int64)
+            newC.append(np.floor(S.astype(np.float64) / n).astype(np.int64))
+            newlive.append(int(live[pos]))
+        C = np.stack(newC)
+        live = np.asarray(newlive, dtype=np.int64)
+
+    c_ref = ray.put(C)
+    lv_ref = ray.put(live)
+
+    def final_assign(batch: pa.Table, c_ref=c_ref, lv_ref=lv_ref) -> pd.DataFrame:
+        Cb, lv = ray.get(c_ref), ray.get(lv_ref)
+        ids, X = _emb_micro(batch)
+        a, d2 = assign(X, Cb)
+        return pd.DataFrame({"vec_id": ids, "cluster": lv[a], "dist2": d2})
+
+    out = (
+        ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"vec_id": "int64", "cluster": "int64", "dist2": "int64"})

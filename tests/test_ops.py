@@ -2277,3 +2277,61 @@ def test_quality_buckets_terciles_and_parity(ray_session):
         out.reset_index(drop=True),
         ref[out.columns].astype(out.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+class TestEmbKmeans:
+    def test_numpy_identity(self, ray_session):
+        """emb_kmeans vs a single-process numpy Lloyd recomputation with the
+        same integer contract: micro quantization, md5-hash-order seeds,
+        floor-averaged integer centroids, int64 Σ(x−c)² distances, argmin
+        ties to the smallest live cluster id, empty clusters dropping out."""
+        import hashlib
+
+        import pandas as pd
+
+        from engine.ops.ann import KM_ITERS, KM_K, emb_kmeans
+
+        sf = "/root/testdata/sf0.001"
+        out = emb_kmeans(sf)
+
+        t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        X = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+            * 1e6 + 0.5
+        ).astype(np.int64)
+        hv = np.array(
+            [int(hashlib.md5(str(int(v)).encode()).hexdigest()[:16], 16)
+             for v in ids], dtype=np.uint64)
+        seed_ord = np.lexsort((ids, hv))[:KM_K]
+        C = X[seed_ord].copy()
+        live = np.arange(KM_K, dtype=np.int64)
+
+        def assign(C):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first = smallest position = smallest live id
+            return a, d[np.arange(len(X)), a]
+
+        for _ in range(KM_ITERS):
+            a, _ = assign(C)
+            keep, newC = [], []
+            for pos in range(len(C)):
+                m = a == pos
+                if not m.any():
+                    continue
+                newC.append(np.floor(
+                    X[m].sum(axis=0).astype(np.float64) / m.sum()
+                ).astype(np.int64))
+                keep.append(live[pos])
+            C = np.stack(newC)
+            live = np.asarray(keep, dtype=np.int64)
+
+        a, d2 = assign(C)
+        exp = (
+            pd.DataFrame({"vec_id": ids, "cluster": live[a], "dist2": d2})
+            .sort_values("vec_id").reset_index(drop=True).astype("int64")
+        )
+        pd.testing.assert_frame_equal(out, exp)
+        # every assignment is a true argmin over the final live centroids
+        dall = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assert (d2 == dall.min(axis=1)).all()
