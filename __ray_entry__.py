@@ -1539,6 +1539,33 @@ FROM t GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _dsir_sql() -> str:
+    """ta_dsir_weights oracle: the Laplace-smoothed hashed-unigram
+    importance ratio in exact BIGINTs — same md5 % FH_BUCKETS feature map
+    as ta_feature_hash (constants imported so engine and SQL can never
+    drift), target slice lang = DSIR_TARGET_LANG, weight
+    floor((tgt+1)*1e6/(raw+1)) realized as nonneg integer division.
+    Zero-token docs are absent (no unnest rows), mirroring the engine."""
+    from engine.ops.textstats import DSIR_TARGET_LANG, FH_BUCKETS
+
+    return f"""
+WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) term FROM documents),
+b AS (SELECT doc_id, lang,
+             (('0x' || substr(md5(term), 1, 8))::UBIGINT % {FH_BUCKETS})::BIGINT bucket
+      FROM t),
+cnt AS (SELECT bucket,
+               count(*)::BIGINT raw_tf,
+               count(*) FILTER (lang = '{DSIR_TARGET_LANG}')::BIGINT tgt_tf
+        FROM b GROUP BY 1),
+w AS (SELECT bucket, (tgt_tf + 1) * 1000000 // (raw_tf + 1) AS w_micro FROM cnt),
+d AS (SELECT doc_id, count(*)::BIGINT n_tokens, sum(w.w_micro)::BIGINT score_sum
+      FROM b JOIN w USING (bucket) GROUP BY 1)
+SELECT doc_id, n_tokens, score_sum,
+       (score_sum // n_tokens)::BIGINT importance_micro
+FROM d ORDER BY doc_id
+"""
+
+
 def _fingerprint_sql() -> str:
     """ta_fingerprint oracle: the SAME md5-token-hash + mod-prime rolling
     polynomial as engine/ops/textstats.Fingerprinter (constants imported so
@@ -3163,6 +3190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_quality": textstats.quality,
         # CCNet-style head/middle/tail bucketing by quality-score terciles
         "ta_quality_buckets": textstats.quality_buckets,
+        # DSIR-style hashed-unigram importance scoring vs the lang-target
+        "ta_dsir_weights": textstats.dsir_weights,
         # PII detection + redaction (RE2 kernel chain; deterministic
         # planted fixture — see engine/ops/pii.py docstring)
         "ta_pii_redact": pii.pii_redact,
@@ -3318,6 +3347,7 @@ SELECT doc_id, score,
             ELSE 'head' END AS bucket
 FROM s CROSS JOIN th ORDER BY doc_id
 """,
+        "ta_dsir_weights": _dsir_sql(),
         "ta_token_count": _token_count_sql(),
         "ta_pii_redact": _pii_sql(),
         "ta_seq_pack": _seq_pack_sql(),

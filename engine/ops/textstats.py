@@ -1329,3 +1329,123 @@ def quality_buckets(sf_dir: str):
     )
     out["bucket"] = out["bucket"].astype(str)
     return out.astype({"doc_id": "int64", "score": "int64"})
+
+
+# --- DSIR-style hashed-n-gram importance scoring -----------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023, public): score
+# every raw document by how much its hashed unigram features look like a
+# TARGET distribution vs the RAW corpus distribution. Here the target is the
+# corpus slice `lang == DSIR_TARGET_LANG` (a stand-in for "high-quality
+# reference set"); the feature space is the X15 hashing-trick buckets
+# (md5 % FH_BUCKETS), so the whole model is an FH_BUCKETS-row integer table.
+# DSIR's log-likelihood-ratio weights are float-order-brittle, so the weight
+# is the Laplace-smoothed RATIO in exact micro ints:
+#   w_micro(b)        = floor((tgt_tf(b)+1) * 1e6 / (raw_tf(b)+1))
+#   score_sum(d)      = Σ_tokens w_micro(bucket(tok))          (exact int)
+#   importance_micro  = score_sum // n_tokens   (avg per-token ratio, ≥1e6
+#                       ⇔ the doc is more target-like than the corpus mean)
+# Every quantity is a BIGINT, so the SQL oracle is bit-exact.
+#
+# Scale shape: pass 1 is ONE corpus scan emitting ≤FH_BUCKETS-row partials
+# (map-side bincount combine) folded by a tiny groupby; the weight table is
+# broadcast back (ray.put) for pass 2's independent scoring scan. No
+# corpus-sized shuffle, no driver materialization beyond 2×1024 ints.
+
+DSIR_TARGET_LANG = "en"
+
+
+class _DsirCounts:
+    """Pass-1 partial: per-batch (bucket, raw_tf, tgt_tf) via two bincounts
+    over the shared md5-bucket token cache."""
+
+    def __init__(self) -> None:
+        from engine.ops.dedup import _TokenHashes
+
+        self._th = _TokenHashes(
+            hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FH_BUCKETS,
+            dtype=np.int64,
+        )
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        hs, dl = self._th.flat_hashes(batch["text"])
+        is_tgt = np.asarray(
+            pc.equal(batch["lang"], DSIR_TARGET_LANG).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        tok_tgt = np.repeat(is_tgt, dl)
+        raw = np.bincount(hs, minlength=FH_BUCKETS)
+        tgt = np.bincount(hs[tok_tgt], minlength=FH_BUCKETS)
+        return pd.DataFrame({
+            "bucket": np.arange(FH_BUCKETS, dtype=np.int64),
+            "raw_tf": raw.astype(np.int64),
+            "tgt_tf": tgt.astype(np.int64),
+        })
+
+
+def dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """Importance score for every document with ≥1 token (zero-token docs
+    have no defined ratio and are omitted, mirroring the SQL's unnest).
+    Columns: doc_id, n_tokens, score_sum, importance_micro."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.ops.dedup import _TokenHashes
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    cnt = (
+        ds.map_batches(_DsirCounts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("bucket")
+        .aggregate(Sum("raw_tf", alias_name="raw_tf"),
+                   Sum("tgt_tf", alias_name="tgt_tf"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    raw = np.zeros(FH_BUCKETS, dtype=np.int64)
+    tgt = np.zeros(FH_BUCKETS, dtype=np.int64)
+    raw[cnt["bucket"].to_numpy()] = cnt["raw_tf"].to_numpy()
+    tgt[cnt["bucket"].to_numpy()] = cnt["tgt_tf"].to_numpy()
+    w_micro = (tgt + 1) * 1_000_000 // (raw + 1)
+    w_ref = ray.put(w_micro)
+
+    class _Score:
+        def __init__(self) -> None:
+            self._th = _TokenHashes(
+                hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % FH_BUCKETS,
+                dtype=np.int64,
+            )
+            self._w = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            hs, dl = self._th.flat_hashes(batch["text"])
+            doc_ids = batch["doc_id"].to_numpy()
+            m = dl > 0
+            dlp = dl[m].astype(np.int64)
+            # flat hashes are doc-contiguous → exact int64 per-doc sums via
+            # reduceat at the positive-length doc offsets (no float detour)
+            offs = np.concatenate(([0], np.cumsum(dlp)[:-1])) if dlp.size else \
+                np.empty(0, dtype=np.int64)
+            tok_w = self._w[hs]
+            ssum = (np.add.reduceat(tok_w, offs) if dlp.size
+                    else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({
+                "doc_id": doc_ids[m].astype(np.int64),
+                "n_tokens": dlp,
+                "score_sum": ssum,
+                "importance_micro": ssum // dlp,
+            })
+
+    out = (
+        ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

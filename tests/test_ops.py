@@ -2335,3 +2335,54 @@ class TestEmbKmeans:
         # every assignment is a true argmin over the final live centroids
         dall = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assert (d2 == dall.min(axis=1)).all()
+
+
+def test_dsir_weights_python_identity(ray_session):
+    """dsir_weights vs a single-process recomputation of the whole model:
+    md5-bucket counts for raw/target, Laplace-smoothed integer ratio
+    weights, per-doc exact sums and floor-divided importance."""
+    import hashlib
+
+    import pandas as pd
+
+    from engine.ops.textstats import DSIR_TARGET_LANG, FH_BUCKETS, dsir_weights
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    out = dsir_weights(sf)
+
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    an = Analyzer()
+    bucket = {}
+
+    def b(tok):
+        h = bucket.get(tok)
+        if h is None:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % FH_BUCKETS
+            bucket[tok] = h
+        return h
+
+    raw = np.zeros(FH_BUCKETS, dtype=np.int64)
+    tgt = np.zeros(FH_BUCKETS, dtype=np.int64)
+    toks_by_doc = {}
+    for r in docs.itertuples():
+        bs = [b(t) for t in an.tokens(r.text)]
+        toks_by_doc[r.doc_id] = bs
+        for x in bs:
+            raw[x] += 1
+            if r.lang == DSIR_TARGET_LANG:
+                tgt[x] += 1
+    w = (tgt + 1) * 1_000_000 // (raw + 1)
+    rows = []
+    for r in docs.itertuples():
+        bs = toks_by_doc[r.doc_id]
+        if not bs:
+            continue
+        s = int(sum(int(w[x]) for x in bs))
+        rows.append({"doc_id": r.doc_id, "n_tokens": len(bs),
+                     "score_sum": s, "importance_micro": s // len(bs)})
+    exp = (pd.DataFrame(rows).sort_values("doc_id")
+           .reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(out, exp)
+    # the weight model is non-degenerate on the fixture: bucket weights vary
+    assert len(np.unique(w[raw > 0])) > 1
