@@ -3150,6 +3150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH/IVF candidate machinery (dedup.embedding_lsh_pairs /
         # ann.ivf_query) + this exact scorer per bucket.
         "ann_knn_top1": lambda sf: ann.cosine_topk(sf, n_queries=1_000_000_000, k=1),
+        # kNN label classification: majority label of the 5 exact neighbours
+        "ann_knn_classify": lambda sf: ann.knn_classify(sf, n_queries=50, k=5),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
         # full probe (nprobe = n_lists) is EXACT: proves the persisted-IVF
         # read path (partition routing, per-list scan, merge) against the
@@ -3581,6 +3583,27 @@ SELECT qid, rank, vec_id, sim_micro FROM (
          row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
   FROM sims
 ) WHERE rank <= 1 ORDER BY qid
+""",
+        "ann_knn_classify": """
+WITH q AS (SELECT vec_id qid, label, embedding FROM embeddings WHERE vec_id < 50),
+sims AS (
+  SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id, e.label::BIGINT lab,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+),
+nn AS (
+  SELECT qid, lab FROM (
+    SELECT qid, lab,
+           row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC) rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+vote AS (SELECT qid, lab, count(*)::BIGINT n FROM nn GROUP BY 1, 2)
+SELECT qid, pred_label, votes, true_label FROM (
+  SELECT v.qid, v.lab pred_label, v.n votes, q.label::BIGINT true_label,
+         row_number() OVER (PARTITION BY v.qid ORDER BY v.n DESC, v.lab ASC) pick
+  FROM vote v JOIN q ON q.qid = v.qid
+) WHERE pick = 1 ORDER BY qid
 """,
         "emb_label_centroids": """
 WITH ex AS (

@@ -673,3 +673,47 @@ def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFram
         .reset_index(drop=True)
     )
     return out.astype({"vec_id": "int64", "cluster": "int64", "dist2": "int64"})
+
+
+def knn_classify(sf_dir: str, *, n_queries: int = 50, k: int = 5) -> pd.DataFrame:
+    """kNN label classification: each of the first ``n_queries`` vectors is
+    predicted as the majority label of its k exact cosine neighbours
+    (excluding itself); vote ties break to the smallest label. The neighbour
+    search is the proven cosine_topk shape (broadcast query matrix,
+    per-batch partial top-k, tiny exact merge); the neighbour→label lookup
+    is a bounded filtered scan over the embeddings table (queries×k ids —
+    never a corpus-sized gather), so nothing here grows with the corpus.
+
+    Columns: qid, pred_label, votes, true_label (all int64)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    nn = cosine_topk(sf_dir, n_queries=n_queries, k=k)
+
+    need = sorted(set(nn["vec_id"].tolist()) | set(nn["qid"].tolist()))
+    need_set = pa.array(need, pa.int64())
+    lab_ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=need_set))
+
+    labs = (
+        lab_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    lab_of = dict(zip(labs["vec_id"].astype(int), labs["label"].astype(int)))
+
+    rows = []
+    for qid, g in nn.groupby("qid"):
+        votes: dict[int, int] = {}
+        for v in g["vec_id"]:
+            lb = lab_of[int(v)]
+            votes[lb] = votes.get(lb, 0) + 1
+        pred, n_votes = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append({"qid": int(qid), "pred_label": pred, "votes": n_votes,
+                     "true_label": lab_of[int(qid)]})
+    return (
+        pd.DataFrame(rows).sort_values("qid").reset_index(drop=True).astype("int64")
+    )

@@ -1646,6 +1646,32 @@ def test_ann_filtered_topk_semantics(ray_session):
         "label filter must change some ranking"
 
 
+def test_ann_knn_classify_majority_vote(ray_session):
+    """kNN classification: pred is the exact majority label of the k=5
+    cosine neighbours (ties to smallest label), recomputed here from the
+    proven cosine_topk output + a direct label lookup."""
+    from engine.ops.ann import cosine_topk, knn_classify
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_classify(sf, n_queries=10, k=5)
+    assert list(got.columns) == ["qid", "pred_label", "votes", "true_label"]
+    assert len(got) == 10
+
+    nn = cosine_topk(sf, n_queries=10, k=5)
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+    lab = emb.set_index("vec_id")["label"].astype(int)
+    for qid, g in nn.groupby("qid"):
+        votes: dict[int, int] = {}
+        for v in g["vec_id"]:
+            votes[lab.loc[int(v)]] = votes.get(lab.loc[int(v)], 0) + 1
+        pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = got[got["qid"] == qid].iloc[0]
+        assert int(row["pred_label"]) == pred and int(row["votes"]) == n
+        assert int(row["true_label"]) == lab.loc[int(qid)]
+    # votes bounded by k, and at least ceil(k/n_labels) by pigeonhole
+    assert got["votes"].between(1, 5).all()
+
+
 class TestEdgeNGram:
     def test_analyzer_row_arrow_multiset_parity(self):
         """Vectorized path emits the same per-doc gram MULTISET as the
