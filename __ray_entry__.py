@@ -2401,8 +2401,10 @@ ORDER BY qid, rank
 """
 
 
-def _emb_kmeans_sql() -> str:
-    """emb_kmeans oracle: the KM_ITERS Lloyd rounds UNROLLED — micro-int
+def _kmeans_asn_cte() -> str:
+    """The KM_ITERS Lloyd rounds UNROLLED as a WITH-chain ending in
+    ``asn(vec_id, cluster, dist2)`` — the final k-means assignment —
+    shared by the emb_kmeans and dedup_semantic oracles: micro-int
     quantization, hash-order seeds, floor-averaged integer centroids
     (explicit floor(): DuckDB's // truncates toward zero), Σ(x−c)² int64
     distances, ties to the smallest cluster id. Empty clusters simply have
@@ -2449,14 +2451,43 @@ dF AS (
   SELECT v.vec_id, c.cluster,
          sum((v.x - c.cx) * (v.x - c.cx))::BIGINT d
   FROM v JOIN c{T} c ON c.i = v.i GROUP BY 1, 2
-)
-SELECT vec_id, cluster, d AS dist2 FROM (
-  SELECT vec_id, cluster, d,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
-  FROM dF) WHERE rn = 1
-ORDER BY vec_id
-""")
+),
+asn AS (
+  SELECT vec_id, cluster, d AS dist2 FROM (
+    SELECT vec_id, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+    FROM dF) WHERE rn = 1
+)""")
     return "".join(parts)
+
+
+def _emb_kmeans_sql() -> str:
+    return _kmeans_asn_cte() + """
+SELECT vec_id, cluster, dist2 FROM asn ORDER BY vec_id
+"""
+
+
+def _dedup_semantic_sql(threshold_micro: int = 350_000) -> str:
+    """dedup_semantic oracle: the shared k-means assignment chain, then
+    within-cluster cosine pairs and the SemDeDup keep tournament — a doc is
+    dropped iff some in-cluster neighbour with sim ≥ τ is farther from the
+    centroid (larger dist2; ties → smaller vec_id wins)."""
+    return _kmeans_asn_cte() + f""",
+pair AS (
+  SELECT a.vec_id va, a.dist2 da, b.vec_id vb, b.dist2 db,
+         floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sm
+  FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT a.vec_id::BIGINT vec_id, a.cluster::BIGINT AS "cluster", a.dist2::BIGINT dist2,
+       (CASE WHEN EXISTS (
+          SELECT 1 FROM pair p
+          WHERE p.va = a.vec_id AND p.sm >= {threshold_micro}
+            AND (p.db > p.da OR (p.db = p.da AND p.vb < p.va))
+        ) THEN 0 ELSE 1 END)::BIGINT keep
+FROM asn a ORDER BY vec_id
+"""
 
 
 def _function_score_sql(k: int) -> str:
@@ -3134,6 +3165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # representative per duplicate cluster" action)
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold_micro=900_000),
         "dedup_embedding_pairs": lambda sf: dedup.embedding_pairs(sf, threshold_micro=400_000),
+        # SemDeDup (Abbas et al. 2023): k-means clusters, within-cluster
+        # cosine duplicates, keep the farthest-from-centroid member
+        "dedup_semantic": lambda sf: dedup.dedup_semantic(sf, threshold_micro=350_000),
         # the end-to-end cleaning decision pipeline (dedup → quality → lang)
         "clean_corpus": _q_clean,
         # similarity search
@@ -3619,6 +3653,7 @@ SELECT "label", dim,
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "emb_kmeans": _emb_kmeans_sql(),
+        "dedup_semantic": _dedup_semantic_sql(),
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 sims AS (

@@ -584,25 +584,13 @@ def _km_seed_hash(ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFrame:
-    """Distributed Lloyd k-means (iters fixed iterations + one final
-    assignment) over the embeddings table.
-
-    Scale shape — the canonical Ray Data iterative-ML loop: centroids are a
-    tiny k×d int64 matrix broadcast via ray.put each round; every pass is
-    ONE map_batches over the corpus emitting k-row partials (per-cluster
-    count + component sums), combined on the driver (≤ k × n_batches slim
-    rows — never vectors); seeds come from a per-batch partial top-k by
-    hash order. No shuffle anywhere; empty clusters drop out of the
-    candidate set (documented, mirrored in SQL).
-
-    Columns: vec_id, cluster, dist2 (int64 Σ(x−c)² in micro²)."""
+def _kmeans_fit(ds, k: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """The seed + Lloyd-iteration core of ``emb_kmeans``, factored out so
+    SemDeDup (engine/ops/dedup.py::dedup_semantic) fits the SAME centroids
+    under the same exact integer contract. Returns (C, live): the k'×dim
+    int64 centroid matrix and the original cluster ids of the surviving
+    (non-empty) clusters."""
     import ray
-    import ray.data as rd
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
 
     def seed_partial(batch: pa.Table) -> pd.DataFrame:
         ids, X = _emb_micro(batch)
@@ -620,12 +608,6 @@ def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFram
     # cluster ids 0..k-1 in hash order (the SQL row_number mirror)
     live = np.arange(len(C), dtype=np.int64)
 
-    def assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        # (n×k) distances in int64; argmin tie → first = smallest LIVE id
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
-        return a, d[np.arange(len(X)), a]
-
     for _ in range(iters):
         c_ref = ray.put(C)
         lv_ref = ray.put(live)
@@ -633,7 +615,7 @@ def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFram
         def upd_partial(batch: pa.Table, c_ref=c_ref) -> pd.DataFrame:
             Cb = ray.get(c_ref)
             ids, X = _emb_micro(batch)
-            a, _ = assign(X, Cb)
+            a, _ = _km_assign(X, Cb)
             rows = []
             for ci in np.unique(a):
                 m = a == ci
@@ -656,14 +638,43 @@ def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFram
             newlive.append(int(live[pos]))
         C = np.stack(newC)
         live = np.asarray(newlive, dtype=np.int64)
+    return C, live
 
+
+def _km_assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # (n×k) distances in int64; argmin tie → first = smallest LIVE id
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    return a, d[np.arange(len(X)), a]
+
+
+def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pd.DataFrame:
+    """Distributed Lloyd k-means (iters fixed iterations + one final
+    assignment) over the embeddings table.
+
+    Scale shape — the canonical Ray Data iterative-ML loop: centroids are a
+    tiny k×d int64 matrix broadcast via ray.put each round; every pass is
+    ONE map_batches over the corpus emitting k-row partials (per-cluster
+    count + component sums), combined on the driver (≤ k × n_batches slim
+    rows — never vectors); seeds come from a per-batch partial top-k by
+    hash order. No shuffle anywhere; empty clusters drop out of the
+    candidate set (documented, mirrored in SQL).
+
+    Columns: vec_id, cluster, dist2 (int64 Σ(x−c)² in micro²)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C, live = _kmeans_fit(ds, k, iters)
     c_ref = ray.put(C)
     lv_ref = ray.put(live)
 
     def final_assign(batch: pa.Table, c_ref=c_ref, lv_ref=lv_ref) -> pd.DataFrame:
         Cb, lv = ray.get(c_ref), ray.get(lv_ref)
         ids, X = _emb_micro(batch)
-        a, d2 = assign(X, Cb)
+        a, d2 = _km_assign(X, Cb)
         return pd.DataFrame({"vec_id": ids, "cluster": lv[a], "dist2": d2})
 
     out = (

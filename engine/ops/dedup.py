@@ -1323,3 +1323,93 @@ def span_coverage(
     ).astype(np.int64)
     return (out[cols].sort_values("doc_id").reset_index(drop=True)
             .astype({c: "int64" for c in cols}))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_semantic(
+    sf_dir: str,
+    threshold_micro: int = 350_000,
+    k: int | None = None,
+    iters: int | None = None,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space
+    with k-means, then deduplicate ONLY within clusters — a pair is a
+    semantic duplicate iff cosine ≥ τ, and within each duplicate
+    neighbourhood the paper keeps the point FARTHEST from its centroid
+    (here: largest int64 ``dist2``; ties → smaller vec_id wins).
+
+    Scale shape: the all-pairs comparison is confined to clusters (the whole
+    point of the paper — k grows with the corpus so cluster size stays
+    bounded), reached via ONE ``groupby("cluster")`` exchange of slim rows
+    (id, dist2, normalized vector bytes). Centroids come from the shared
+    ``_kmeans_fit`` loop (tiny broadcast state, no shuffle); the keep
+    decision is a vectorized pairwise tournament inside each group:
+    drop(d) ⇔ ∃ e in-cluster with sim(d,e) ≥ τ and
+    (dist2(e) > dist2(d) or (dist2(e) = dist2(d) and e.vec_id < d.vec_id)).
+    The max-dist2 member of every duplicate neighbourhood therefore always
+    survives. Cosine uses the proven ``embedding_pairs`` micro-int contract
+    (normalize → matmul → floor(x·1e6 + 0.5), IEEE-matching DuckDB's
+    list_cosine_similarity).
+
+    Columns: vec_id, cluster, dist2, keep (all int64)."""
+    import ray
+    import ray.data as rd
+
+    from engine.ops.ann import KM_ITERS, KM_K, _emb_micro, _km_assign, _kmeans_fit
+
+    k = KM_K if k is None else k
+    iters = KM_ITERS if iters is None else iters
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C, live = _kmeans_fit(ds, k, iters)
+    c_ref = ray.put(C)
+    lv_ref = ray.put(live)
+
+    def assign_batch(batch: pa.Table, c_ref=c_ref, lv_ref=lv_ref) -> pd.DataFrame:
+        Cb, lv = ray.get(c_ref), ray.get(lv_ref)
+        ids, X = _emb_micro(batch)
+        a, d2 = _km_assign(X, Cb)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        V = flat.reshape(len(ids), -1)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        return pd.DataFrame({
+            "vec_id": ids, "cluster": lv[a], "dist2": d2,
+            "vec": [V[i].tobytes() for i in range(len(ids))],
+        })
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        d2 = g["dist2"].to_numpy().astype(np.int64)
+        keep = np.ones(len(ids), dtype=np.int64)
+        if len(ids) > 1:
+            V = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["vec"]])
+            sm = np.floor(V @ V.T * 1e6 + 0.5).astype(np.int64)
+            dup = sm >= threshold_micro
+            np.fill_diagonal(dup, False)
+            wins = (d2[None, :] > d2[:, None]) | (
+                (d2[None, :] == d2[:, None]) & (ids[None, :] < ids[:, None])
+            )
+            keep = (~(dup & wins).any(axis=1)).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy().astype(np.int64),
+            "dist2": d2,
+            "keep": keep,
+        })
+
+    out = (
+        ds.map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

@@ -1646,6 +1646,42 @@ def test_ann_filtered_topk_semantics(ray_session):
         "label filter must change some ranking"
 
 
+def test_dedup_semantic_tournament(ray_session):
+    """SemDeDup keep flags recomputed from the emb_kmeans assignment + a
+    direct numpy within-cluster cosine tournament; both arms fire and the
+    farthest-from-centroid member of every cluster always survives."""
+    from engine.ops.ann import emb_kmeans
+    from engine.ops.dedup import dedup_semantic
+
+    sf = "/root/testdata/sf0.001"
+    thr = 350_000
+    got = dedup_semantic(sf, threshold_micro=thr)
+    asn = emb_kmeans(sf)
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "cluster", "dist2"]], asn,
+        check_dtype=False,
+    )
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    for _, g in got.groupby("cluster"):
+        ids = g["vec_id"].to_numpy()
+        d2 = g["dist2"].to_numpy()
+        V = mat[ids]
+        sm = np.floor(V @ V.T * 1e6 + 0.5).astype(np.int64)
+        dup = sm >= thr
+        np.fill_diagonal(dup, False)
+        wins = (d2[None, :] > d2[:, None]) | ((d2[None, :] == d2[:, None]) & (ids[None, :] < ids[:, None]))
+        expect = (~(dup & wins).any(axis=1)).astype(np.int64)
+        assert (g["keep"].to_numpy() == expect).all()
+        # the farthest-from-centroid member (ties -> smallest id) survives
+        far = np.lexsort((ids, -d2))[0]
+        assert g["keep"].to_numpy()[far] == 1
+    assert (got["keep"] == 0).any(), "drop arm must fire at this threshold"
+    assert (got["keep"] == 1).any()
+
+
 def test_ann_knn_classify_majority_vote(ray_session):
     """kNN classification: pred is the exact majority label of the k=5
     cosine neighbours (ties to smallest label), recomputed here from the
