@@ -3228,6 +3228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_quality_buckets": textstats.quality_buckets,
         # DSIR-style hashed-unigram importance scoring vs the lang-target
         "ta_dsir_weights": textstats.dsir_weights,
+        # CCNet-style unigram-LM perplexity filter: train on the hash-split
+        # train half, score every doc in exact integer micro-nats
+        "ta_lm_nll": textstats.lm_nll,
         # PII detection + redaction (RE2 kernel chain; deterministic
         # planted fixture — see engine/ops/pii.py docstring)
         "ta_pii_redact": pii.pii_redact,
@@ -3384,6 +3387,29 @@ SELECT doc_id, score,
 FROM s CROSS JOIN th ORDER BY doc_id
 """,
         "ta_dsir_weights": _dsir_sql(),
+        "ta_lm_nll": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+trn AS (
+  SELECT doc_id FROM documents
+  WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) >= 20
+),
+cf AS (SELECT term, count(*)::BIGINT cf FROM tok JOIN trn USING (doc_id) GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT total, count(*)::BIGINT v FROM cf),
+w AS (
+  SELECT term,
+         floor((ln(total + v) - ln(cf + 1)) * 1e6 + 0.5)::BIGINT w
+  FROM cf CROSS JOIN tot
+),
+sc AS (
+  SELECT t.doc_id, count(*)::BIGINT n_tokens,
+         sum(coalesce(w.w,
+             (SELECT floor(ln(total + v) * 1e6 + 0.5)::BIGINT FROM tot)))::BIGINT nll_micro
+  FROM tok t LEFT JOIN w ON w.term = t.term GROUP BY 1
+)
+SELECT doc_id::BIGINT doc_id, n_tokens, nll_micro,
+       (nll_micro // n_tokens)::BIGINT mean_nll_micro
+FROM sc ORDER BY doc_id
+""",
         "ta_token_count": _token_count_sql(),
         "ta_pii_redact": _pii_sql(),
         "ta_seq_pack": _seq_pack_sql(),

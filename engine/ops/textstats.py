@@ -1449,3 +1449,113 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM perplexity filter (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def lm_nll(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020 train a
+    KenLM on trusted text and score the crawl by perplexity): here the LM is
+    an add-one-smoothed UNIGRAM model trained on the corpus's deterministic
+    train split (hash_split buckets ≥ ``train_min_bucket`` — the same md5
+    purity as sample_hash_split), and every document is scored by its
+    negative log-likelihood in exact integer micro-nats.
+
+    Contract: p(t) = (cf_t + 1) / (total + V) over the train half;
+    per-term cost w(t) = floor((ln(total+V) − ln(cf_t+1))·1e6 + 0.5) —
+    ln on exact integer inputs, the np.log ↔ DuckDB ln parity the BM25
+    oracles already prove — unseen terms pay floor(ln(total+V)·1e6 + 0.5);
+    nll_micro = Σ w over token OCCURRENCES (exact int64, order-free) and
+    mean_nll_micro = nll_micro // n_tokens. Zero-token docs are omitted
+    (no defined perplexity — mirrors the SQL unnest).
+
+    Scale shape: pass 1 is the standard term-stats rollup restricted to the
+    train half (per-batch value_counts partials → ONE term-keyed groupby —
+    volume is vocab-sized, not corpus-sized); the fitted model is a
+    vocab-sized (term → w_micro) table broadcast once via ray.put (CCNet
+    ships its KenLM binary to every node the same way); pass 2 is ONE
+    shuffle-free corpus scan — Arrow tokenize, vectorized pd.Index lookup,
+    int64 reduceat per doc (the dsir_weights shape).
+
+    Columns: doc_id, n_tokens, nll_micro, mean_nll_micro (all int64)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.ops.sampling import split_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class _TrainCounts:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch["doc_id"].to_pylist()
+            keep = split_buckets(ids) >= train_min_bucket
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts.filter(pa.array(keep)))
+            if len(flat) == 0:
+                return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                     "cf": pd.Series([], dtype="int64")})
+            vc = flat.value_counts()
+            return pd.DataFrame({
+                "term": vc.field("values").to_pylist(),
+                "cf": vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+
+    cf = (
+        ds.map_batches(_TrainCounts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()
+    )
+    total = int(cf["cf"].sum())
+    V = int(len(cf))
+    ln_denom = np.log(np.float64(total + V))
+    w_micro = np.floor(
+        (ln_denom - np.log(cf["cf"].to_numpy(np.int64) + 1.0)) * 1e6 + 0.5
+    ).astype(np.int64)
+    w_unseen = int(np.floor(ln_denom * 1e6 + 0.5))
+    model_ref = ray.put((pd.Index(cf["term"].astype(object)), w_micro))
+
+    class _Score:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+            self.vocab, self.w = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts)
+            doc_ids = batch["doc_id"].to_numpy()
+            m = dl > 0
+            dlp = dl[m].astype(np.int64)
+            idx = self.vocab.get_indexer(flat.to_numpy(zero_copy_only=False))
+            tok_w = np.where(idx >= 0, self.w[np.maximum(idx, 0)], w_unseen)
+            offs = (np.concatenate(([0], np.cumsum(dlp)[:-1])) if dlp.size
+                    else np.empty(0, dtype=np.int64))
+            nll = (np.add.reduceat(tok_w, offs) if dlp.size
+                   else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({
+                "doc_id": doc_ids[m].astype(np.int64),
+                "n_tokens": dlp,
+                "nll_micro": nll,
+                "mean_nll_micro": nll // dlp,
+            })
+
+    out = (
+        ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

@@ -1646,6 +1646,68 @@ def test_ann_filtered_topk_semantics(ray_session):
         "label filter must change some ranking"
 
 
+def test_lm_nll_python_identity_and_unseen_arm(ray_session, tmp_path):
+    """Unigram-LM NLL recomputed in pure Python from the train-half token
+    counts; a synthetic corpus plants a token that exists ONLY in a
+    val-bucket doc (doc_id=0 hashes to bucket 16 < 20) so the unseen-term
+    weight arm provably fires."""
+    import math
+    from collections import Counter
+
+    from engine.ops.sampling import split_buckets
+    from engine.ops.textstats import lm_nll
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+
+    def reference(docs: dict[int, str]) -> dict[int, tuple[int, int, int]]:
+        ids = sorted(docs)
+        buckets = split_buckets(ids)
+        cf = Counter()
+        for i, d in zip(ids, buckets):
+            if d >= 20:
+                cf.update(an.tokens(docs[i]))
+        total, V = sum(cf.values()), len(cf)
+        w = {t: math.floor((math.log(total + V) - math.log(c + 1)) * 1e6 + 0.5)
+             for t, c in cf.items()}
+        w_un = math.floor(math.log(total + V) * 1e6 + 0.5)
+        out = {}
+        for i in ids:
+            toks = an.tokens(docs[i])
+            if not toks:
+                continue
+            nll = sum(w.get(t, w_un) for t in toks)
+            out[i] = (len(toks), nll, nll // len(toks))
+        return out
+
+    # --- real fixture parity ---
+    sf = "/root/testdata/sf0.001"
+    got = lm_nll(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = reference(dict(zip(t["doc_id"].astype(int), t["text"])))
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        assert ref[int(r.doc_id)] == (int(r.n_tokens), int(r.nll_micro), int(r.mean_nll_micro))
+
+    # --- synthetic: planted never-trained token ---
+    docs = {0: "zzzuniq common words here",          # bucket 16 -> val
+            1: "common words appear here often",      # train
+            4: "words appear in common text",         # train
+            5: "often common text here"}              # train
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                             "text": pa.array([docs[i] for i in sorted(docs)])}),
+                   f"{sd}/documents.parquet")
+    got2 = lm_nll(sd)
+    ref2 = reference(docs)
+    for r in got2.itertuples():
+        assert ref2[int(r.doc_id)] == (int(r.n_tokens), int(r.nll_micro), int(r.mean_nll_micro))
+    # the unseen arm fired: doc 0's mean NLL exceeds every train doc's
+    m = got2.set_index("doc_id")["mean_nll_micro"]
+    assert m.loc[0] > m.drop(0).max()
+
+
 def test_dedup_semantic_tournament(ray_session):
     """SemDeDup keep flags recomputed from the emb_kmeans assignment + a
     direct numpy within-cluster cosine tournament; both arms fire and the
