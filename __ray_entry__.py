@@ -3213,6 +3213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
         # corpus-wide adjacent-bigram counts (partial-combine → one groupby)
         "ta_top_bigrams": lambda sf: textstats.top_bigrams(sf, k=20),
+        # BPE tokenizer training step 1: weighted char-pair counts over the
+        # vocab rollup (corpus reduces to the vocabulary before pair work)
+        "ta_bpe_pairs": lambda sf: textstats.bpe_pairs(sf, k=20),
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3231,6 +3234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style unigram-LM perplexity filter: train on the hash-split
         # train half, score every doc in exact integer micro-nats
         "ta_lm_nll": textstats.lm_nll,
+        # bigram sibling: context-conditioned add-one costs, same contract
+        "ta_lm_nll_bigram": textstats.lm_nll_bigram,
         # PII detection + redaction (RE2 kernel chain; deterministic
         # planted fixture — see engine/ops/pii.py docstring)
         "ta_pii_redact": pii.pii_redact,
@@ -3410,6 +3415,37 @@ SELECT doc_id::BIGINT doc_id, n_tokens, nll_micro,
        (nll_micro // n_tokens)::BIGINT mean_nll_micro
 FROM sc ORDER BY doc_id
 """,
+        # bigram LM: same ln-minus-ln micro-nat contract, conditioned on the
+        # preceding token; struct unnest keeps (w1, w2) exact (no separator
+        # ambiguity), coalesce(·, 0) covers the unseen bigram/context arms
+        "ta_lm_nll_bigram": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) term FROM t),
+bgall AS (
+  SELECT doc_id, s['w1'] w1, s['w2'] w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                          i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) s
+    FROM t WHERE len(toks) >= 2)
+),
+trn AS (SELECT doc_id FROM documents
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) >= 20),
+cbg AS (SELECT w1, w2, count(*)::BIGINT c
+        FROM bgall JOIN trn USING (doc_id) GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c)::BIGINT cc FROM cbg GROUP BY 1),
+voc AS (SELECT count(DISTINCT term)::BIGINT v FROM tok JOIN trn USING (doc_id)),
+sc AS (
+  SELECT g.doc_id, count(*)::BIGINT n_bigrams,
+         sum(floor((ln(coalesce(ctx.cc, 0) + v) - ln(coalesce(cbg.c, 0) + 1))
+                   * 1e6 + 0.5)::BIGINT)::BIGINT nll_micro
+  FROM bgall g
+  LEFT JOIN cbg ON cbg.w1 = g.w1 AND cbg.w2 = g.w2
+  LEFT JOIN ctx ON ctx.w1 = g.w1
+  CROSS JOIN voc
+  GROUP BY 1)
+SELECT doc_id::BIGINT doc_id, n_bigrams, nll_micro,
+       (nll_micro // n_bigrams)::BIGINT mean_nll_micro
+FROM sc ORDER BY doc_id
+""",
         "ta_token_count": _token_count_sql(),
         "ta_pii_redact": _pii_sql(),
         "ta_seq_pack": _seq_pack_sql(),
@@ -3485,6 +3521,19 @@ bg AS (
 )
 SELECT bigram, count(*)::BIGINT cnt FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram ASC LIMIT 20
+""",
+        # BPE step-1 pair counts: vocab-side explode (cf-weighted adjacent
+        # char pairs inside each distinct term), never the corpus
+        "ta_bpe_pairs": f"""
+WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),
+pr AS (
+  SELECT unnest(list_transform(range(1, length(term)),
+                               i -> substr(term, i, 2))) AS pair, cf
+  FROM cf WHERE length(term) >= 2
+)
+SELECT pair, sum(cf)::BIGINT cnt FROM pr GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20
 """,
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,

@@ -1559,3 +1559,262 @@ def lm_nll(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+def lm_nll_bigram(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
+    """Bigram-LM quality filter: the conditional sibling of :func:`lm_nll`
+    (CCNet scores with a 5-gram KenLM; the unigram entry proves the split/
+    broadcast/score machinery, this one proves CONTEXT-conditioned costs).
+
+    Contract (exact, order-free): over the train half (same md5 hash_split
+    purity, buckets ≥ ``train_min_bucket``) count bigram occurrences
+    c(w1,w2) and context occurrences cc(w1) = Σ_w2 c(w1,w2), and let V be
+    the distinct-unigram train vocabulary. Add-one smoothing gives
+    p(w2|w1) = (c+1)/(cc+V); the per-bigram cost is
+    w = floor((ln(cc(w1)+V) − ln(c(w1,w2)+1))·1e6 + 0.5) — one ln-minus-ln
+    on exact integer inputs (the np.log ↔ DuckDB ln parity arm the unigram
+    filter already proves). Unseen bigram under a seen context pays
+    floor(ln(cc+V)·1e6+0.5) (ln(0+1) = 0.0 exactly, so the single formula
+    covers it); a never-seen context has cc = 0 and pays
+    floor(ln(V)·1e6+0.5). nll_micro = Σ w over the doc's dl−1 bigram
+    occurrences; docs with < 2 tokens are omitted (no bigram is defined —
+    mirrors the SQL's len(toks) >= 2 guard).
+
+    Scale shape: pass 1 reduces the train half to a BIGRAM-VOCAB-sized
+    (w1, w2, c) table (per-batch partial counts → ONE keyed groupby —
+    volume is model-sized, not corpus-sized; CCNet ships its KenLM the
+    same way); context counts and V are tiny driver rollups of that table;
+    the fitted model broadcasts once via ray.put; pass 2 is ONE
+    shuffle-free corpus scan — Arrow tokenize, two vectorized pd.Index
+    probes (bigram, then context for the misses), int64 reduceat per doc.
+
+    Columns: doc_id, n_bigrams, nll_micro, mean_nll_micro (all int64)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.ops.sampling import split_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class _TrainBigrams:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch["doc_id"].to_pylist()
+            keep = split_buckets(ids) >= train_min_bucket
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts.filter(pa.array(keep)))
+            toks = flat.to_numpy(zero_copy_only=False)
+            if toks.size == 0:
+                return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                     "w2": pd.Series([], dtype=object),
+                                     "c": pd.Series([], dtype="int64"),
+                                     "u": pd.Series([], dtype="int64")})
+            # doc-contiguous flat stream: a position starts a bigram unless
+            # it is the last token of its doc
+            ends = np.cumsum(dl[dl > 0]) - 1
+            starts = np.ones(toks.size, dtype=bool)
+            starts[ends] = False
+            df = pd.DataFrame({"w1": toks[:-1][starts[:-1]],
+                               "w2": toks[1:][starts[:-1]]})
+            g = df.groupby(["w1", "w2"], as_index=False).size()
+            g = g.rename(columns={"size": "c"})
+            # unigram occurrences ride along for the vocab-size rollup
+            uni = pd.Series(toks).value_counts()
+            g["u"] = np.int64(0)
+            u = pd.DataFrame({"w1": uni.index.to_numpy(dtype=object),
+                              "w2": "", "c": np.int64(0),
+                              "u": uni.to_numpy().astype(np.int64)})
+            return pd.concat([g, u], ignore_index=True)
+
+    model = (
+        ds.map_batches(_TrainBigrams, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"), Sum("u", alias_name="u"))
+        .to_pandas()
+    )
+    uni = model[model["w2"] == ""]
+    V = int((uni["u"] > 0).sum())
+    bg = model[model["w2"] != ""].reset_index(drop=True)
+    cc = bg.groupby("w1", as_index=False)["c"].sum().rename(columns={"c": "cc"})
+    ctx_idx = pd.Index(cc["w1"].astype(object))
+    cc_arr = cc["cc"].to_numpy(np.int64)
+    bg = bg.merge(cc, on="w1", how="left")
+    w_seen = np.floor(
+        (np.log(bg["cc"].to_numpy(np.int64) + np.float64(V))
+         - np.log(bg["c"].to_numpy(np.int64) + 1.0)) * 1e6 + 0.5
+    ).astype(np.int64)
+    bg_idx = pd.Index(bg["w1"].astype(object) + " " + bg["w2"].astype(object))
+    # unseen-bigram fallback per context, and the global unseen-context cost
+    w_ctx = np.floor(np.log(cc_arr + np.float64(V)) * 1e6 + 0.5).astype(np.int64)
+    w_noctx = int(np.floor(np.log(np.float64(V)) * 1e6 + 0.5))
+    model_ref = ray.put((bg_idx, w_seen, ctx_idx, w_ctx))
+
+    class _Score:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+            self.bg_idx, self.w_seen, self.ctx_idx, self.w_ctx = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts)
+            doc_ids = batch["doc_id"].to_numpy()
+            toks = flat.to_numpy(zero_copy_only=False)
+            m = dl >= 2
+            if not m.any():
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "n_bigrams": pd.Series([], dtype="int64"),
+                                     "nll_micro": pd.Series([], dtype="int64"),
+                                     "mean_nll_micro": pd.Series([], dtype="int64")})
+            dlp = dl[dl > 0]
+            ends = np.cumsum(dlp) - 1
+            starts = np.ones(toks.size, dtype=bool)
+            starts[ends] = False
+            w1 = toks[:-1][starts[:-1]]
+            w2 = toks[1:][starts[:-1]]
+            keys = pd.Index(pd.Series(w1, dtype=object) + " "
+                            + pd.Series(w2, dtype=object))
+            idx = self.bg_idx.get_indexer(keys)
+            tok_w = np.where(idx >= 0, self.w_seen[np.maximum(idx, 0)], 0)
+            miss = idx < 0
+            if miss.any():
+                ci = self.ctx_idx.get_indexer(pd.Index(w1[miss]))
+                tok_w[miss] = np.where(ci >= 0,
+                                       self.w_ctx[np.maximum(ci, 0)], w_noctx)
+            # dl==1 docs emit no bigram; drop them so reduceat offsets
+            # never repeat (a zero-length segment would read a neighbour)
+            nb = dlp - 1
+            nb = nb[nb > 0]
+            offs = (np.concatenate(([0], np.cumsum(nb)[:-1])) if nb.size
+                    else np.empty(0, dtype=np.int64))
+            nll = (np.add.reduceat(tok_w, offs) if nb.size
+                   else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({
+                "doc_id": doc_ids[m].astype(np.int64),
+                "n_bigrams": nb.astype(np.int64),
+                "nll_micro": nll.astype(np.int64),
+                "mean_nll_micro": nll // nb,
+            })
+
+    out = (
+        ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer training, step 1)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k adjacent CHARACTER-pair counts over token occurrences — the
+    statistic byte-pair-encoding tokenizer training (Sennrich et al. 2016)
+    computes at every merge step, exposed for step 1. A pair's count is
+    Σ over the corpus vocabulary of cf(term) · (occurrences of the pair as
+    adjacent chars in term); ties break pair-ascending.
+
+    Scale shape: the corpus first reduces to the VOCAB-sized (term, cf)
+    rollup (per-batch value_counts partials → ONE term-keyed groupby — the
+    exact pass every real BPE trainer runs before its merge loop, because
+    pair counts are a pure function of the weighted vocabulary, never of
+    the corpus); pair extraction then runs distributed over that small
+    table (per-batch numpy char-pair explode → ONE pair-keyed groupby →
+    per-block top-k + tiny driver merge). No stage ever revisits the
+    corpus after pass 1.
+
+    Columns: pair, cnt (int64)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class _TermCounts:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, _ = self.an.tokenize_arrow(texts)
+            if len(flat) == 0:
+                return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                     "cf": pd.Series([], dtype="int64")})
+            vc = flat.value_counts()
+            return pd.DataFrame({
+                "term": vc.field("values").to_pylist(),
+                "cf": vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        terms = df["term"].to_numpy(dtype=object)
+        cf = df["cf"].to_numpy(np.int64)
+        lens = np.fromiter((len(t) for t in terms), count=len(terms), dtype=np.int64)
+        keep = lens >= 2
+        terms, cf, lens = terms[keep], cf[keep], lens[keep]
+        if not terms.size:
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        # one flat char buffer; adjacent pairs are a stride-1 window that
+        # must not cross term boundaries
+        buf = np.frombuffer("".join(terms.tolist()).encode("utf-32-le"),
+                            dtype=np.uint32)
+        ends = np.cumsum(lens) - 1
+        starts = np.ones(buf.size, dtype=bool)
+        starts[ends] = False
+        a = buf[:-1][starts[:-1]]
+        b = buf[1:][starts[:-1]]
+        w = np.repeat(cf, lens - 1)
+        key = a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(cnt, inv, w)  # exact int64 — no float-weighted bincount
+        pairs = [chr(int(x >> np.uint64(32))) + chr(int(x & np.uint64(0xFFFFFFFF)))
+                 for x in uk]
+        return pd.DataFrame({"pair": pd.Series(pairs, dtype=object), "cnt": cnt})
+
+    ds_pairs = (
+        ds.map_batches(_TermCounts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .map_batches(pair_partial, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if "cnt" not in b.columns or not len(b):
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return b.sort_values(["cnt", "pair"], ascending=[False, True]).head(k)
+
+    out = (
+        ds_pairs.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["cnt", "pair"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["pair"] = out["pair"].astype(str)
+    return out.astype({"cnt": "int64"})

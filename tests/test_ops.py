@@ -2510,3 +2510,116 @@ def test_dsir_weights_python_identity(ray_session):
     pd.testing.assert_frame_equal(out, exp)
     # the weight model is non-degenerate on the fixture: bucket weights vary
     assert len(np.unique(w[raw > 0])) > 1
+
+
+def test_lm_nll_bigram_python_identity_and_fallback_arms(ray_session, tmp_path):
+    """Bigram-LM NLL recomputed in pure Python from train-half bigram and
+    context counts; a synthetic corpus fires BOTH fallback arms — a bigram
+    of trained tokens that never co-occur in train (seen-context arm) and a
+    context token absent from train entirely (ln(V) arm)."""
+    import math
+    from collections import Counter
+
+    from engine.ops.sampling import split_buckets
+    from engine.ops.textstats import lm_nll_bigram
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+
+    def reference(docs: dict[int, str]) -> dict[int, tuple[int, int, int]]:
+        ids = sorted(docs)
+        buckets = split_buckets(ids)
+        cbg, uni = Counter(), Counter()
+        for i, b in zip(ids, buckets):
+            toks = an.tokens(docs[i])
+            if b >= 20:
+                uni.update(toks)
+                cbg.update(zip(toks, toks[1:]))
+        cc = Counter()
+        for (w1, _), c in cbg.items():
+            cc[w1] += c
+        V = len(uni)
+
+        def w(a, b):
+            return math.floor(
+                (math.log(cc.get(a, 0) + V) - math.log(cbg.get((a, b), 0) + 1))
+                * 1e6 + 0.5)
+
+        out = {}
+        for i in ids:
+            toks = an.tokens(docs[i])
+            if len(toks) < 2:
+                continue
+            nll = sum(w(a, b) for a, b in zip(toks, toks[1:]))
+            out[i] = (len(toks) - 1, nll, nll // (len(toks) - 1))
+        return out
+
+    # --- real fixture parity ---
+    sf = "/root/testdata/sf0.001"
+    got = lm_nll_bigram(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = reference(dict(zip(t["doc_id"].astype(int), t["text"])))
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        assert ref[int(r.doc_id)] == (
+            int(r.n_bigrams), int(r.nll_micro), int(r.mean_nll_micro))
+
+    # --- synthetic: both fallback arms + a single-token doc omitted ---
+    docs = {0: "alpha gamma zzznew beta",        # bucket 16 -> val:
+            #   (alpha, gamma): trained tokens, never adjacent in train
+            #   (zzznew, beta): zzznew absent from train -> ln(V) arm
+            1: "alpha beta alpha beta gamma",     # train
+            4: "gamma alpha beta beta",           # train
+            5: "beta gamma gamma alpha",          # train
+            6: "alpha"}                           # train, dl=1 -> omitted
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                             "text": pa.array([docs[i] for i in sorted(docs)])}),
+                   f"{sd}/documents.parquet")
+    got2 = lm_nll_bigram(sd)
+    ref2 = reference(docs)
+    assert 6 not in set(got2["doc_id"])          # no bigram -> omitted
+    assert set(got2["doc_id"]) == set(ref2)
+    for r in got2.itertuples():
+        assert ref2[int(r.doc_id)] == (
+            int(r.n_bigrams), int(r.nll_micro), int(r.mean_nll_micro))
+    # the two fallback arms produced strictly positive costs: doc 0's mean
+    # exceeds every train doc's (its bigrams are all unseen)
+    m = got2.set_index("doc_id")["mean_nll_micro"]
+    assert m.loc[0] > m.drop(0).max()
+
+
+def test_bpe_pairs_python_identity(ray_session, tmp_path):
+    """BPE step-1 pair counts recomputed from a pure-Python Counter over
+    token occurrences; a synthetic corpus checks cf weighting (repeated
+    tokens multiply their pairs) and the single-char-token exclusion."""
+    from collections import Counter
+
+    from engine.ops.textstats import bpe_pairs
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+
+    def reference(texts, k=20):
+        c = Counter()
+        for txt in texts:
+            for tok in an.tokens(txt):
+                for i in range(len(tok) - 1):
+                    c[tok[i:i + 2]] += 1
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_pairs(sf)
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    assert [(p, int(n)) for p, n in zip(got["pair"], got["cnt"])] == reference(texts)
+
+    # synthetic: "abab" twice -> ab:4 ba:2; "a" contributes nothing
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array(["abab abab a", "xy"])}),
+                   f"{sd}/documents.parquet")
+    got2 = bpe_pairs(sd)
+    assert [(p, int(n)) for p, n in zip(got2["pair"], got2["cnt"])] == \
+        [("ab", 4), ("ba", 2), ("xy", 1)]
