@@ -1035,6 +1035,36 @@ FROM (
 """
 
 
+def _matrix_stats_sql() -> str:
+    """matrix_stats oracle: exact joint moments of (token count, n_chars)
+    over the OR-match gate; numerators carry the covariance/variance."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term),
+xy AS (
+  SELECT doc_id, len({_TOKS})::BIGINT x, n_chars::BIGINT y FROM documents
+),
+s AS (
+  SELECT m.qid, count(*)::BIGINT n_matches,
+         sum(x)::BIGINT sum_x, sum(y)::BIGINT sum_y,
+         sum(x * x)::BIGINT sum_xx, sum(y * y)::BIGINT sum_yy,
+         sum(x * y)::BIGINT sum_xy
+  FROM m JOIN xy USING (doc_id) GROUP BY m.qid
+)
+SELECT qid, n_matches, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       (n_matches * sum_xy - sum_x * sum_y)::BIGINT cov_num,
+       (n_matches * sum_xx - sum_x * sum_x)::BIGINT var_x_num,
+       (n_matches * sum_yy - sum_y * sum_y)::BIGINT var_y_num
+FROM s ORDER BY qid
+"""
+
+
 def _ev_max_bucket_sql() -> str:
     return """
 WITH daily AS (
@@ -3058,6 +3088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_diversified_sampler": P.ft_diversified_sampler,
         # extended_stats: integer-exact moments incl. the variance pair
         "ft_extended_stats": P.ft_extended_stats,
+        # ES matrix_stats: exact joint moments of (token count, n_chars)
+        "ft_matrix_stats": P.ft_matrix_stats,
         # edge-ngram autocomplete: prefix df as exact term lookups
         "ft_autocomplete": P.ft_autocomplete,
         # phrase suggester: per-token argmax-df edit-1 correction
@@ -3216,6 +3248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training step 1: weighted char-pair counts over the
         # vocab rollup (corpus reduces to the vocabulary before pair work)
         "ta_bpe_pairs": lambda sf: textstats.bpe_pairs(sf, k=20),
+        # tokenizer-vocab coverage audit: per-doc OOV rate vs the top-16
+        # corpus vocabulary
+        "ta_vocab_coverage": textstats.vocab_coverage,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3293,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_vectors": _term_vectors_sql(),
         "ft_diversified_sampler": _diversified_sampler_sql(),
         "ft_extended_stats": _extended_stats_sql(),
+        "ft_matrix_stats": _matrix_stats_sql(),
         "ft_autocomplete": _autocomplete_sql(),
         "ft_did_you_mean": _did_you_mean_sql(),
         "ev_max_bucket": _ev_max_bucket_sql(),
@@ -3534,6 +3570,24 @@ pr AS (
 )
 SELECT pair, sum(cf)::BIGINT cnt FROM pr GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 20
+""",
+        # OOV rate vs the deterministic top-16 vocab (cf desc, term asc)
+        "ta_vocab_coverage": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),
+voc AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cf DESC, term ASC) r FROM cf
+  ) WHERE r <= {textstats.VOCAB_TOP_K}
+),
+sc AS (
+  SELECT doc_id, count(*)::BIGINT n_tokens,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT n_oov
+  FROM tok t LEFT JOIN voc v ON v.term = t.term GROUP BY 1
+)
+SELECT doc_id::BIGINT doc_id, n_tokens, n_oov,
+       (n_oov * 1000000 // n_tokens)::BIGINT oov_micro
+FROM sc ORDER BY doc_id
 """,
         "ta_corpus_stats": f"""
 SELECT lang, source, count(*)::BIGINT n_docs,

@@ -1818,3 +1818,93 @@ def bpe_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     )
     out["pair"] = out["pair"].astype(str)
     return out.astype({"cnt": "int64"})
+
+
+VOCAB_TOP_K = 16  # vocab_coverage: tokenizer vocabulary size under test
+
+
+def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K) -> pd.DataFrame:
+    """Tokenizer-vocabulary coverage audit: for every document with ≥1
+    token, the occurrence count falling OUTSIDE the top-``top_k`` corpus
+    vocabulary (cf desc, term asc — deterministic ties) and the OOV rate
+    in exact integer micro units (n_oov·1e6 // n_tokens). The gate a
+    training pipeline runs before committing to a fixed vocab: docs with
+    high OOV under the candidate vocabulary are flagged, and Σ n_oov / Σ n
+    is the corpus-level coverage number.
+
+    Scale shape: pass 1 is the vocab-sized term rollup (per-batch
+    value_counts partials → ONE term-keyed groupby); the top-k selection is
+    a tiny driver sort of that table; the k-term vocabulary broadcasts via
+    ray.put; pass 2 is ONE shuffle-free corpus scan (Arrow tokenize,
+    vectorized pd.Index membership, reduceat per doc).
+
+    Columns: doc_id, n_tokens, n_oov, oov_micro (all int64)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class _Counts:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, _ = self.an.tokenize_arrow(texts)
+            if len(flat) == 0:
+                return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                     "cf": pd.Series([], dtype="int64")})
+            vc = flat.value_counts()
+            return pd.DataFrame({
+                "term": vc.field("values").to_pylist(),
+                "cf": vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+
+    cf = (
+        ds.map_batches(_Counts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True], kind="stable")
+        .head(top_k)
+    )
+    vocab_ref = ray.put(pd.Index(cf["term"].astype(object)))
+
+    class _Scan:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts)
+            doc_ids = batch["doc_id"].to_numpy()
+            m = dl > 0
+            dlp = dl[m].astype(np.int64)
+            oov = (self.vocab.get_indexer(
+                flat.to_numpy(zero_copy_only=False)) < 0).astype(np.int64)
+            offs = (np.concatenate(([0], np.cumsum(dlp)[:-1])) if dlp.size
+                    else np.empty(0, dtype=np.int64))
+            n_oov = (np.add.reduceat(oov, offs) if dlp.size
+                     else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({
+                "doc_id": doc_ids[m].astype(np.int64),
+                "n_tokens": dlp,
+                "n_oov": n_oov,
+                "oov_micro": n_oov * 1_000_000 // dlp,
+            })
+
+    out = (
+        ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

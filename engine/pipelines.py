@@ -2259,6 +2259,93 @@ def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: "int64" for c in out.columns})
 
 
+def ft_matrix_stats(sf_dir: str) -> pd.DataFrame:
+    """matrix_stats aggregation (ES `matrix_stats`): joint second-order
+    moments of TWO numeric doc fields — x = token count, y = n_chars —
+    over each query's FULL match set. ES reports float covariance and
+    correlation; this engine carries the SUFFICIENT STATISTICS exactly
+    (n, Σx, Σy, Σx², Σy², Σxy) plus the covariance and variance NUMERATORS
+    n·Σxy − Σx·Σy and n·Σx² − (Σx)² (denominator n² implied), so every
+    row is integer-auditable and the driver hash is stable; a client
+    derives cov/corr by two divisions and a sqrt.
+
+    Scale shape: match stream ⋈ keyed attr join (x computed by the shared
+    analyzer in the attr scan — one Arrow tokenize per doc, never shipped
+    text) → per-batch partial moment sums → ONE associative groupby
+    combine. Columns: qid, n_matches, sum_x, sum_y, sum_xx, sum_yy,
+    sum_xy, cov_num, var_x_num, var_y_num."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+    from engine.text.analyzer import Analyzer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+
+    class _Attrs:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            _, dl = self.an.tokenize_arrow(texts)
+            return pa.table({
+                "doc_key": batch["doc_id"],
+                "x": pa.array(dl.astype("int64")),
+                "y": batch["n_chars"],
+            })
+
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(_Attrs, batch_format="pyarrow", zero_copy_batch=True,
+                  concurrency=(1, 2))
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].astype("int64")
+        y = df["y"].astype("int64")
+        return df.assign(xx=x * x, yy=y * y, xy=x * y).groupby(
+            "qid", as_index=False
+        ).agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+              sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("qid")
+        .aggregate(Sum("n", alias_name="n_matches"),
+                   Sum("sx", alias_name="sum_x"),
+                   Sum("sy", alias_name="sum_y"),
+                   Sum("sxx", alias_name="sum_xx"),
+                   Sum("syy", alias_name="sum_yy"),
+                   Sum("sxy", alias_name="sum_xy"))
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    n = out["n_matches"].astype("int64")
+    sx = out["sum_x"].astype("int64")
+    sy = out["sum_y"].astype("int64")
+    out["cov_num"] = n * out["sum_xy"].astype("int64") - sx * sy
+    out["var_x_num"] = n * out["sum_xx"].astype("int64") - sx * sx
+    out["var_y_num"] = n * out["sum_yy"].astype("int64") - sy * sy
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def ev_max_bucket(sf_dir: str) -> pd.DataFrame:
     """max_bucket sibling-pipeline aggregation (ES `max_bucket`): for each
     event_type, the day bucket with the highest event count (earliest day

@@ -1431,3 +1431,37 @@ def test_tr_sort_by_field_docvalues(ray_session, tmp_path):
         DocValuesLookup(dv2, out_col="v")(
             pa.table({"doc_key": pa.array([np.int64(3)], pa.int64())})
         )
+
+
+def test_ft_matrix_stats_vs_pandas(ray_session):
+    """matrix_stats moments recomputed with pandas over brute-force match
+    sets; Cauchy–Schwarz (cov_num² ≤ var_x·var_y) and nonnegative variance
+    numerators hold for every query row."""
+    from engine.pipelines import DOC_QUERIES, ft_matrix_stats
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_matrix_stats(sf)
+    an = Analyzer()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).to_pandas()
+    toks = [an.tokens(t) for t in docs["text"]]
+    docs["x"] = [len(t) for t in toks]
+    tok_sets = [set(t) for t in toks]
+
+    for r in got.itertuples():
+        qterms = set(an.tokens(dict(DOC_QUERIES)[int(r.qid)]))
+        m = docs[[bool(qterms & s) for s in tok_sets]]
+        x = m["x"].astype("int64")
+        y = m["n_chars"].astype("int64")
+        n = len(m)
+        assert n == r.n_matches and n > 0
+        assert (int(x.sum()), int(y.sum())) == (r.sum_x, r.sum_y)
+        assert (int((x * x).sum()), int((y * y).sum()), int((x * y).sum())) == \
+            (r.sum_xx, r.sum_yy, r.sum_xy)
+        assert r.cov_num == n * r.sum_xy - r.sum_x * r.sum_y
+        assert r.var_x_num >= 0 and r.var_y_num >= 0
+        assert r.cov_num * r.cov_num <= r.var_x_num * r.var_y_num
+    # the no-match query contributes no row
+    assert 7 not in set(got["qid"])

@@ -2623,3 +2623,51 @@ def test_bpe_pairs_python_identity(ray_session, tmp_path):
     got2 = bpe_pairs(sd)
     assert [(p, int(n)) for p, n in zip(got2["pair"], got2["cnt"])] == \
         [("ab", 4), ("ba", 2), ("xy", 1)]
+
+
+def test_vocab_coverage_python_identity_and_tie_break(ray_session, tmp_path):
+    """OOV counts recomputed in pure Python; a synthetic corpus plants a
+    cf TIE across the top-k boundary so the (cf desc, term asc) selection
+    is what decides which term is in-vocab."""
+    from collections import Counter
+
+    from engine.ops.textstats import VOCAB_TOP_K, vocab_coverage
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+
+    def reference(docs, top_k):
+        c = Counter()
+        for txt in docs.values():
+            c.update(an.tokens(txt))
+        voc = {t for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]}
+        out = {}
+        for i, txt in docs.items():
+            toks = an.tokens(txt)
+            if not toks:
+                continue
+            oov = sum(t not in voc for t in toks)
+            out[i] = (len(toks), oov, oov * 1_000_000 // len(toks))
+        return out
+
+    sf = "/root/testdata/sf0.001"
+    got = vocab_coverage(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = reference(dict(zip(t["doc_id"].astype(int), t["text"])), VOCAB_TOP_K)
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        assert ref[int(r.doc_id)] == (int(r.n_tokens), int(r.n_oov), int(r.oov_micro))
+    assert (got["n_oov"] > 0).any() and (got["n_oov"] < got["n_tokens"]).any()
+
+    # synthetic: aa/bb/cc all cf=2 competing for k=2 slots -> cc is OOV
+    docs = {1: "aa bb cc", 2: "cc bb aa"}
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                             "text": pa.array([docs[i] for i in sorted(docs)])}),
+                   f"{sd}/documents.parquet")
+    got2 = vocab_coverage(sd, top_k=2)
+    ref2 = reference(docs, 2)
+    for r in got2.itertuples():
+        assert ref2[int(r.doc_id)] == (int(r.n_tokens), int(r.n_oov), int(r.oov_micro))
+    assert (got2["n_oov"] == 1).all()  # exactly cc is out-of-vocab
