@@ -1850,6 +1850,63 @@ SELECT qid, rank, vec_id, sim_micro FROM (
 """
 
 
+def _ann_pq_topk_sql() -> str:
+    """Oracle for the PQ/ADC path: because every quantity is int64-exact
+    (micro-int queries, integer centroids, squared-distance LUT, code-sum),
+    DuckDB replays the ENTIRE approximate ranking bit-for-bit from the
+    engine's persisted artifacts — codebooks.parquet (sub, code, j, c) and
+    the compressed codes/ table — not merely a restriction of brute force.
+    Pinned to the driver's correctness scale (sf0.01); OSError degrades
+    this entry to rows-only."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        raise OSError("driver correctness dataset absent")
+    from engine.ops.ann import PQ_M, pq_artifacts
+
+    adir = pq_artifacts(sf)
+    import json
+
+    with open(f"{adir}/meta.json") as f:
+        dsub = json.load(f)["dsub"]
+    unpivot = ", ".join(
+        f"{{'sub': {s}, 'code': code_{s}}}" for s in range(PQ_M))
+    return f"""
+WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT qid, s['j'] j, s['v'] v FROM (
+    SELECT qid, unnest(list_transform(range(1, len(embedding) + 1),
+           i -> {{'j': i - 1,
+                  'v': floor(embedding[i]::DOUBLE * 1e6 + 0.5)::BIGINT}})) s
+    FROM q)
+),
+cb AS (SELECT sub, code, j, c FROM read_parquet('{adir}/codebooks.parquet')),
+dist AS (
+  SELECT qid, cb.sub, cb.code,
+         sum((qc.v - cb.c) * (qc.v - cb.c))::BIGINT d
+  FROM cb JOIN qc ON qc.j = cb.sub * {dsub} + cb.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s['sub'] sub, s['code'] code FROM (
+    SELECT vec_id, unnest([{unpivot}]) s
+    FROM read_parquet('{adir}/codes/*.parquet'))
+),
+adc AS (
+  SELECT d.qid::BIGINT qid, c.vec_id::BIGINT vec_id, sum(d.d)::BIGINT adc
+  FROM codes c JOIN dist d ON d.sub = c.sub AND d.code = c.code
+  GROUP BY 1, 2
+)
+SELECT qid, rank, vec_id, adc FROM (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc ASC, vec_id ASC)::BIGINT rank
+  FROM adc WHERE vec_id <> qid
+) WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+
 def _lang_id_scored_sql() -> str:
     """ta_lang_id_scored oracle: trigram extraction, integer scoring, argmax
     and confidence recomputed by DuckDB against the SAME materialized profile
@@ -3219,6 +3276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN label classification: majority label of the 5 exact neighbours
         "ann_knn_classify": lambda sf: ann.knn_classify(sf, n_queries=50, k=5),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, n_queries=5, k=10),
+        # PQ compression + asymmetric-distance top-k over the codes table
+        "ann_pq_topk": lambda sf: ann.pq_adc_topk(sf, n_queries=5, k=10),
         # full probe (nprobe = n_lists) is EXACT: proves the persisted-IVF
         # read path (partition routing, per-list scan, merge) against the
         # same SQL oracle as brute force
@@ -3990,6 +4049,13 @@ FROM documents ORDER BY doc_id
     # partial oracle: pair logic replayed from the materialized signatures
     try:
         sql["dedup_simhash_pairs"] = _dedup_simhash_sql()
+    except OSError:
+        pass
+    # PQ/ADC is int64-exact end-to-end, so the oracle replays the WHOLE
+    # approximate path (codebook distances + code-table sum + top-k) from
+    # the persisted artifacts; degrades with the pinned dataset like IVF
+    try:
+        sql["ann_pq_topk"] = _ann_pq_topk_sql()
     except OSError:
         pass
     sql["dedup_span_coverage"] = _span_coverage_sql()

@@ -2671,3 +2671,86 @@ def test_vocab_coverage_python_identity_and_tie_break(ray_session, tmp_path):
     for r in got2.itertuples():
         assert ref2[int(r.doc_id)] == (int(r.n_tokens), int(r.n_oov), int(r.oov_micro))
     assert (got2["n_oov"] == 1).all()  # exactly cc is out-of-vocab
+
+
+def test_pq_adc_numpy_identity_and_compression(ray_session):
+    """pq_adc_topk vs a single-process numpy recomputation of the WHOLE
+    path — per-subspace hash-seeded Lloyd under the exact integer contract,
+    encode, ADC LUT ranking — plus the compression invariant (codes table
+    carries m ints per vector) and an exact-L2 recall floor."""
+    import hashlib
+    import os
+
+    from engine.ops.ann import PQ_ITERS, PQ_KS, PQ_M, pq_adc_topk, pq_artifacts
+
+    sf = "/root/testdata/sf0.001"
+    out = pq_adc_topk(sf, n_queries=5, k=10)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    X = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+        * 1e6 + 0.5
+    ).astype(np.int64)
+    dim = X.shape[1]
+    dsub = dim // PQ_M
+    hv = np.array(
+        [int(hashlib.md5(str(int(v)).encode()).hexdigest()[:16], 16)
+         for v in ids], dtype=np.uint64)
+    seed_ord = np.lexsort((ids, hv))[:PQ_KS]
+
+    def fit_sub(Xs):
+        C = Xs[seed_ord].copy()
+        live = np.arange(PQ_KS, dtype=np.int64)
+        for _ in range(PQ_ITERS):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            keep, newC = [], []
+            for pos in range(len(C)):
+                m = a == pos
+                if not m.any():
+                    continue
+                newC.append(np.floor(
+                    Xs[m].sum(axis=0).astype(np.float64) / m.sum()
+                ).astype(np.int64))
+                keep.append(live[pos])
+            C, live = np.stack(newC), np.asarray(keep, dtype=np.int64)
+        return C, live
+
+    subs = [X[:, s * dsub:(s + 1) * dsub] for s in range(PQ_M)]
+    fitted = [fit_sub(Xs) for Xs in subs]
+    codes = np.stack(
+        [lv[((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)]
+         for Xs, (C, lv) in zip(subs, fitted)], axis=1)
+
+    for qi in range(5):
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for s, (C, lv) in enumerate(fitted):
+            lut = {int(code): int(((X[qi, s * dsub:(s + 1) * dsub] - C[p]) ** 2).sum())
+                   for p, code in enumerate(lv)}
+            adc += np.array([lut[int(c)] for c in codes[:, s]], dtype=np.int64)
+        keep = ids != qi
+        order = np.lexsort((ids[keep], adc[keep]))[:10]
+        exp_ids = ids[keep][order]
+        exp_adc = adc[keep][order]
+        g = out[out["qid"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == exp_ids.tolist()
+        assert g["adc"].tolist() == exp_adc.tolist()
+
+    # compression invariant: the scanned artifact is vec_id + PQ_M codes
+    adir = pq_artifacts(sf)
+    code_schema = pq.read_schema(
+        os.path.join(adir, "codes",
+                     sorted(os.listdir(os.path.join(adir, "codes")))[0]))
+    assert set(code_schema.names) == {"vec_id", *{f"code_{s}" for s in range(PQ_M)}}
+
+    # recall floor vs exact L2 top-10 (PQ is approximate; the planted
+    # fixture clusters keep recall well above chance)
+    hits = 0
+    for qi in range(5):
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        keep = ids != qi
+        exact = set(ids[keep][np.lexsort((ids[keep], d[keep]))[:10]].tolist())
+        got = set(out[out["qid"] == qi]["vec_id"].tolist())
+        hits += len(exact & got)
+    assert hits >= 15, f"PQ recall@10 too low: {hits}/50"
