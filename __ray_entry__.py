@@ -2655,7 +2655,7 @@ ORDER BY conv_id
 """
 
 
-def _tr_bm25_oracle_sql(k: int, where: str = "") -> str:
+def _tr_bm25_oracle_sql(k: int, where: str = "", post_where: str = "") -> str:
     """Oracle for tr_bm25_oracle: BM25 recomputed by DuckDB over the SAME
     materialized transcript parquet the engine indexes (engine/pipelines.py::
     tr_oracle_corpus_path — called here so the file exists regardless of
@@ -2663,15 +2663,20 @@ def _tr_bm25_oracle_sql(k: int, where: str = "") -> str:
     precomputed doc_key column, which equals the engine's internal
     hash(conv_id)<<20|turn_idx key. ``where``: optional corpus predicate —
     tr_bm25_purged excludes the deleted convs here, so stats (n_docs/df/
-    avgdl) are the FILTERED corpus's, proving run_purge rewrote them."""
+    avgdl) are the FILTERED corpus's, proving run_purge rewrote them.
+    ``post_where``: optional FILTER-CONTEXT predicate (ES exists/term
+    filter) — applied to the scored set only, so stats stay corpus-wide."""
     from engine.oracle.bm25 import seeded_query_set
     from engine.pipelines import tr_oracle_corpus_path
 
     path = tr_oracle_corpus_path()
     rows = ", ".join(f"({qid}, '{t}')" for qid, t in seeded_query_set(20, seed=7))
     wsql = f"WHERE {where}" if where else ""
+    post = (f"JOIN src c ON c.doc_key = scored.doc_key WHERE {post_where}"
+            if post_where else "")
     return f"""
-WITH src AS (SELECT doc_key, doc_id, text FROM read_parquet('{path}') {wsql}),
+WITH src AS (SELECT doc_key, doc_id, text, role, tool
+             FROM read_parquet('{path}') {wsql}),
 tok AS (SELECT doc_key, unnest({_TOKS}) AS term FROM src),
 tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_key, count(*)::BIGINT dl FROM tok GROUP BY 1),
@@ -2701,9 +2706,11 @@ scored AS (
   FROM contrib GROUP BY 1, 2
 )
 SELECT r.qid, r.rank, src.doc_id, r.doc_key, r.score_micro FROM (
-  SELECT qid, doc_key, score_micro,
-         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
-  FROM scored
+  SELECT scored.qid, scored.doc_key, scored.score_micro,
+         row_number() OVER (PARTITION BY scored.qid
+                            ORDER BY scored.score_micro DESC,
+                                     scored.doc_key ASC)::BIGINT rank
+  FROM scored {post}
 ) r JOIN src ON src.doc_key = r.doc_key
 WHERE r.rank <= {k}
 ORDER BY r.qid, r.rank
@@ -3212,6 +3219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # run_purge; the oracle recomputes BM25 over the FILTERED corpus,
         # proving stats/df/docmap all moved (engine/index/deletes.py)
         "tr_bm25_purged": lambda sf: P.tr_bm25_purged(sf, k=10),
+        # ES exists query: filter-context gate on tool presence, stats
+        # stay corpus-wide (contrast with purged, where stats shrink)
+        "tr_exists": lambda sf: P.tr_exists(sf, k=10),
         # daily date-histogram of each query's full match set (match stream
         # → keyed ts join → partial day counts → one small groupby)
         "tr_match_histogram": P.tr_match_histogram,
@@ -3420,6 +3430,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_topk10": _tr_bm25_oracle_sql(10),
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "tr_bm25_purged": _tr_bm25_oracle_sql(10, where="conv_id NOT LIKE '%7'"),
+        "tr_exists": _tr_bm25_oracle_sql(10, post_where="c.tool <> ''"),
         "tr_text_identity": _tr_text_identity_sql(),
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),

@@ -3184,6 +3184,66 @@ def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def tr_exists(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """exists-query retrieval (ES `bool` with `filter: {exists: {field:
+    tool}}`): top-k BM25 among ONLY the turns that HAVE a tool value
+    (tool <> '' encodes field absence in the synth corpus). Filter
+    context: candidates are gated but scores and corpus stats stay
+    corpus-wide — the ES semantics, distinct from tr_bm25_purged where the
+    stats themselves shrink.
+
+    Scale shape (the ft_bm25_postfilter contract): filter selectivity is
+    unknown so no over-fetch factor is safe — the scored match set streams
+    out of ScoredMatchServer, a keyed hash join attaches (doc_id, tool)
+    from the corpus (corpus-sized at 100 TB: no broadcast), an Arrow
+    predicate gates, per-block partial top-k reduces each block before the
+    tiny driver merge. Columns: qid, rank, doc_id, doc_key, score_micro."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.oracle.bm25 import seeded_query_set
+    from engine.query.engine import ScoredMatchServer
+
+    path, idx = tr_oracle_index()
+    qds = rd.from_items(
+        [{"qid": q, "text": t} for q, t in seeded_query_set(20, seed=7)]
+    )
+    matches = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(path, columns=["doc_key", "doc_id", "tool"])
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def filter_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["tool"].astype(str) != ""]
+        df = df.sort_values(["qid", "score", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid").head(k)[["qid", "doc_id", "doc_key", "score"]]
+
+    out = (
+        joined.map_batches(filter_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score", "doc_key"], ascending=[True, False, True],
+                     kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out.rename(columns={"score": "score_micro"})
+    out = out[["qid", "rank", "doc_id", "doc_key", "score_micro"]]
+    return out.astype({"qid": "int64", "rank": "int64", "doc_key": "int64",
+                       "score_micro": "int64"})
+
+
 TR_INCR_DIR = f"/tmp/engine_oracle/tr_incr_c{TR_ORACLE_CONVS}_s{TR_ORACLE_SEED}_v1"
 TR_INCR_SPLIT = TR_ORACLE_CONVS // 2  # convs below this rank land in part 1
 

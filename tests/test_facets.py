@@ -1465,3 +1465,25 @@ def test_ft_matrix_stats_vs_pandas(ray_session):
         assert r.cov_num * r.cov_num <= r.var_x_num * r.var_y_num
     # the no-match query contributes no row
     assert 7 not in set(got["qid"])
+
+
+def test_tr_exists_filter_context_semantics(ray_session):
+    """exists-query gate: every hit carries a tool value; each hit's score
+    equals the UNfiltered ranking's score for the same (qid, doc_key) —
+    filter context must not touch stats — and the filter provably bites
+    (some unfiltered top-k doc is toolless and absent here)."""
+    from engine.pipelines import tr_bm25_oracle, tr_exists, tr_oracle_corpus_path
+
+    got = tr_exists("unused", k=10)
+    base = tr_bm25_oracle("unused", k=10)
+    corpus = pq.read_table(tr_oracle_corpus_path(),
+                           columns=["doc_key", "tool"]).to_pandas()
+    tool = corpus.set_index("doc_key")["tool"].astype(str)
+
+    assert len(got) and (tool.loc[got["doc_key"]] != "").all()
+    merged = got.merge(base, on=["qid", "doc_key"], suffixes=("_e", "_b"))
+    assert len(merged) and (merged["score_micro_e"] == merged["score_micro_b"]).all()
+    dropped = base.merge(got, on=["qid", "doc_key"], how="left", indicator=True,
+                         suffixes=("_b", "_e"))
+    only_base = dropped[dropped["_merge"] == "left_only"]
+    assert len(only_base) and (tool.loc[only_base["doc_key"]] == "").any()
