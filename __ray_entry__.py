@@ -2717,6 +2717,33 @@ ORDER BY r.qid, r.rank
 """
 
 
+def _tr_pref_pairs_sql() -> str:
+    """Preference pairs replayed by SQL over the materialized corpus: same
+    uniq-ratio micro score, same asymmetric tie-breaks (chosen doc_key asc,
+    rejected doc_key DESC — distinct turns even under a full tie)."""
+    from engine.pipelines import tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    return f"""
+WITH a AS (
+  SELECT conv_id, doc_key,
+         floor(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE
+               * 1e6 + 0.5)::BIGINT score
+  FROM (SELECT conv_id, doc_key, {_TOKS} toks
+        FROM read_parquet('{path}') WHERE role = 'assistant')
+),
+n AS (SELECT conv_id FROM a GROUP BY 1 HAVING count(*) >= 2),
+c AS (SELECT conv_id, doc_key chosen_key, score cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id
+                 ORDER BY score DESC, doc_key ASC) r FROM a) WHERE r = 1),
+rj AS (SELECT conv_id, doc_key rejected_key, score rs FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id
+                 ORDER BY score ASC, doc_key DESC) r FROM a) WHERE r = 1)
+SELECT conv_id, chosen_key, rejected_key, (cs - rs)::BIGINT margin_micro
+FROM c JOIN rj USING (conv_id) JOIN n USING (conv_id) ORDER BY conv_id
+"""
+
+
 def _tr_has_child_sql(k: int) -> str:
     """Oracle for tr_has_child: per-turn BM25 micro scores (union match
     semantics) summed per conversation, inner-hit count, ranked by
@@ -3222,6 +3249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES exists query: filter-context gate on tool presence, stats
         # stay corpus-wide (contrast with purged, where stats shrink)
         "tr_exists": lambda sf: P.tr_exists(sf, k=10),
+        # DPO preference pairs: best/worst assistant turn per conversation
+        "tr_pref_pairs": P.tr_pref_pairs,
         # daily date-histogram of each query's full match set (match stream
         # → keyed ts join → partial day counts → one small groupby)
         "tr_match_histogram": P.tr_match_histogram,
@@ -3320,6 +3349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer-vocab coverage audit: per-doc OOV rate vs the top-16
         # corpus vocabulary
         "ta_vocab_coverage": textstats.vocab_coverage,
+        # RAG sliding-window chunking with overlap + chunk fingerprints
+        "ta_chunks": textstats.chunk_windows,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3431,6 +3462,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_bm25_oracle": _tr_bm25_oracle_sql(10),
         "tr_bm25_purged": _tr_bm25_oracle_sql(10, where="conv_id NOT LIKE '%7'"),
         "tr_exists": _tr_bm25_oracle_sql(10, post_where="c.tool <> ''"),
+        "tr_pref_pairs": _tr_pref_pairs_sql(),
         "tr_text_identity": _tr_text_identity_sql(),
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),
@@ -3642,6 +3674,24 @@ SELECT pair, sum(cf)::BIGINT cnt FROM pr GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 20
 """,
         # OOV rate vs the deterministic top-16 vocab (cf desc, term asc)
+        # stride/window chunking; list_slice is 1-indexed and end-inclusive
+        "ta_chunks": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks)::BIGINT dl FROM t WHERE len(toks) > 0),
+ch AS (
+  SELECT doc_id, dl, toks,
+         unnest(range(0, 1 + (greatest(dl - {textstats.CHUNK_W}, 0)
+                              + {textstats.CHUNK_S} - 1) // {textstats.CHUNK_S}))::BIGINT chunk_idx
+  FROM d
+)
+SELECT doc_id::BIGINT doc_id, chunk_idx,
+       (chunk_idx * {textstats.CHUNK_S})::BIGINT chunk_start,
+       (least(chunk_idx * {textstats.CHUNK_S} + {textstats.CHUNK_W}, dl)
+        - chunk_idx * {textstats.CHUNK_S})::BIGINT n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * {textstats.CHUNK_S} + 1,
+           least(chunk_idx * {textstats.CHUNK_S} + {textstats.CHUNK_W}, dl)), ' ')) fp
+FROM ch ORDER BY doc_id, chunk_idx
+""",
         "ta_vocab_coverage": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),

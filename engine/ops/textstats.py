@@ -1908,3 +1908,77 @@ def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+CHUNK_W = 32   # chunk window (tokens)
+CHUNK_S = 24   # chunk stride (tokens) — 8-token overlap
+
+
+def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFrame:
+    """RAG-style sliding-window chunking: every document splits into
+    ``w``-token chunks at stride ``s`` (overlap w−s). Start offsets are
+    0, s, 2s, …, up to the smallest multiple of s that still reaches the
+    doc's end (so every token is covered and the last chunk may be short);
+    a doc with 1 ≤ dl ≤ w yields exactly one chunk. Each chunk carries the
+    corpus-identity fingerprint (md5 of its tokens joined by single
+    spaces — the dedup_exact canon, byte-equal to DuckDB's
+    md5(array_to_string(...))), so chunk-level dedup and retrieval
+    indexing can run downstream without re-tokenizing.
+
+    Scale shape: ONE shuffle-free map_batches pass — Arrow tokenize, numpy
+    start-offset vectorization; only the chunk fingerprint touches Python
+    strings (md5 is per-string by nature; chunks per doc ≈ dl/s).
+
+    Columns: doc_id, chunk_idx, chunk_start, n_tokens (int64), fp (str)."""
+    import ray.data as rd
+
+    if not (0 < s <= w):
+        raise ValueError("need 0 < stride <= window")
+
+    class _Chunk:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts)
+            toks = flat.to_numpy(zero_copy_only=False)
+            doc_ids = batch["doc_id"].to_numpy()
+            m = dl > 0
+            dlp = dl[m].astype(np.int64)
+            ids = doc_ids[m].astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(dlp)[:-1])) if dlp.size else \
+                np.empty(0, dtype=np.int64)
+            # chunks per doc: 1 + ceil(max(dl-w, 0) / s)
+            n_chunks = 1 + (np.maximum(dlp - w, 0) + s - 1) // s
+            rows_id = np.repeat(ids, n_chunks)
+            rows_dl = np.repeat(dlp, n_chunks)
+            rows_off = np.repeat(offs, n_chunks)
+            idx = np.concatenate([np.arange(c) for c in n_chunks]) if len(n_chunks) \
+                else np.empty(0, dtype=np.int64)
+            start = idx * s
+            end = np.minimum(start + w, rows_dl)
+            fps = []
+            for o, a, b in zip(rows_off, start, end):
+                fps.append(hashlib.md5(
+                    " ".join(toks[o + a:o + b]).encode()).hexdigest())
+            return pd.DataFrame({
+                "doc_id": rows_id, "chunk_idx": idx.astype(np.int64),
+                "chunk_start": start.astype(np.int64),
+                "n_tokens": (end - start).astype(np.int64),
+                "fp": pd.Series(fps, dtype=object),
+            })
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_Chunk, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    out["fp"] = out["fp"].astype(str)
+    return out.astype({"doc_id": "int64", "chunk_idx": "int64",
+                       "chunk_start": "int64", "n_tokens": "int64"})

@@ -3244,6 +3244,85 @@ def tr_exists(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+def tr_pref_pairs(sf_dir: str) -> pd.DataFrame:
+    """DPO/RLHF preference-pair assembly: for every conversation with ≥ 2
+    assistant turns, emit (chosen, rejected) = the assistant turns with the
+    highest / lowest deterministic quality score (unique-token-ratio in
+    exact micro units — the engine's shared quality signal). Ties: chosen
+    breaks (score desc, doc_key asc), rejected (score asc, doc_key DESC),
+    so a fully-tied conversation still yields two DISTINCT turns.
+
+    Scale shape: ONE corpus scan reduces each assistant turn to a slim
+    (conv_id, doc_key, score) row — text never shuffles — then ONE keyed
+    groupby(conv_id).map_groups picks the pair per group (conversations
+    are the natural partition key of every transcript pipeline here).
+
+    Columns: conv_id (str), chosen_key, rejected_key, margin_micro."""
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    path = tr_oracle_corpus_path()
+
+    class _Score:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.equal(batch["role"], "assistant"))
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts)
+            toks = flat.to_numpy(zero_copy_only=False)
+            seg = np.repeat(np.arange(len(dl)), dl)
+            uniq = np.zeros(len(dl), dtype=np.int64)
+            if toks.size:
+                u = pd.DataFrame({"seg": seg, "tok": toks}).groupby("seg")["tok"].nunique()
+                uniq[u.index.to_numpy()] = u.to_numpy()
+            score = np.floor(
+                uniq / np.maximum(dl, 1).astype(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            return pd.DataFrame({
+                "conv_id": batch["conv_id"].to_pylist(),
+                "doc_key": batch["doc_key"].to_numpy().astype(np.int64),
+                "score": score,
+            })
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "chosen_key": pd.Series([], dtype="int64"),
+                                 "rejected_key": pd.Series([], dtype="int64"),
+                                 "margin_micro": pd.Series([], dtype="int64")})
+        ch = g.sort_values(["score", "doc_key"], ascending=[False, True],
+                           kind="stable").iloc[0]
+        rj = g.sort_values(["score", "doc_key"], ascending=[True, False],
+                           kind="stable").iloc[0]
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "chosen_key": [int(ch["doc_key"])],
+            "rejected_key": [int(rj["doc_key"])],
+            "margin_micro": [int(ch["score"]) - int(rj["score"])],
+        })
+
+    out = (
+        rd.read_parquet(path, columns=["conv_id", "doc_key", "role", "text"])
+        .map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .groupby("conv_id")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["conv_id"] = out["conv_id"].astype(str)
+    return out.astype({"chosen_key": "int64", "rejected_key": "int64",
+                       "margin_micro": "int64"})
+
+
 TR_INCR_DIR = f"/tmp/engine_oracle/tr_incr_c{TR_ORACLE_CONVS}_s{TR_ORACLE_SEED}_v1"
 TR_INCR_SPLIT = TR_ORACLE_CONVS // 2  # convs below this rank land in part 1
 

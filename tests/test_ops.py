@@ -2754,3 +2754,79 @@ def test_pq_adc_numpy_identity_and_compression(ray_session):
         got = set(out[out["qid"] == qi]["vec_id"].tolist())
         hits += len(exact & got)
     assert hits >= 15, f"PQ recall@10 too low: {hits}/50"
+
+
+def test_chunk_windows_python_identity_and_coverage(ray_session, tmp_path):
+    """Chunk layout recomputed in pure Python; invariants: every token
+    position is covered, overlap = w−s between consecutive full chunks,
+    a short doc yields one chunk, an empty doc none."""
+    import hashlib as _hashlib
+
+    from engine.ops.textstats import CHUNK_S, CHUNK_W, chunk_windows
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+
+    def reference(docs, w, s):
+        rows = []
+        for i in sorted(docs):
+            toks = an.tokens(docs[i])
+            dl = len(toks)
+            if dl == 0:
+                continue
+            n = 1 + (max(dl - w, 0) + s - 1) // s
+            for ci in range(n):
+                st = ci * s
+                en = min(st + w, dl)
+                rows.append((i, ci, st, en - st,
+                             _hashlib.md5(" ".join(toks[st:en]).encode()).hexdigest()))
+        return rows
+
+    sf = "/root/testdata/sf0.001"
+    got = chunk_windows(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = reference(dict(zip(t["doc_id"].astype(int), t["text"])), CHUNK_W, CHUNK_S)
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+    # coverage: last chunk reaches the doc end
+    last = got.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id").tail(1)
+    dls = {i: len(an.tokens(txt)) for i, txt in zip(t["doc_id"].astype(int), t["text"])}
+    assert all(int(r.chunk_start) + int(r.n_tokens) == dls[int(r.doc_id)]
+               for r in last.itertuples())
+
+    docs = {1: "a b c", 2: ""}
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                             "text": pa.array([docs[i] for i in sorted(docs)])}),
+                   f"{sd}/documents.parquet")
+    g2 = chunk_windows(sd, w=2, s=1)
+    assert g2["doc_id"].tolist() == [1, 1] and g2["chunk_start"].tolist() == [0, 1]
+    assert g2["n_tokens"].tolist() == [2, 2]
+
+
+def test_tr_pref_pairs_semantics(ray_session):
+    """Preference pairs: chosen/rejected are DISTINCT assistant turns of the
+    same conversation, margins are nonnegative and equal the score gap of a
+    pandas recompute, and single-assistant-turn conversations are absent."""
+    from engine.pipelines import tr_oracle_corpus_path, tr_pref_pairs
+    from engine.text.analyzer import Analyzer
+
+    got = tr_pref_pairs("unused")
+    an = Analyzer()
+    t = pq.read_table(tr_oracle_corpus_path(),
+                      columns=["conv_id", "doc_key", "role", "text"]).to_pandas()
+    a = t[t["role"] == "assistant"].copy()
+    toks = [an.tokens(x) for x in a["text"]]
+    a["score"] = [int(np.floor(len(set(tk)) / max(len(tk), 1) * 1e6 + 0.5))
+                  for tk in toks]
+    counts = a.groupby("conv_id").size()
+    assert set(got["conv_id"]) == set(counts[counts >= 2].index)
+    assert (got["chosen_key"] != got["rejected_key"]).all()
+    assert (got["margin_micro"] >= 0).all()
+    by_conv = dict(tuple(a.groupby("conv_id")))
+    for r in got.itertuples():
+        g = by_conv[r.conv_id]
+        ch = g.sort_values(["score", "doc_key"], ascending=[False, True]).iloc[0]
+        rj = g.sort_values(["score", "doc_key"], ascending=[True, False]).iloc[0]
+        assert (int(ch["doc_key"]), int(rj["doc_key"])) == (r.chosen_key, r.rejected_key)
+        assert int(ch["score"]) - int(rj["score"]) == r.margin_micro
