@@ -968,3 +968,232 @@ def pq_adc_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10,
     cand["rank"] = cand.groupby("qid").cumcount() + 1
     out = cand[cand["rank"] <= k].reset_index(drop=True)
     return out[["qid", "rank", "vec_id", "adc"]].astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse routing + ADC over per-list codes
+# ---------------------------------------------------------------------------
+
+
+def _load_codebooks(path: str) -> dict[tuple[int, int], np.ndarray]:
+    """codebooks.parquet → {(sub, code): int64 centroid subvector}."""
+    import pyarrow.parquet as pqt
+
+    cb = pqt.read_table(path).to_pandas()
+    return {(int(s), int(c)): g.sort_values("j")["c"].to_numpy(np.int64)
+            for (s, c), g in cb.groupby(["sub", "code"])}
+
+
+def _adc_lut(Q: np.ndarray, cents: dict[tuple[int, int], np.ndarray],
+             m: int, ks: int, dsub: int) -> np.ndarray:
+    """(nq, m, ks) exact int64 squared-distance lookup tables. Dead codes
+    stay at int64 max (no vector carries one, so they can never win)."""
+    dt = np.full((len(Q), m, ks), np.iinfo(np.int64).max, dtype=np.int64)
+    for (s, c), cent in cents.items():
+        diff = Q[:, s * dsub:(s + 1) * dsub] - cent[None, :]
+        dt[:, s, c] = (diff * diff).sum(axis=1)
+    return dt
+
+
+def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
+                    m: int = PQ_M, ks: int = PQ_KS,
+                    iters: int = PQ_ITERS) -> str:
+    """Build-once persisted IVF-PQ artifact — the production 100-TB ANN
+    layout (coarse inverted lists whose ENTRIES are PQ codes, Jégou 2011):
+
+      dir/centroids.npy        coarse router (n_lists, dim), L2-normalized
+      dir/codebooks.parquet    (sub, code, j, c) int64 PQ codebooks
+      dir/lists/list_id=<c>/   hive partitions of (vec_id, code_0..m, lid)
+      dir/meta.json
+
+    ONE corpus pass assigns the coarse list AND encodes the PQ codes; a
+    query then reads only its probed partitions and scans m ints per
+    candidate — neither raw vectors nor unprobed lists ever move. Same
+    idempotence/lock/fingerprint rules as the IVF and PQ caches."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import ray
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ivfpq|{n_lists}|{seed}|{m}|{ks}|{iters}".encode()
+    ).hexdigest()[:12]
+    adir = f"/tmp/engine_indexes/ivfpq-{tag}"
+    meta_path = os.path.join(adir, "meta.json")
+    src_fp = _source_fingerprint(sf_dir)
+
+    def _cached():
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        ok = (meta.get("n_lists") == n_lists and meta.get("seed") == seed
+              and meta.get("m") == m and meta.get("ks") == ks
+              and meta.get("iters") == iters
+              and meta.get("source_fingerprint") == src_fp)
+        return meta if ok else None
+
+    if _cached() is not None:
+        return adir
+    from engine.pipelines import _index_lock
+
+    with _index_lock(adir):
+        if _cached() is not None:
+            return adir
+        ds = _read_embeddings(sf_dir)
+        centroids = _train_centroids(ds, n_lists, seed)
+        Cs, lives, dsub = _pq_fit(ds, m, ks, iters)
+        os.makedirs(adir, exist_ok=True)
+        np.save(os.path.join(adir, "centroids.npy"), centroids)
+        import pyarrow.parquet as pqt
+
+        rows = {"sub": [], "code": [], "j": [], "c": []}
+        for s in range(m):
+            for pos in range(len(Cs[s])):
+                for j in range(dsub):
+                    rows["sub"].append(s)
+                    rows["code"].append(int(lives[s][pos]))
+                    rows["j"].append(j)
+                    rows["c"].append(int(Cs[s][pos, j]))
+        tmp = os.path.join(adir, f"codebooks.parquet.tmp-{os.getpid()}")
+        pqt.write_table(
+            pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}), tmp)
+        os.replace(tmp, os.path.join(adir, "codebooks.parquet"))
+
+        lists_dir = os.path.join(adir, "lists")
+        if os.path.isdir(lists_dir):
+            shutil.rmtree(lists_dir)
+        ref = ray.put((centroids, Cs, lives))
+
+        def assign_encode(batch: pa.Table, ref=ref) -> pa.Table:
+            cents, Cb, lv = ray.get(ref)
+            ids, X = _emb_micro(batch)
+            _ids2, mat = _to_matrix(batch)
+            lid = (_normalize(mat) @ cents.T).argmax(axis=1).astype(np.int32)
+            cols = {"vec_id": pa.array(ids, pa.int64())}
+            for s, Cm in enumerate(Cb):
+                a, _ = _km_assign(X[:, s * dsub:(s + 1) * dsub], Cm)
+                cols[f"code_{s}"] = pa.array(lv[s][a], pa.int64())
+            cols["list_id"] = pa.array(lid, pa.int32())
+            cols["lid"] = pa.array(lid, pa.int32())
+            return pa.table(cols)
+
+        ds.map_batches(assign_encode, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(
+            lists_dir, partition_cols=["list_id"])
+        meta = {"n_lists": n_lists, "seed": seed, "m": m, "ks": ks,
+                "iters": iters, "dim": dsub * m, "dsub": dsub,
+                "source_fingerprint": src_fp}
+        tmpm = f"{meta_path}.tmp-{os.getpid()}"
+        with open(tmpm, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmpm, meta_path)
+    return adir
+
+
+def ivfpq_probe_artifacts(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
+                          n_lists: int = 16, seed: int = 13) -> tuple[str, str]:
+    """(artifact_dir, probe_parquet_path) — the IVF-PQ sibling of
+    ivf_probe_artifacts: materializes the (qid, lid) probe table with the
+    same routing expression ivfpq_topk uses, keyed by source fingerprint."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pqt
+
+    adir = ivfpq_artifacts(sf_dir, n_lists=n_lists, seed=seed)
+    with open(os.path.join(adir, "meta.json")) as f:
+        fp = json.load(f)["source_fingerprint"]
+    probe_path = os.path.join(adir, f"probe_q{n_queries}_np{nprobe}_{fp}.parquet")
+    if not os.path.exists(probe_path):
+        t = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        t = t.filter(pc.less(t["vec_id"], n_queries)).sort_by("vec_id")
+        qm = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]))
+        centroids = np.load(os.path.join(adir, "centroids.npy"))
+        probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+        qids = t["vec_id"].to_numpy().astype(np.int64)
+        rows = pa.table({
+            "qid": pa.array(np.repeat(qids, probe.shape[1]), type=pa.int64()),
+            "lid": pa.array(probe.ravel().astype(np.int64), type=pa.int64()),
+        })
+        tmp = f"{probe_path}.tmp-{os.getpid()}"
+        pqt.write_table(rows, tmp)
+        os.replace(tmp, probe_path)
+    return adir, probe_path
+
+
+def ivfpq_topk(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
+               k: int = 10, n_lists: int = 16, seed: int = 13) -> pd.DataFrame:
+    """IVF-PQ query: coarse-route each query to its nprobe nearest lists,
+    then ADC-rank ONLY those lists' PQ codes — the scan reads the probed
+    hive partitions (probe_paths seam, pruning assertable in tests) and
+    touches m ints per candidate, never a raw vector. Exact int64 ADC,
+    ties (adc asc, vec_id asc), self excluded.
+    Columns: qid, rank, vec_id, adc (int64)."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pqt
+    import ray
+    import ray.data as rd
+
+    adir, _probe_path = ivfpq_probe_artifacts(
+        sf_dir, n_queries=n_queries, nprobe=nprobe, n_lists=n_lists, seed=seed)
+    with open(os.path.join(adir, "meta.json")) as f:
+        meta = json.load(f)
+    m, ks, dsub = int(meta["m"]), int(meta["ks"]), int(meta["dsub"])
+
+    qt = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    q_ids, Q = _emb_micro(qt)
+    _ids2, qmat = _to_matrix(qt)
+    centroids = np.load(os.path.join(adir, "centroids.npy"))
+    probe = np.argsort(-(_normalize(qmat) @ centroids.T), axis=1)[:, :nprobe]
+
+    cents = _load_codebooks(os.path.join(adir, "codebooks.parquet"))
+    lut = _adc_lut(Q, cents, m, ks, dsub)
+    ref = ray.put((q_ids, lut, probe))
+
+    paths = probe_paths(adir, probe.ravel())
+    files = [os.path.join(p, f) for p in paths
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not files:
+        return pd.DataFrame(columns=["qid", "rank", "vec_id", "adc"]).astype("int64")
+
+    def scan(batch: pa.Table, ref=ref) -> pd.DataFrame:
+        qids, luts, probes = ray.get(ref)
+        vid = batch["vec_id"].to_numpy().astype(np.int64)
+        lids = batch["lid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack([batch[f"code_{s}"].to_numpy().astype(np.int64)
+                          for s in range(m)], axis=1)
+        out = []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(lids, probes[qi]) & (vid != qid)
+            if not mask.any():
+                continue
+            adc = np.zeros(int(mask.sum()), dtype=np.int64)
+            for s in range(m):
+                adc += luts[qi, s][codes[mask, s]]
+            v = vid[mask]
+            if v.size > k:
+                part = np.lexsort((v, adc))[:k]
+                adc, v = adc[part], v[part]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": v, "adc": adc}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "adc": pd.Series([], dtype="int64")})
+
+    cand = rd.read_parquet(files).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["qid", "adc", "vec_id"], kind="stable")
+    cand["rank"] = cand.groupby("qid").cumcount() + 1
+    out = cand[cand["rank"] <= k].reset_index(drop=True)
+    return out[["qid", "rank", "vec_id", "adc"]].astype("int64")

@@ -2830,3 +2830,59 @@ def test_tr_pref_pairs_semantics(ray_session):
         rj = g.sort_values(["score", "doc_key"], ascending=[True, False]).iloc[0]
         assert (int(ch["doc_key"]), int(rj["doc_key"])) == (r.chosen_key, r.rejected_key)
         assert int(ch["score"]) - int(rj["score"]) == r.margin_micro
+
+
+def test_ivfpq_artifact_replay_and_pruning(ray_session):
+    """IVF-PQ: (1) the query's ranking is reproduced from the persisted
+    artifacts alone — probe table restricts candidates, codebooks + per-list
+    codes give the exact int64 ADC; (2) every hit lives in a probed list
+    (partition pruning); (3) the artifact layout carries codes, never raw
+    embeddings."""
+    import json
+    import os
+
+    from engine.ops.ann import (PQ_M, _adc_lut, _emb_micro, _load_codebooks,
+                                ivfpq_probe_artifacts, ivfpq_topk, probe_paths)
+
+    sf = "/root/testdata/sf0.001"
+    got = ivfpq_topk(sf, n_queries=5, nprobe=4, k=10)
+    adir, probe_path = ivfpq_probe_artifacts(sf, n_queries=5, nprobe=4)
+    with open(f"{adir}/meta.json") as f:
+        meta = json.load(f)
+    m, ks, dsub = meta["m"], meta["ks"], meta["dsub"]
+
+    # layout: hive code partitions, no embedding column
+    parts = [d for d in os.listdir(f"{adir}/lists") if d.startswith("list_id=")]
+    assert 1 < len(parts) <= meta["n_lists"]
+    f0 = next(os.path.join(f"{adir}/lists", parts[0], f)
+              for f in os.listdir(os.path.join(f"{adir}/lists", parts[0]))
+              if f.endswith(".parquet"))
+    names = set(pq.read_schema(f0).names)
+    assert "embedding" not in names
+    assert {f"code_{s}" for s in range(PQ_M)} <= names
+
+    # replay from artifacts
+    probe = pq.read_table(probe_path).to_pandas()
+    lists = pd.concat([
+        pq.read_table(os.path.join(f"{adir}/lists", d, f)).to_pandas()
+        for d in parts for f in os.listdir(os.path.join(f"{adir}/lists", d))
+        if f.endswith(".parquet")], ignore_index=True)
+    qt = pq.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).sort_by("vec_id")
+    qt = qt.slice(0, 5)
+    q_ids, Q = _emb_micro(qt)
+    lut = _adc_lut(Q, _load_codebooks(f"{adir}/codebooks.parquet"), m, ks, dsub)
+    for qi, qid in enumerate(q_ids):
+        lids = set(probe[probe["qid"] == qid]["lid"])
+        cand = lists[lists["lid"].isin(lids) & (lists["vec_id"] != qid)]
+        adc = np.zeros(len(cand), dtype=np.int64)
+        for s in range(m):
+            adc += lut[qi, s][cand[f"code_{s}"].to_numpy()]
+        v = cand["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((v, adc))[:10]
+        g = got[got["qid"] == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == v[order].tolist()
+        assert g["adc"].tolist() == adc[order].tolist()
+        # pruning: hits ⊆ probed lists' members
+        assert set(g["vec_id"]).issubset(set(cand["vec_id"])), qid
+        assert len(probe_paths(adir, sorted(lids))) <= 4 < len(parts)
