@@ -3444,6 +3444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": relational.top_orders,
         "ev_hourly": relational.events_hourly,
         # heavy hitters: top users by micro-exact total value
+        # as-of join (SURVEY J4): last-click attribution within 24 h
+        "ev_attribution": relational.events_attribution,
         "ev_heavy_hitters": lambda sf: relational.events_heavy_hitters(sf, k=25),
         "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
         # pipeline aggs over the daily histogram: derivative, cumulative
@@ -3492,6 +3494,30 @@ def oracle_sql() -> dict[str, str]:
         "ft_autocomplete": _autocomplete_sql(),
         "ft_did_you_mean": _did_you_mean_sql(),
         "ev_max_bucket": _ev_max_bucket_sql(),
+        # as-of semantics via a click-grain window: a purchase's grp counts
+        # clicks at-or-before it in strict (ts_us, event_id) order; the
+        # grp-th click IS its most recent prior click
+        "ev_attribution": """
+WITH u AS (
+  SELECT user_id, event_id, epoch_us(ts)::BIGINT ts_us,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END ic
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+s AS (
+  SELECT *, sum(ic) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT grp
+  FROM u
+),
+clicks AS (SELECT user_id, grp, event_id click_id, ts_us click_ts
+           FROM s WHERE ic = 1),
+buys AS (SELECT user_id, event_id purchase_id, ts_us, grp
+         FROM s WHERE ic = 0 AND grp > 0)
+SELECT b.purchase_id::BIGINT purchase_id, b.user_id::BIGINT user_id,
+       c.click_id::BIGINT click_id, (b.ts_us - c.click_ts)::BIGINT gap_us
+FROM buys b JOIN clicks c ON c.user_id = b.user_id AND c.grp = b.grp
+WHERE b.ts_us - c.click_ts <= 86400000000
+ORDER BY b.purchase_id
+""",
         "ft_bm25_proximity": _bm25_proximity_sql(10),
         "ft_significant_terms": _significant_terms_sql(5),
         "ft_match_percentiles": _match_percentiles_sql(),

@@ -623,3 +623,68 @@ def events_anomaly(sf_dir: str, k: int = 3):
     res["event_type"] = res["event_type"].astype(str)
     return res.astype({"hour_epoch": "int64", "n_events": "int64",
                        "is_anomaly": "int64"})
+
+
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # last-click attribution window
+
+
+def events_attribution(sf_dir: str) -> pd.DataFrame:
+    """As-of join (last-click attribution): every `purchase` event joins the
+    same user's most recent PRIOR `click` — "prior" in strict (ts, event_id)
+    order (event_id breaks timestamp ties deterministically) — kept only
+    when the gap is within 24 h. The inequality-join class Ray Data lacks
+    natively (SURVEY J4), expressed as sort-within-group + forward-fill.
+
+    Scale shape: the corpus reduces to slim (user_id, event_id, ts_us,
+    is_click) rows in ONE column-pruned scan; ONE keyed
+    groupby(user_id).map_groups sorts each user's stream and forward-fills
+    the last click index (np vectorized) — users are the natural partition
+    key, no cross-user state exists, and group size is user-activity-bounded.
+
+    Columns: purchase_id, user_id, click_id, gap_us (all int64)."""
+    import ray.data as rd
+
+    def slim(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "is_click": pc.cast(pc.equal(t["event_type"], "click"), pa.int8()),
+        })
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable").reset_index(drop=True)
+        is_click = g["is_click"].to_numpy() == 1
+        idx = np.arange(len(g))
+        last_click = np.where(is_click, idx, -1)
+        # forward-fill the most recent click STRICTLY before each row
+        last_click = np.maximum.accumulate(last_click)
+        prior = np.concatenate(([-1], last_click[:-1]))
+        pm = (~is_click) & (prior >= 0)
+        if not pm.any():
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ("purchase_id", "user_id", "click_id", "gap_us")})
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        gap = ts[pm] - ts[prior[pm]]
+        keep = gap <= ATTR_WINDOW_US
+        return pd.DataFrame({
+            "purchase_id": eid[pm][keep],
+            "user_id": g["user_id"].to_numpy(np.int64)[pm][keep],
+            "click_id": eid[prior[pm]][keep],
+            "gap_us": gap[keep],
+        })
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

@@ -2886,3 +2886,37 @@ def test_ivfpq_artifact_replay_and_pruning(ray_session):
         # pruning: hits ⊆ probed lists' members
         assert set(g["vec_id"]).issubset(set(cand["vec_id"])), qid
         assert len(probe_paths(adir, sorted(lids))) <= 4 < len(parts)
+
+
+def test_events_attribution_asof_semantics(ray_session):
+    """As-of join vs a pure-Python per-user walk: each purchase attributes
+    to the most recent prior click in strict (ts, event_id) order, gaps are
+    within the window, and the window provably bites (some purchase with a
+    prior click is dropped only because the click is stale)."""
+    from engine.ops.relational import ATTR_WINDOW_US, events_attribution
+
+    sf = "/root/testdata/sf0.001"
+    got = events_attribution(sf)
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].copy()
+    ev["ts_us"] = ev["ts"].astype("int64")
+
+    expected, stale = {}, 0
+    for _u, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        last = None
+        for r in g.itertuples():
+            if r.event_type == "click":
+                last = r
+            elif last is not None:
+                gap = r.ts_us - last.ts_us
+                if gap <= ATTR_WINDOW_US:
+                    expected[int(r.event_id)] = (int(last.event_id), int(gap))
+                else:
+                    stale += 1
+    assert len(got) == len(expected)
+    for r in got.itertuples():
+        assert expected[int(r.purchase_id)] == (int(r.click_id), int(r.gap_us))
+    assert (got["gap_us"] >= 0).all() and (got["gap_us"] <= ATTR_WINDOW_US).all()
+    assert stale > 0, "fixture never exercises the window cutoff"
