@@ -3411,6 +3411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_vocab_coverage": textstats.vocab_coverage,
         # RAG sliding-window chunking with overlap + chunk fingerprints
         "ta_chunks": textstats.chunk_windows,
+        # count-min sketch: bounded-memory frequency estimates + truth audit
+        "ta_cms": textstats.cms_estimates,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3760,6 +3762,28 @@ SELECT pair, sum(cf)::BIGINT cnt FROM pr GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 20
 """,
         # OOV rate vs the deterministic top-16 vocab (cf desc, term asc)
+        # CMS counters + min-estimate replayed entirely in SQL (same md5
+        # row-hash); top-k slice keyed by the same (cf desc, term asc) rule
+        "ta_cms": f"""
+WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),
+h AS (
+  SELECT term, cf, r.range::BIGINT r,
+         (('0x' || substr(md5(r.range::VARCHAR || ':' || term), 1, 8))::UBIGINT
+          % {textstats.CMS_WIDTH})::BIGINT w
+  FROM cf CROSS JOIN range({textstats.CMS_DEPTH}) r
+),
+counters AS (SELECT r, w, sum(cf)::BIGINT cnt FROM h GROUP BY 1, 2),
+top AS (
+  SELECT term, cf FROM (
+    SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term ASC) rn FROM cf
+  ) WHERE rn <= 16
+)
+SELECT t.term, t.cf cf_true, min(c.cnt)::BIGINT cf_est
+FROM top t JOIN h ON h.term = t.term
+JOIN counters c ON c.r = h.r AND c.w = h.w
+GROUP BY 1, 2 ORDER BY t.term
+""",
         # stride/window chunking; list_slice is 1-indexed and end-inclusive
         "ta_chunks": f"""
 WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),

@@ -1982,3 +1982,100 @@ def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFra
     out["fp"] = out["fp"].astype(str)
     return out.astype({"doc_id": "int64", "chunk_idx": "int64",
                        "chunk_start": "int64", "n_tokens": "int64"})
+
+
+CMS_DEPTH = 4    # count-min sketch rows (independent hashes)
+CMS_WIDTH = 64   # counters per row
+
+
+def cms_estimates(sf_dir: str, top_k: int = 16) -> pd.DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over token
+    occurrences, with the estimate-vs-truth audit for the top-``top_k``
+    terms: counter C[r][w] sums the cf of every term whose row-r hash
+    lands in column w (hash_r(term) = first-8-hex of md5("r:term") mod
+    width — the engine's SQL-replayable hash idiom), and a term's estimate
+    is min_r C[r][hash_r(term)] — always ≥ the true count (one-sided
+    error, the CMS guarantee).
+
+    Scale shape: the sketch is O(depth × width) REGARDLESS of corpus or
+    vocab size — per-batch partials emit ≤ D·W slim rows each (value_counts
+    then hash-bucket bincount), ONE tiny groupby combines them, and the
+    audit joins the standard vocab rollup only for the fixed top-k slice.
+    This is the bounded-memory sibling of the exact heavy-hitter rollup
+    (X22): at 100 TB the exact rollup pays a vocab-sized shuffle, the
+    sketch never grows.
+
+    Columns: term, cf_true, cf_est (int64; cf_est ≥ cf_true)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _hash(r: int, term: str) -> int:
+        return int(hashlib.md5(f"{r}:{term}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+
+    class _Counts:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+            self._memo: dict[str, np.ndarray] = {}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, _ = self.an.tokenize_arrow(texts)
+            if len(flat) == 0:
+                return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                     "cf": pd.Series([], dtype="int64")})
+            vc = flat.value_counts()
+            return pd.DataFrame({
+                "term": vc.field("values").to_pylist(),
+                "cf": vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+
+    # vocab rollup once; the sketch and the truth audit both derive from it
+    cf = (
+        ds.map_batches(_Counts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+    )
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        terms = df["term"].astype(str).tolist()
+        cfs = df["cf"].to_numpy(np.int64)
+        rows = []
+        for r in range(CMS_DEPTH):
+            w = np.fromiter((_hash(r, t) for t in terms),
+                            count=len(terms), dtype=np.int64)
+            cnt = np.zeros(CMS_WIDTH, dtype=np.int64)
+            np.add.at(cnt, w, cfs)
+            nz = np.nonzero(cnt)[0]
+            rows.append(pd.DataFrame({"r": r, "w": nz, "cnt": cnt[nz]}))
+        return pd.concat(rows, ignore_index=True)
+
+    counters = (
+        cf.map_batches(sketch_partial, batch_format="pandas")
+        .groupby(["r", "w"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    C = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    C[counters["r"].to_numpy(), counters["w"].to_numpy()] = counters["cnt"].to_numpy()
+
+    top = (
+        cf.to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True], kind="stable")
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    est = [int(min(C[r, _hash(r, t)] for r in range(CMS_DEPTH)))
+           for t in top["term"].astype(str)]
+    out = pd.DataFrame({"term": top["term"].astype(str),
+                        "cf_true": top["cf"].astype("int64"),
+                        "cf_est": pd.Series(est, dtype="int64")})
+    return out.sort_values("term").reset_index(drop=True)

@@ -2920,3 +2920,48 @@ def test_events_attribution_asof_semantics(ray_session):
         assert expected[int(r.purchase_id)] == (int(r.click_id), int(r.gap_us))
     assert (got["gap_us"] >= 0).all() and (got["gap_us"] <= ATTR_WINDOW_US).all()
     assert stale > 0, "fixture never exercises the window cutoff"
+
+
+def test_cms_one_sided_error_and_python_identity(ray_session, tmp_path):
+    """CMS estimates recomputed in pure Python (same md5 row-hashes); the
+    one-sided guarantee est ≥ true holds for every audited term, and a
+    synthetic collision corpus shows a strict over-estimate."""
+    import hashlib as _h
+    from collections import Counter
+
+    from engine.ops.textstats import CMS_DEPTH, CMS_WIDTH, cms_estimates
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+
+    def hsh(r, t):
+        return int(_h.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+
+    def reference(texts, top_k=16):
+        cf = Counter()
+        for txt in texts:
+            cf.update(an.tokens(txt))
+        C = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for t, c in cf.items():
+            for r in range(CMS_DEPTH):
+                C[r, hsh(r, t)] += c
+        top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        return sorted((t, c, int(min(C[r, hsh(r, t)] for r in range(CMS_DEPTH))))
+                      for t, c in top)
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_estimates(sf)
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    assert [tuple(r) for r in got.itertuples(index=False)] == reference(texts)
+    assert (got["cf_est"] >= got["cf_true"]).all()
+
+    # synthetic: enough distinct rare terms force collisions with the heavy
+    # hitter in every row -> its estimate strictly exceeds its true count
+    texts2 = ["hot " * 50] + [f"t{i}a t{i}b t{i}c" for i in range(300)]
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts2)), pa.int64()),
+                             "text": pa.array(texts2)}), f"{sd}/documents.parquet")
+    g2 = cms_estimates(sd, top_k=1)
+    assert g2["term"].tolist() == ["hot"]
+    assert int(g2["cf_est"][0]) > int(g2["cf_true"][0])
