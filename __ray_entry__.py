@@ -1065,6 +1065,32 @@ FROM s ORDER BY qid
 """
 
 
+def _percentile_ranks_sql() -> str:
+    """percentile_ranks oracle: per query and fixed threshold, the ≤-share
+    of n_chars over the OR-match gate in exact micro units."""
+    from engine.pipelines import PRANK_VALUES
+
+    vals = ", ".join(f"({v})" for v in PRANK_VALUES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qterm qt JOIN tf ON tf.term = qt.term),
+v(thr) AS (VALUES {vals})
+SELECT qid, thr::BIGINT thr,
+       sum(CASE WHEN d.n_chars <= thr THEN 1 ELSE 0 END)::BIGINT n_le,
+       count(*)::BIGINT n_matches,
+       (sum(CASE WHEN d.n_chars <= thr THEN 1 ELSE 0 END) * 1000000
+        // count(*))::BIGINT rank_micro
+FROM m JOIN documents d ON d.doc_id = m.doc_id CROSS JOIN v
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _ev_max_bucket_sql() -> str:
     return """
 WITH daily AS (
@@ -3239,6 +3265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_extended_stats": P.ft_extended_stats,
         # ES matrix_stats: exact joint moments of (token count, n_chars)
         "ft_matrix_stats": P.ft_matrix_stats,
+        # ES percentile_ranks: inverse percentiles, exact micro shares
+        "ft_percentile_ranks": P.ft_percentile_ranks,
         # edge-ngram autocomplete: prefix df as exact term lookups
         "ft_autocomplete": P.ft_autocomplete,
         # phrase suggester: per-token argmax-df edit-1 correction
@@ -3448,6 +3476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heavy hitters: top users by micro-exact total value
         # as-of join (SURVEY J4): last-click attribution within 24 h
         "ev_attribution": relational.events_attribution,
+        # HLL register sketch: mergeable bounded-memory count-distinct state
+        "ev_hll_registers": relational.events_hll_registers,
         "ev_heavy_hitters": lambda sf: relational.events_heavy_hitters(sf, k=25),
         "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
         # pipeline aggs over the daily histogram: derivative, cumulative
@@ -3466,7 +3496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from engine.ops import textstats
+    from engine.ops import relational, textstats
 
     sql = {
         "ft_bm25_topk10": _bm25_sql(10),
@@ -3493,12 +3523,34 @@ def oracle_sql() -> dict[str, str]:
         "ft_diversified_sampler": _diversified_sampler_sql(),
         "ft_extended_stats": _extended_stats_sql(),
         "ft_matrix_stats": _matrix_stats_sql(),
+        "ft_percentile_ranks": _percentile_ranks_sql(),
         "ft_autocomplete": _autocomplete_sql(),
         "ft_did_you_mean": _did_you_mean_sql(),
         "ev_max_bucket": _ev_max_bucket_sql(),
         # as-of semantics via a click-grain window: a purchase's grp counts
         # clicks at-or-before it in strict (ts_us, event_id) order; the
         # grp-th click IS its most recent prior click
+                # HLL registers replayed in SQL: same md5 hash, register = low 6
+        # bits, rank = 58-bit leading zeros + 1 via length(bin(suffix))
+        "ev_hll_registers": f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT hv
+  FROM events
+),
+r AS (SELECT (hv % {relational.HLL_M})::BIGINT reg,
+             (hv >> {relational.HLL_P})::UBIGINT suffix FROM h),
+rk AS (
+  SELECT reg,
+         CASE WHEN suffix = 0 THEN {relational.HLL_SUFFIX_BITS} + 1
+              ELSE {relational.HLL_SUFFIX_BITS} - length(bin(suffix)) + 1
+         END::BIGINT rank
+  FROM r
+),
+regs AS (SELECT range::BIGINT reg FROM range({relational.HLL_M}))
+SELECT regs.reg, coalesce(max(rk.rank), 0)::BIGINT max_rank
+FROM regs LEFT JOIN rk ON rk.reg = regs.reg
+GROUP BY 1 ORDER BY 1
+""",
         "ev_attribution": """
 WITH u AS (
   SELECT user_id, event_id, epoch_us(ts)::BIGINT ts_us,

@@ -688,3 +688,57 @@ def events_attribution(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+HLL_P = 6                 # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_BITS = 64 - HLL_P
+
+
+def events_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over distinct
+    user_ids: hash = first-16-hex of md5(user_id) (the engine's
+    SQL-replayable 64-bit idiom), register = hash mod 64, rank = leading
+    zeros of the remaining 58 bits + 1 (suffix 0 ⇒ 59), register value =
+    MAX rank. The registers ARE the sketch state — mergeable across
+    partitions by elementwise max, which is exactly what the groupby(Max)
+    combine does — and the bounded-memory sibling of the exact
+    count-distinct (X24): 64 small ints at ANY corpus size. The float
+    harmonic-mean ESTIMATE stays out of the hashed contract (pytest audits
+    its relative error; registers are the exact artifact).
+
+    Columns: reg (0..63), max_rank (0 = register never hit)."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        uids = np.unique(batch["user_id"].to_numpy())
+        hv = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:16], 16)
+             for u in uids), count=uids.size, dtype=np.uint64)
+        reg = (hv % np.uint64(HLL_M)).astype(np.int64)
+        suffix = hv >> np.uint64(HLL_P)
+        # vectorized bit_length: shift loop (58 iterations of vector ops)
+        bl = np.zeros(suffix.size, dtype=np.int64)
+        tmp = suffix.copy()
+        while tmp.any():
+            bl += (tmp > 0).astype(np.int64)
+            tmp >>= np.uint64(1)
+        rank = np.where(suffix == 0, HLL_SUFFIX_BITS + 1,
+                        HLL_SUFFIX_BITS - bl + 1).astype(np.int64)
+        df = pd.DataFrame({"reg": reg, "max_rank": rank})
+        return df.groupby("reg", as_index=False)["max_rank"].max()
+
+    got = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reg")
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+        .to_pandas()
+    )
+    out = pd.DataFrame({"reg": np.arange(HLL_M, dtype=np.int64),
+                        "max_rank": np.zeros(HLL_M, dtype=np.int64)})
+    out.loc[got["reg"].to_numpy(), "max_rank"] = got["max_rank"].to_numpy()
+    return out.astype("int64")

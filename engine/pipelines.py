@@ -1311,6 +1311,72 @@ def ft_match_percentiles(sf_dir: str) -> pd.DataFrame:
         ["qid", "pct"]).reset_index(drop=True)
 
 
+PRANK_VALUES = (100, 250, 400)  # percentile_ranks thresholds (n_chars)
+
+
+def ft_percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    """percentile_ranks aggregation over FULL match sets (the ES inverse of
+    `percentiles`): for each query and each fixed threshold value, how many
+    matching docs have n_chars ≤ value and that share in exact micro units
+    (n_le·1e6 // n_matches) — no sketch, no float rank.
+
+    Scale shape: identical to ft_match_percentiles — match stream ⋈ keyed
+    n_chars join, per-batch (qid, threshold) partial counts (≤ |queries| ×
+    |thresholds| slim rows per block), ONE tiny groupby-sum.
+    Columns: qid, thr, n_le, n_matches, rank_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.core.context import join_args
+    from engine.query.engine import MatchServer
+
+    idx = documents_index(sf_dir)
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+    matches = qds.map_batches(
+        MatchServer,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    attrs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_key", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    jargs = join_args(n_joins=1)
+    joined = matches.join(
+        attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
+    )
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        q = b["qid"].to_numpy()
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        rows = []
+        for qid in np.unique(q):
+            m = q == qid
+            for t in PRANK_VALUES:
+                rows.append((int(qid), int(t), int((v[m] <= t).sum()),
+                             int(m.sum())))
+        return pd.DataFrame(rows, columns=["qid", "thr", "n_le", "n_matches"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["qid", "thr"])
+        .aggregate(Sum("n_le", alias_name="n_le"),
+                   Sum("n_matches", alias_name="n_matches"))
+        .to_pandas()
+        .sort_values(["qid", "thr"])
+        .reset_index(drop=True)
+    )
+    out["rank_micro"] = (out["n_le"].astype("int64") * 1_000_000
+                         // out["n_matches"].astype("int64"))
+    return out.astype("int64")
+
+
 def ft_cardinality(
     sf_dir: str, facets: tuple[str, ...] = ("source", "lang")
 ) -> pd.DataFrame:

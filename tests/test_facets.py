@@ -1487,3 +1487,27 @@ def test_tr_exists_filter_context_semantics(ray_session):
                          suffixes=("_b", "_e"))
     only_base = dropped[dropped["_merge"] == "left_only"]
     assert len(only_base) and (tool.loc[only_base["doc_key"]] == "").any()
+
+
+def test_ft_percentile_ranks_vs_pandas(ray_session):
+    """percentile_ranks recomputed with pandas over brute-force match sets;
+    shares are monotone in the threshold and bounded by n_matches."""
+    from engine.pipelines import DOC_QUERIES, PRANK_VALUES, ft_percentile_ranks
+    from engine.text.analyzer import Analyzer
+
+    got = ft_percentile_ranks("/root/testdata/sf0.001")
+    an = Analyzer()
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"]).to_pandas()
+    tok_sets = [set(an.tokens(t)) for t in docs["text"]]
+
+    for r in got.itertuples():
+        qterms = set(an.tokens(dict(DOC_QUERIES)[int(r.qid)]))
+        m = docs[[bool(qterms & s) for s in tok_sets]]
+        n_le = int((m["n_chars"] <= r.thr).sum())
+        assert (n_le, len(m)) == (r.n_le, r.n_matches)
+        assert r.rank_micro == n_le * 1_000_000 // len(m)
+    for _q, g in got.groupby("qid"):
+        g = g.sort_values("thr")
+        assert list(g["thr"]) == list(PRANK_VALUES)
+        assert g["n_le"].is_monotonic_increasing
