@@ -1729,6 +1729,68 @@ ORDER BY d.doc_id
 """
 
 
+def _contamination_bloom_sql() -> str:
+    """Bloom pre-filter oracle: the SAME shingle prologue as
+    _contamination_sql, then the filter's bit set and the all-k-bits pass
+    test replayed in SQL (count of set positions per (doc, gram) = k)."""
+    from engine.ops.textstats import (BLOOM_BITS, BLOOM_K, CONTAM_BASE,
+                                      CONTAM_BENCH_EVERY, CONTAM_MOD,
+                                      CONTAM_WIDTH)
+
+    B, M, W = CONTAM_BASE, CONTAM_MOD, CONTAM_WIDTH
+    expr = "hs[i]"
+    for j in range(1, W):
+        expr = f"(({expr}) * {B} % {M} + hs[i+{j}])"
+    expr = f"({expr}) % {M}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+h AS (SELECT doc_id,
+             list_transform(toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % {M})::BIGINT) hs
+      FROM t),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []::BIGINT[]
+      WHEN len(hs) < {W} THEN [list_reduce(hs, (a, b) -> (a * {B} + b) % {M})]
+      ELSE list_transform(range(1, len(hs) - {W - 2}), i -> {expr})
+    END AS grams
+  FROM h
+),
+bgrams AS (
+  SELECT DISTINCT unnest(grams) gram FROM g WHERE doc_id % {CONTAM_BENCH_EVERY} = 0
+),
+bits AS (
+  SELECT DISTINCT (('0x' || substr(md5(r.range::VARCHAR || ':' || gram::VARCHAR), 1, 8))::UBIGINT
+                   % {BLOOM_BITS})::BIGINT b_pos
+  FROM bgrams CROSS JOIN range({BLOOM_K}) r
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct(grams)) gram
+  FROM g WHERE doc_id % {CONTAM_BENCH_EVERY} <> 0
+),
+cpos AS (
+  SELECT doc_id, gram,
+         (('0x' || substr(md5(r.range::VARCHAR || ':' || gram::VARCHAR), 1, 8))::UBIGINT
+          % {BLOOM_BITS})::BIGINT b_pos
+  FROM cg CROSS JOIN range({BLOOM_K}) r
+),
+passg AS (
+  SELECT doc_id, gram FROM cpos JOIN bits USING (b_pos)
+  GROUP BY doc_id, gram HAVING count(*) = {BLOOM_K}
+),
+nd AS (SELECT doc_id, count(*)::BIGINT n_shingles FROM cg GROUP BY 1),
+np AS (SELECT doc_id, count(*)::BIGINT n_bloom_hits FROM passg GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(nd.n_shingles, 0)::BIGINT n_shingles,
+       coalesce(np.n_bloom_hits, 0)::BIGINT n_bloom_hits,
+       (coalesce(np.n_bloom_hits, 0) > 0)::BIGINT flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % {CONTAM_BENCH_EVERY} <> 0) d
+LEFT JOIN nd ON nd.doc_id = d.doc_id
+LEFT JOIN np ON np.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _span_coverage_sql() -> str:
     """dedup_span_coverage oracle: SAME md5-mod-prime token hash +
     SPAN_WIDTH Horner rolling polynomial as engine/ops/dedup._SpanGrams
@@ -3441,6 +3503,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_chunks": textstats.chunk_windows,
         # count-min sketch: bounded-memory frequency estimates + truth audit
         "ta_cms": textstats.cms_estimates,
+        # Bloom pre-filter for the contamination gate (superset guarantee)
+        "ta_contamination_bloom": textstats.contamination_bloom,
+        # Zipf audit: frequency-of-frequencies (Good-Turing input)
+        "ta_freq_spectrum": textstats.freq_spectrum,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3730,6 +3796,12 @@ FROM sc ORDER BY doc_id
         "ta_pack_greedy": _pack_greedy_sql(),
         "ta_fingerprint": _fingerprint_sql(),
         "ta_contamination": _contamination_sql(),
+        "ta_contamination_bloom": _contamination_bloom_sql(),
+        "ta_freq_spectrum": f"""
+WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1)
+SELECT cf, count(*)::BIGINT n_terms FROM cf GROUP BY cf ORDER BY cf
+""",
         "ta_repetition": _repetition_sql(),
         "ta_feature_hash": _feature_hash_sql(),
         # doc co-occurrence among the head vocabulary: same top-N selection

@@ -2079,3 +2079,152 @@ def cms_estimates(sf_dir: str, top_k: int = 16) -> pd.DataFrame:
                         "cf_true": top["cf"].astype("int64"),
                         "cf_est": pd.Series(est, dtype="int64")})
     return out.sort_values("term").reset_index(drop=True)
+
+
+BLOOM_BITS = 1024  # contamination pre-filter bloom width
+BLOOM_K = 3        # hash functions
+
+
+def _bloom_bit(i: int, g: int, bits: int) -> int:
+    return int(hashlib.md5(f"{i}:{g}".encode()).hexdigest()[:8], 16) % bits
+
+
+def contamination_bloom(sf_dir: str, bits: int = BLOOM_BITS,
+                        k: int = BLOOM_K) -> pd.DataFrame:
+    """Bloom-filter pre-filter for the contamination gate (X32): the
+    benchmark slice's distinct shingle hashes are folded into a
+    ``bits``-bit Bloom filter (k md5 hash functions), and every corpus doc
+    counts its distinct shingles whose k positions are ALL set. The Bloom
+    guarantee — zero false negatives — makes `flagged` a provable SUPERSET
+    of the exact contamination flags: at 100 TB you broadcast ``bits``
+    BITS instead of the benchmark's full shingle-hash set, run this scan,
+    and pay the exact check (X32) only on the tiny flagged remainder.
+
+    Scale shape: bench side as in X32 (fixed-size by construction); the
+    filter is O(bits) REGARDLESS of benchmark size; corpus side is ONE
+    shuffle-free scan (vectorized distinct-pair packing, md5 only on the
+    batch's unique grams).
+
+    Columns: doc_id, n_shingles, n_bloom_hits, flagged — non-bench docs."""
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def split(bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % CONTAM_BENCH_EVERY == 0
+            return b.filter(pa.array(m if bench else ~m))
+
+        return fn
+
+    bench_grams = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_BenchShingles, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()["g"]
+        .to_numpy()
+    )
+    bitset = np.zeros(bits, dtype=bool)
+    for g in np.unique(bench_grams):
+        for i in range(k):
+            bitset[_bloom_bit(i, int(g), bits)] = True
+    bit_ref = ray.put(bitset)
+
+    class _BloomCounter(_ContamShingles):
+        def __init__(self) -> None:
+            super().__init__()
+            self._bits = ray.get(bit_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            grams, counts = self.doc_grams(batch["text"])
+            doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+            n_dist = np.zeros(counts.size, dtype=np.int64)
+            n_pass = np.zeros(counts.size, dtype=np.int64)
+            if grams.size:
+                packed = np.unique(doc_idx * CONTAM_MOD + grams)
+                d = (packed // CONTAM_MOD).astype(np.int64)
+                gg = (packed % CONTAM_MOD).astype(np.int64)
+                n_dist = np.bincount(d, minlength=counts.size).astype(np.int64)
+                ug, inv = np.unique(gg, return_inverse=True)
+                ok = np.fromiter(
+                    (all(self._bits[_bloom_bit(i, int(x), bits)]
+                         for i in range(k)) for x in ug),
+                    count=ug.size, dtype=bool)
+                pw = ok[inv]
+                if pw.any():
+                    n_pass = np.bincount(d[pw], minlength=counts.size).astype(np.int64)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_shingles": pa.array(n_dist, type=pa.int64()),
+                "n_bloom_hits": pa.array(n_pass, type=pa.int64()),
+                "flagged": pa.array((n_pass > 0).astype(np.int64), type=pa.int64()),
+            })
+
+    out = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_BloomCounter, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def freq_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Frequency-of-frequencies spectrum (the Zipf/Heaps audit every corpus
+    study starts with, and the input to Good–Turing smoothing): for each
+    occurrence count f, how many DISTINCT terms occur exactly f times.
+    The hapax count (f = 1) is the standard data-quality tell — a crawl
+    with a collapsed hapax mass has been over-deduplicated or templated.
+
+    Scale shape: corpus → vocab-sized (term, cf) rollup (the shared pass) →
+    per-block (cf, n) partials → ONE tiny groupby-sum (≤ |distinct cf|
+    rows, which is ≤ a few thousand at ANY corpus size by Zipf's law).
+
+    Columns: cf, n_terms (int64)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class _Counts:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, _ = self.an.tokenize_arrow(texts)
+            if len(flat) == 0:
+                return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                     "cf": pd.Series([], dtype="int64")})
+            vc = flat.value_counts()
+            return pd.DataFrame({
+                "term": vc.field("values").to_pylist(),
+                "cf": vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+
+    def spectrum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cf": pd.Series([], dtype="int64"),
+                                 "n_terms": pd.Series([], dtype="int64")})
+        return df.groupby("cf", as_index=False).agg(n_terms=("term", "size"))
+
+    out = (
+        ds.map_batches(_Counts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .map_batches(spectrum_partial, batch_format="pandas")
+        .groupby("cf")
+        .aggregate(Sum("n_terms", alias_name="n_terms"))
+        .to_pandas()
+        .sort_values("cf")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

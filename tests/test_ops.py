@@ -3010,3 +3010,55 @@ def test_hll_registers_python_identity_and_estimate(ray_session):
     half = len(users) // 2
     merged = [max(a, b) for a, b in zip(regs_of(users[:half]), regs_of(users[half:]))]
     assert merged == ref
+
+
+def test_contamination_bloom_superset_and_fp(ray_session, tmp_path):
+    """Bloom guarantee: flags are a SUPERSET of exact contamination flags
+    (zero false negatives) on the real fixture; a tiny-filter synthetic
+    corpus forces a measurable false positive, proving the pass test is a
+    real bloom (not an exact join in disguise)."""
+    from engine.ops.textstats import contamination, contamination_bloom
+
+    sf = "/root/testdata/sf0.001"
+    exact = contamination(sf).set_index("doc_id")
+    bloom = contamination_bloom(sf).set_index("doc_id")
+    assert list(exact.index) == list(bloom.index)
+    # no false negatives: every contaminated doc is flagged, and the bloom
+    # hit count can only exceed the exact shared count
+    assert (bloom.loc[exact["contaminated"] == 1, "flagged"] == 1).all()
+    assert (bloom["n_bloom_hits"] >= exact["n_shared"]).all()
+
+    # synthetic: bench doc (id 0 % 17 == 0) shares nothing with doc 1, but
+    # a 2-bit filter with k=1 saturates -> doc 1 is a false positive
+    docs = {0: "aa bb cc dd ee ff gg", 1: "zz yy xx ww vv uu tt"}
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                             "text": pa.array([docs[i] for i in sorted(docs)])}),
+                   f"{sd}/documents.parquet")
+    from engine.ops.textstats import contamination as _exact
+    ex2 = _exact(sd)
+    assert int(ex2[ex2["doc_id"] == 1]["contaminated"].iloc[0]) == 0
+    fp = contamination_bloom(sd, bits=2, k=1)
+    assert int(fp[fp["doc_id"] == 1]["flagged"].iloc[0]) == 1  # false positive
+
+
+def test_freq_spectrum_identities(ray_session):
+    """Spectrum invariants against the Counter ground truth: Σ n_terms =
+    vocab size, Σ cf·n_terms = total occurrences, exact per-f match."""
+    from collections import Counter
+
+    from engine.ops.textstats import freq_spectrum
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    got = freq_spectrum(sf)
+    an = Analyzer()
+    cf = Counter()
+    for txt in pq.read_table(f"{sf}/documents.parquet",
+                             columns=["text"])["text"].to_pylist():
+        cf.update(an.tokens(txt))
+    spec = Counter(cf.values())
+    assert dict(zip(got["cf"], got["n_terms"])) == dict(spec)
+    assert int(got["n_terms"].sum()) == len(cf)
+    assert int((got["cf"] * got["n_terms"]).sum()) == sum(cf.values())
