@@ -3501,6 +3501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_vocab_coverage": textstats.vocab_coverage,
         # RAG sliding-window chunking with overlap + chunk fingerprints
         "ta_chunks": textstats.chunk_windows,
+        # chunk-grain exact dedup with canonical keepers
+        "dedup_chunks": textstats.chunk_dedup,
         # count-min sketch: bounded-memory frequency estimates + truth audit
         "ta_cms": textstats.cms_estimates,
         # Bloom pre-filter for the contamination gate (superset guarantee)
@@ -3888,6 +3890,31 @@ ORDER BY cnt DESC, pair ASC LIMIT 20
         # OOV rate vs the deterministic top-16 vocab (cf desc, term asc)
         # CMS counters + min-estimate replayed entirely in SQL (same md5
         # row-hash); top-k slice keyed by the same (cf desc, term asc) rule
+        # chunk dedup over the same chunk CTE as ta_chunks
+        "dedup_chunks": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks)::BIGINT dl FROM t WHERE len(toks) > 0),
+ch AS (
+  SELECT doc_id, dl, toks,
+         unnest(range(0, 1 + (greatest(dl - {textstats.CHUNK_W}, 0)
+                              + {textstats.CHUNK_S} - 1) // {textstats.CHUNK_S}))::BIGINT chunk_idx
+  FROM d
+),
+f AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(list_slice(toks, chunk_idx * {textstats.CHUNK_S} + 1,
+             least(chunk_idx * {textstats.CHUNK_S} + {textstats.CHUNK_W}, dl)), ' ')) fp
+  FROM ch
+),
+g AS (
+  SELECT fp, count(*)::BIGINT n_copies,
+         min(doc_id * {textstats.CHUNK_PACK} + chunk_idx)::BIGINT kk
+  FROM f GROUP BY fp HAVING count(*) >= 2
+)
+SELECT fp, n_copies, (kk // {textstats.CHUNK_PACK})::BIGINT keep_doc,
+       (kk % {textstats.CHUNK_PACK})::BIGINT keep_chunk
+FROM g ORDER BY fp
+""",
         "ta_cms": f"""
 WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),

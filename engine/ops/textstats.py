@@ -1930,6 +1930,21 @@ def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFra
     strings (md5 is per-string by nature; chunks per doc ≈ dl/s).
 
     Columns: doc_id, chunk_idx, chunk_start, n_tokens (int64), fp (str)."""
+    out = (
+        _chunk_ds(sf_dir, w, s)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    out["fp"] = out["fp"].astype(str)
+    return out.astype({"doc_id": "int64", "chunk_idx": "int64",
+                       "chunk_start": "int64", "n_tokens": "int64"})
+
+
+def _chunk_ds(sf_dir: str, w: int, s: int):
+    """The chunk stream as a lazy Dataset — shared by chunk_windows (which
+    materializes it as the driver-facing result) and chunk_dedup (which
+    aggregates it distributed, never collecting the chunk table)."""
     import ray.data as rd
 
     if not (0 < s <= w):
@@ -1971,17 +1986,56 @@ def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFra
                 "fp": pd.Series(fps, dtype=object),
             })
 
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_Chunk, batch_format="pyarrow", zero_copy_batch=True,
+                  concurrency=(1, 4))
+
+
+CHUNK_PACK = 1 << 20  # chunk_idx < 2^20 per doc in the keep-key packing
+
+
+def chunk_dedup(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFrame:
+    """Chunk-level exact dedup (the RAG-index hygiene pass): among all
+    sliding-window chunks (X94), group by fingerprint and report every fp
+    occurring in MORE THAN ONE place, with its canonical keeper — the
+    occurrence with the smallest (doc_id, chunk_idx) — and the copy count.
+    Downstream, an index builder drops all but the keeper.
+
+    Scale shape: the chunk stream stays distributed (shared _chunk_ds);
+    each batch reduces to slim (fp, packed_key, n) partials and ONE
+    fp-keyed groupby(Min, Sum) combines — the dedup_exact shape at chunk
+    grain. Keeper keys pack as doc_id·2^20 + chunk_idx (chunk_idx < 2^20:
+    a doc would need > 25M tokens at the default stride to overflow;
+    guarded). Columns: fp, n_copies, keep_doc, keep_chunk."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"fp": pd.Series([], dtype=object),
+                                 "key": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        if (df["chunk_idx"] >= CHUNK_PACK).any():
+            raise ValueError("chunk_idx overflows the keep-key packing")
+        df = df.assign(key=df["doc_id"] * CHUNK_PACK + df["chunk_idx"])
+        return df.groupby("fp", as_index=False).agg(key=("key", "min"),
+                                                    n=("key", "size"))
+
     out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(_Chunk, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+        _chunk_ds(sf_dir, w, s)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("key", alias_name="key"), Sum("n", alias_name="n_copies"))
         .to_pandas()
-        .sort_values(["doc_id", "chunk_idx"])
-        .reset_index(drop=True)
     )
+    out = out[out["n_copies"] >= 2].copy()
+    out["keep_doc"] = out["key"] // CHUNK_PACK
+    out["keep_chunk"] = out["key"] % CHUNK_PACK
+    out = out[["fp", "n_copies", "keep_doc", "keep_chunk"]].sort_values(
+        "fp").reset_index(drop=True)
     out["fp"] = out["fp"].astype(str)
-    return out.astype({"doc_id": "int64", "chunk_idx": "int64",
-                       "chunk_start": "int64", "n_tokens": "int64"})
+    return out.astype({"n_copies": "int64", "keep_doc": "int64",
+                       "keep_chunk": "int64"})
 
 
 CMS_DEPTH = 4    # count-min sketch rows (independent hashes)

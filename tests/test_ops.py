@@ -3062,3 +3062,37 @@ def test_freq_spectrum_identities(ray_session):
     assert dict(zip(got["cf"], got["n_terms"])) == dict(spec)
     assert int(got["n_terms"].sum()) == len(cf)
     assert int((got["cf"] * got["n_terms"]).sum()) == sum(cf.values())
+
+
+def test_chunk_dedup_keeper_semantics(ray_session, tmp_path):
+    """Chunk dedup vs a pandas recompute over the chunk table: every
+    reported fp has ≥2 copies, the keeper is the (doc_id, chunk_idx)-min
+    occurrence, and unique chunks are absent; a planted duplicated doc
+    guarantees cross-doc duplicate chunks exist."""
+    from engine.ops.textstats import chunk_dedup, chunk_windows
+
+    sf = "/root/testdata/sf0.001"
+    got = chunk_dedup(sf)
+    chunks = chunk_windows(sf)
+    grp = chunks.groupby("fp")
+    exp = []
+    for fp, g in grp:
+        if len(g) >= 2:
+            g = g.sort_values(["doc_id", "chunk_idx"])
+            exp.append((fp, len(g), int(g["doc_id"].iloc[0]),
+                        int(g["chunk_idx"].iloc[0])))
+    exp.sort()
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+    # planted: two docs with identical text -> every chunk duplicated
+    text = " ".join(f"w{i % 7}" for i in range(60))
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array([text, text])}),
+                   f"{sd}/documents.parquet")
+    g2 = chunk_dedup(sd)
+    c2 = chunk_windows(sd)
+    assert set(g2["fp"]) == set(c2["fp"])          # every chunk has a twin
+    assert (g2["keep_doc"] == 1).all()             # doc 1 always keeps
+    assert (g2["n_copies"] >= 2).all()
