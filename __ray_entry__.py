@@ -3488,6 +3488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_dl_quantiles": textstats.dl_quantiles,
         # head-vocabulary pair co-occurrence (matmul partials)
         "ta_cooccur": textstats.cooccur_top_terms,
+        # PMI over the head-vocab pairs (collocation statistic)
+        "ta_pmi": textstats.cooccur_pmi,
         "ta_corpus_stats": textstats.corpus_stats,
         # per-doc characteristic terms (tf·idf, rational idf surrogate)
         "ta_tfidf_topk": lambda sf: textstats.tfidf_topk(sf, k=3),
@@ -3808,6 +3810,27 @@ SELECT cf, count(*)::BIGINT n_terms FROM cf GROUP BY cf ORDER BY cf
         "ta_feature_hash": _feature_hash_sql(),
         # doc co-occurrence among the head vocabulary: same top-N selection
         # (df desc, term asc) and lexicographic pair order as the engine
+        "ta_pmi": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) term FROM documents),
+df AS (SELECT term, count(*)::BIGINT df FROM tok GROUP BY 1),
+top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) r FROM df
+  ) WHERE r <= {textstats.COOCCUR_TOP_N}
+),
+tt AS (SELECT doc_id, term FROM tok WHERE term IN (SELECT term FROM top)),
+n AS (SELECT count(*)::BIGINT n_docs FROM documents),
+pairs AS (
+  SELECT a.term t1, b.term t2, count(*)::BIGINT n_docs_both
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT t1, t2, n_docs_both,
+       floor((ln(n_docs_both * n_docs) - ln(da.df * db.df)) * 1e6 + 0.5)::BIGINT pmi_micro
+FROM pairs CROSS JOIN n
+JOIN df da ON da.term = t1 JOIN df db ON db.term = t2
+ORDER BY t1, t2
+""",
         "ta_cooccur": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) term FROM documents),
 df AS (SELECT term, count(*)::BIGINT df FROM tok GROUP BY 1),

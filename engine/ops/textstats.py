@@ -2282,3 +2282,39 @@ def freq_spectrum(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+def cooccur_pmi(sf_dir: str, n_terms: int = COOCCUR_TOP_N) -> pd.DataFrame:
+    """Pointwise mutual information over the head-vocabulary co-occurrence
+    pairs (X19): pmi = ln(n_both·N) − ln(df_a·df_b) in exact integer
+    micro-nats — one ln-minus-ln on exact int64 products (the proven
+    parity arm), positive when a pair co-occurs more than independence
+    predicts. The collocation-mining / embedding-objective statistic.
+
+    Scale shape: inherits X19's matmul partials (≤ N²/2 pair rows per
+    block, ONE tiny groupby) and serves df and N from the persisted
+    term_stats artifact and the parquet footers — no extra corpus pass.
+
+    Columns: t1, t2, n_docs_both, pmi_micro (int64)."""
+    import pyarrow.parquet as pqt
+
+    from engine.index.build import ensure_term_stats
+    from engine.pipelines import documents_index
+
+    pairs = cooccur_top_terms(sf_dir, n_terms=n_terms)
+    idx = documents_index(sf_dir)
+    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    df_map = dict(zip(stats["term"], stats["df"].astype(int)))
+    n_docs = pqt.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    both = pairs["n_docs_both"].to_numpy(np.int64)
+    dfa = np.array([df_map[t] for t in pairs["t1"]], dtype=np.int64)
+    dfb = np.array([df_map[t] for t in pairs["t2"]], dtype=np.int64)
+    pmi = np.floor(
+        (np.log((both * n_docs).astype(np.float64))
+         - np.log((dfa * dfb).astype(np.float64))) * 1e6 + 0.5
+    ).astype(np.int64)
+    out = pairs.copy()
+    out["pmi_micro"] = pmi
+    return out.astype({"n_docs_both": "int64", "pmi_micro": "int64"})

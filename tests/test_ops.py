@@ -3096,3 +3096,46 @@ def test_chunk_dedup_keeper_semantics(ray_session, tmp_path):
     assert set(g2["fp"]) == set(c2["fp"])          # every chunk has a twin
     assert (g2["keep_doc"] == 1).all()             # doc 1 always keeps
     assert (g2["n_copies"] >= 2).all()
+
+
+def test_cooccur_pmi_python_identity_and_sign(ray_session, tmp_path):
+    """PMI recomputed in pure Python from Counter df / pair counts; a
+    synthetic corpus with an anti-correlated pair proves the sign
+    discriminates (the fixture's head terms all co-occur positively)."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from engine.ops.textstats import COOCCUR_TOP_N, cooccur_pmi
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    got = cooccur_pmi(sf)
+    an = Analyzer()
+    docsets = [set(an.tokens(t)) for t in pq.read_table(
+        f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()]
+    n_docs = len(docsets)
+    df = Counter()
+    for s in docsets:
+        df.update(s)
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:COOCCUR_TOP_N]
+    top_terms = sorted(t for t, _ in top)
+    exp = {}
+    for a, b in combinations(top_terms, 2):
+        both = sum(1 for s in docsets if a in s and b in s)
+        if both:
+            exp[(a, b)] = (both, math.floor(
+                (math.log(both * n_docs) - math.log(df[a] * df[b])) * 1e6 + 0.5))
+    assert {(r.t1, r.t2): (r.n_docs_both, r.pmi_micro)
+            for r in got.itertuples()} == exp
+    assert (got["pmi_micro"] > 0).any()
+
+    # synthetic sign arm: aa/bb nearly disjoint (1 of 20 docs together),
+    # aa/cc always together -> negative vs positive PMI
+    texts = (["aa cc"] * 9) + (["bb dd"] * 10) + ["aa bb"]
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts)}), f"{sd}/documents.parquet")
+    g2 = cooccur_pmi(sd, n_terms=4).set_index(["t1", "t2"])["pmi_micro"]
+    assert int(g2.loc[("aa", "bb")]) < 0 < int(g2.loc[("aa", "cc")])
