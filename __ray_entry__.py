@@ -3450,6 +3450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
         # knn with filter: pre-filtered exact cosine within the query's label
         "ann_filtered_topk": lambda sf: ann.filtered_cosine_topk(sf, n_queries=5, k=10),
+        # hard-negative mining: nearest DIFFERENT-label vectors
+        "ann_hard_negatives": lambda sf: ann.filtered_cosine_topk(
+            sf, n_queries=5, k=10, same_label=False),
         # per-label embedding centroids (order-free integer-exact sums)
         # distributed Lloyd k-means, exact integer contract
         "emb_kmeans": ann.emb_kmeans,
@@ -3511,6 +3514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_contamination_bloom": textstats.contamination_bloom,
         # Zipf audit: frequency-of-frequencies (Good-Turing input)
         "ta_freq_spectrum": textstats.freq_spectrum,
+        # Good-Turing adjusted counts from the spectrum
+        "ta_good_turing": textstats.good_turing,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3805,6 +3810,15 @@ FROM sc ORDER BY doc_id
 WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1)
 SELECT cf, count(*)::BIGINT n_terms FROM cf GROUP BY cf ORDER BY cf
+""",
+        "ta_good_turing": f"""
+WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),
+s AS (SELECT cf, count(*)::BIGINT n_terms FROM cf GROUP BY cf)
+SELECT a.cf, a.n_terms, b.n_terms n_next,
+       ((a.cf + 1) * b.n_terms * 1000000 // a.n_terms)::BIGINT gt_micro
+FROM s a JOIN s b ON b.cf = a.cf + 1
+ORDER BY a.cf
 """,
         "ta_repetition": _repetition_sql(),
         "ta_feature_hash": _feature_hash_sql(),
@@ -4193,6 +4207,19 @@ sims AS (
   SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
          floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
   FROM embeddings e JOIN q ON e.vec_id <> q.qid
+)
+SELECT qid, rank, vec_id, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
+  FROM sims
+) WHERE rank <= 10 ORDER BY qid, rank
+""",
+        "ann_hard_negatives": """
+WITH q AS (SELECT vec_id qid, label, embedding FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1e6 + 0.5)::BIGINT sim_micro
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid AND e.label <> q.label
 )
 SELECT qid, rank, vec_id, sim_micro FROM (
   SELECT qid, vec_id, sim_micro,

@@ -497,11 +497,15 @@ def ivf_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10, n_lists: int = 16,
     return ivf_query(index_dir, q_ids, qm, k=k, nprobe=nprobe)
 
 
-def filtered_cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+def filtered_cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10,
+                         same_label: bool = True):
     """FILTERED vector search (ES `knn` with `filter`): exact top-k cosine
     neighbours of the first ``n_queries`` vectors restricted to candidates
     sharing the query vector's OWN `label` (self excluded) — the
-    "similar items within my category" query.
+    "similar items within my category" query. With ``same_label=False``
+    the predicate inverts and this becomes HARD-NEGATIVE MINING (the
+    contrastive-training data op): the most similar vectors that do NOT
+    share the query's label — maximally confusing negatives.
 
     Scale shape: same as cosine_topk (broadcast query matrix, one scan,
     per-batch partial top-k, tiny exact merge) with the attribute
@@ -527,7 +531,8 @@ def filtered_cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
         sim_micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
         out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qids):
-            mask = (labels == qlab[j]) & (ids != qid)
+            same = labels == qlab[j]
+            mask = (same if same_label else ~same) & (ids != qid)
             vids, s = ids[mask], sim_micro[mask, j]
             if s.size > k:
                 kth = np.partition(-s, k - 1)[k - 1]

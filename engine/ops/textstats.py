@@ -2318,3 +2318,22 @@ def cooccur_pmi(sf_dir: str, n_terms: int = COOCCUR_TOP_N) -> pd.DataFrame:
     out = pairs.copy()
     out["pmi_micro"] = pmi
     return out.astype({"n_docs_both": "int64", "pmi_micro": "int64"})
+
+
+def good_turing(sf_dir: str) -> pd.DataFrame:
+    """Good–Turing adjusted counts from the frequency spectrum (X102):
+    for every occurrence count r whose successor class is populated,
+    r* = (r+1)·S(r+1)/S(r) in exact integer micro units
+    ((r+1)·S(r+1)·1e6 // S(r)) — the smoothing estimate Katz backoff and
+    classic LM toolkits derive from exactly this table. Rows where
+    S(r+1) = 0 are omitted (GT leaves those classes unadjusted).
+
+    Scale shape: pure driver arithmetic over the spectrum, which is
+    ≤ |distinct cf| rows at any corpus size (X102's reduction does the
+    distributed work). Columns: cf, n_terms, n_next, gt_micro."""
+    spec = freq_spectrum(sf_dir)
+    s = dict(zip(spec["cf"].astype(int), spec["n_terms"].astype(int)))
+    rows = [(r, n, s[r + 1], (r + 1) * s[r + 1] * 1_000_000 // n)
+            for r, n in sorted(s.items()) if s.get(r + 1)]
+    return pd.DataFrame(rows, columns=["cf", "n_terms", "n_next", "gt_micro"]
+                        ).astype("int64")

@@ -3139,3 +3139,36 @@ def test_cooccur_pmi_python_identity_and_sign(ray_session, tmp_path):
                              "text": pa.array(texts)}), f"{sd}/documents.parquet")
     g2 = cooccur_pmi(sd, n_terms=4).set_index(["t1", "t2"])["pmi_micro"]
     assert int(g2.loc[("aa", "bb")]) < 0 < int(g2.loc[("aa", "cc")])
+
+
+def test_good_turing_and_hard_negatives(ray_session):
+    """(1) Good–Turing rows recomputed from the spectrum with the exact
+    integer formula, omitted exactly where S(r+1)=0. (2) Hard-negative
+    mining returns only different-label vectors, and its top hit is at
+    least as similar as every same-label candidate EXCLUDED by the
+    filtered (positive) query's cutoff would suggest — i.e. the two
+    predicates partition candidates."""
+    from engine.ops.ann import filtered_cosine_topk
+    from engine.ops.textstats import freq_spectrum, good_turing
+
+    sf = "/root/testdata/sf0.001"
+    gt = good_turing(sf)
+    spec = dict(zip(*freq_spectrum(sf).to_numpy().T.tolist()))
+    for r in gt.itertuples():
+        assert spec.get(int(r.cf) + 1) == r.n_next
+        assert r.gt_micro == (r.cf + 1) * r.n_next * 1_000_000 // r.n_terms
+    omitted = [r for r in spec if spec.get(r + 1) is None]
+    assert omitted and not set(omitted) & set(gt["cf"])
+
+    neg = filtered_cosine_topk(sf, n_queries=5, k=10, same_label=False)
+    pos = filtered_cosine_topk(sf, n_queries=5, k=10, same_label=True)
+    lab = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    lab = lab.set_index("vec_id")["label"]
+    for qid in range(5):
+        qlab = int(lab.loc[qid])
+        n = neg[neg["qid"] == qid]
+        p = pos[pos["qid"] == qid]
+        assert (lab.loc[n["vec_id"]] != qlab).all()
+        assert (lab.loc[p["vec_id"]] == qlab).all()
+        assert not set(n["vec_id"]) & set(p["vec_id"])
