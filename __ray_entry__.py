@@ -1791,6 +1791,60 @@ ORDER BY d.doc_id
 """
 
 
+def _winnowing_sql() -> str:
+    """Winnowing oracle: same shingle prologue, then per window the minimal
+    gram with the RIGHTMOST-tie rule via max(pos) over the min-valued
+    members; incomplete trailing windows gated by a full-window count."""
+    from engine.ops.textstats import (CONTAM_BASE, CONTAM_MOD, CONTAM_WIDTH,
+                                      WINNOW_W)
+
+    B, M, W = CONTAM_BASE, CONTAM_MOD, CONTAM_WIDTH
+    ww = WINNOW_W
+    expr = "hs[i]"
+    for j in range(1, W):
+        expr = f"(({expr}) * {B} % {M} + hs[i+{j}])"
+    expr = f"({expr}) % {M}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+h AS (SELECT doc_id,
+             list_transform(toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % {M})::BIGINT) hs
+      FROM t),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []::BIGINT[]
+      WHEN len(hs) < {W} THEN [list_reduce(hs, (a, b) -> (a * {B} + b) % {M})]
+      ELSE list_transform(range(1, len(hs) - {W - 2}), i -> {expr})
+    END AS grams
+  FROM h
+),
+p AS (
+  SELECT doc_id, s['p'] pos, s['g'] gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(grams) + 1),
+           i -> {{'p': i - 1, 'g': grams[i]}})) s
+    FROM g)
+),
+wmin AS (
+  SELECT doc_id, pos i,
+         min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {ww - 1} FOLLOWING) mn,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {ww - 1} FOLLOWING) cnt
+  FROM p
+),
+sel AS (
+  SELECT w.doc_id, w.i, max(p.pos)::BIGINT pos, w.mn gram
+  FROM wmin w JOIN p ON p.doc_id = w.doc_id
+                    AND p.pos BETWEEN w.i AND w.i + {ww - 1}
+                    AND p.gram = w.mn
+  WHERE w.cnt = {ww}
+  GROUP BY w.doc_id, w.i, w.mn
+)
+SELECT DISTINCT doc_id::BIGINT doc_id, pos, gram FROM sel
+ORDER BY doc_id, pos
+"""
+
+
 def _span_coverage_sql() -> str:
     """dedup_span_coverage oracle: SAME md5-mod-prime token hash +
     SPAN_WIDTH Horner rolling polynomial as engine/ops/dedup._SpanGrams
@@ -3516,6 +3570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_freq_spectrum": textstats.freq_spectrum,
         # Good-Turing adjusted counts from the spectrum
         "ta_good_turing": textstats.good_turing,
+        # MOSS winnowing fingerprints (rightmost-min window selection)
+        "ta_winnowing": textstats.winnowing,
         # deterministic hash-based train/val/test assignment
         "sample_hash_split": sampling.hash_split,
         # deterministic k-per-language sample (hash-order 'reservoir')
@@ -3526,6 +3582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_export_shards": sampling.export_shards,
         # multimodal binary-column dataflow (actor-pool metadata decode)
         "mm_decode_meta": multimodal.media_meta,
+        # REAL video decode: Y4M frame counts/dims from the bytes
+        "mm_video_meta": multimodal.video_meta,
         "ta_quality": textstats.quality,
         # CCNet-style head/middle/tail bucketing by quality-score terciles
         "ta_quality_buckets": textstats.quality_buckets,
@@ -3811,6 +3869,7 @@ WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1)
 SELECT cf, count(*)::BIGINT n_terms FROM cf GROUP BY cf ORDER BY cf
 """,
+        "ta_winnowing": _winnowing_sql(),
         "ta_good_turing": f"""
 WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),
@@ -4391,6 +4450,20 @@ FROM events GROUP BY 1 ORDER BY 1
     # full-probe IVF is exact — same result set as brute-force cosine
     sql["ann_ivf_full_probe"] = sql["ann_cosine_topk"]
     # multimodal metadata decode: byte-level truth DuckDB can recompute
+    # video decode vs the ground-truth meta JSON of the same parquet
+    try:
+        from engine.ops.multimodal import y4m_oracle_corpus_path
+
+        _y4m_path = y4m_oracle_corpus_path()
+        sql["mm_video_meta"] = f"""
+SELECT id::BIGINT id,
+       (meta::JSON ->> 't')::BIGINT n_frames,
+       (meta::JSON ->> 'h')::BIGINT h,
+       (meta::JSON ->> 'w')::BIGINT w
+FROM read_parquet('{_y4m_path}') ORDER BY id
+"""
+    except OSError:
+        pass
     sql["mm_decode_meta"] = """
 SELECT doc_id,
        octet_length(encode(text))::BIGINT n_bytes,

@@ -452,3 +452,196 @@ def wav_pipeline(n: int = 128, seed: int = 0):
         batch_size=32,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec: Y4M (YUV4MPEG2), uncompressed planar 4:4:4
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(t, h, w, 3) uint8 YUV frames → YUV4MPEG2 bytes (C444 planar — the
+    plain-text-header uncompressed video container mjpegtools defined and
+    ffmpeg/mpv read natively)."""
+    t, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()
+    parts = [head]
+    for i in range(t):
+        # planar: full Y plane, then U, then V
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].transpose(2, 0, 1).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 C444 bytes → ((t, h, w, 3) uint8 frames, (fps_num, den)).
+    Parses the parameter header tag-by-tag; only C444 (and the implied
+    default) planar layout is implemented — other samplings raise with the
+    exact tag, the honest-gate convention of the BMP/WAV codecs."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode()
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    colour = "C444"
+    for tag in head.split()[1:]:
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "F":
+            a, b = tag[1:].split(":")
+            fps = (int(a), int(b))
+        elif tag[0] == "C":
+            colour = tag
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if colour != "C444":
+        raise NotImplementedError(f"only C444 planar Y4M (got {colour})")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        body = payload[fnl + 1: fnl + 1 + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError("truncated frame")
+        plane = np.frombuffer(body, dtype=np.uint8).reshape(3, h, w)
+        frames.append(plane.transpose(1, 2, 0))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames), fps
+
+
+def synth_y4m_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic tiny Y4M corpus: moving-gradient frames so temporal
+    motion energy is nonzero and frame-dependent."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        t = int(rng.integers(3, 9))
+        h = int(rng.integers(8, 24))
+        w = int(rng.integers(8, 24))
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        frames = np.stack([np.roll(base, shift=k, axis=1) for k in range(t)])
+        ids.append(i)
+        payloads.append(encode_y4m(frames))
+        metas.append(json.dumps({"t": t, "h": h, "w": w}))
+    return pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["video/x-yuv4mpeg"] * n, type=pa.string()),
+        "meta": pa.array(metas, type=pa.string()),
+    })
+
+
+class DecodeY4m:
+    """Actor-pool stage over real Y4M payloads: decode → sample every
+    ``stride``-th frame → per-video features: n_frames, mean luma of the
+    sampled frames (micro), and temporal MOTION ENERGY = mean |Y_t − Y_{t-1}|
+    over consecutive sampled frames (micro) — the shot-boundary / static-clip
+    signal a video-curation pipeline filters on. Small batch_size: payloads
+    are frames × h × w × 3 bytes, the batch × concurrency heap rule."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_frames, luma, motion = [], [], [], []
+        for i, payload in zip(batch["id"].to_pylist(), batch["payload"].to_pylist()):
+            frames, _fps = decode_y4m(payload)
+            sampled = frames[::self.stride].astype(np.int64)
+            y = sampled[..., 0]
+            m = (np.abs(np.diff(y, axis=0)).mean() if len(y) > 1 else 0.0)
+            ids.append(i)
+            n_frames.append(frames.shape[0])
+            luma.append(int(np.floor(y.mean() / 255.0 * 1e6 + 0.5)))
+            motion.append(int(np.floor(m / 255.0 * 1e6 + 0.5)))
+        return pa.table({
+            "id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(n_frames, type=pa.int64()),
+            "luma_micro": pa.array(luma, type=pa.int64()),
+            "motion_micro": pa.array(motion, type=pa.int64()),
+        })
+
+
+def y4m_pipeline(n: int = 64, seed: int = 0):
+    """End-to-end REAL-video pipeline: synth Y4M clips → actor-pool decode /
+    frame-sample / temporal features."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_y4m_table(n, seed))
+    return ds.map_batches(
+        DecodeY4m,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+
+Y4M_ORACLE_N = 64
+Y4M_ORACLE_SEED = 5
+Y4M_ORACLE_PATH = f"/tmp/engine_oracle/y4m_n{Y4M_ORACLE_N}_s{Y4M_ORACLE_SEED}_v1.parquet"
+
+
+def y4m_oracle_corpus_path() -> str:
+    """Materialize (idempotent, atomic) the deterministic Y4M clip corpus —
+    real video bytes in a binary column plus ground-truth meta JSON. Pure
+    pyarrow, callable from oracle_sql() without a Ray session."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = Y4M_ORACLE_PATH
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = synth_y4m_table(Y4M_ORACLE_N, seed=Y4M_ORACLE_SEED)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def video_meta(sf_dir: str):
+    """Driver-facing REAL-video entry (oracle-checked): decode every Y4M
+    payload of the materialized clip corpus in the actor-pool stage and
+    report (n_frames, h, w) FROM THE BYTES — DuckDB reproduces the same
+    numbers from the ground-truth meta JSON written at synth time, so a
+    hash match proves the codec reads real video frames correctly. The
+    float-free decode columns only; luma/motion features are pytest-audited
+    (no SQL can decode video). Columns: id, n_frames, h, w."""
+    import pandas as pd
+    import ray.data as rd
+
+    path = y4m_oracle_corpus_path()
+
+    class _Meta:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, nf, hs, ws = [], [], [], []
+            for i, payload in zip(batch["id"].to_pylist(),
+                                  batch["payload"].to_pylist()):
+                frames, _fps = decode_y4m(payload)
+                ids.append(i)
+                nf.append(frames.shape[0])
+                hs.append(frames.shape[1])
+                ws.append(frames.shape[2])
+            return pa.table({
+                "id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(nf, type=pa.int64()),
+                "h": pa.array(hs, type=pa.int64()),
+                "w": pa.array(ws, type=pa.int64()),
+            })
+
+    out = (
+        rd.read_parquet(path, columns=["id", "payload"])
+        .map_batches(_Meta, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=16, concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

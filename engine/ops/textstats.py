@@ -2337,3 +2337,65 @@ def good_turing(sf_dir: str) -> pd.DataFrame:
             for r, n in sorted(s.items()) if s.get(r + 1)]
     return pd.DataFrame(rows, columns=["cf", "n_terms", "n_next", "gt_micro"]
                         ).astype("int64")
+
+
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+def winnowing(sf_dir: str, w: int = WINNOW_W) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): over each doc's CONTAM_WIDTH-token shingle-hash
+    sequence, every window of ``w`` consecutive grams selects its minimal
+    hash (ties → RIGHTMOST, the canonical rule), and the doc's fingerprint
+    is the deduplicated (position, gram) selection set. Guarantees: any
+    shared run of w+CONTAM_WIDTH-1 tokens between two docs yields at least
+    one shared selected gram, with expected density 2/(w+1) — the
+    sub-sampling that makes plagiarism/near-dup detection affordable when
+    keeping EVERY shingle (X32's approach) is too much state. Docs with
+    fewer than w grams contribute nothing (no complete window — mirrors
+    the SQL's full-window count gate).
+
+    Scale shape: ONE shuffle-free scan; per doc the window minimum runs on
+    a numpy sliding_window_view (argmin over the reversed window axis for
+    the rightmost-tie rule) — no per-gram Python.
+
+    Columns: doc_id, pos (gram offset), gram (all int64)."""
+    import ray.data as rd
+
+    class _Winnow(_ContamShingles):
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            grams, counts = self.doc_grams(batch["text"])
+            doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+            out_d, out_p, out_g = [], [], []
+            off = 0
+            for di, c in enumerate(counts):
+                g = grams[off:off + c]
+                off += c
+                if c < w:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(g, w)
+                # rightmost minimum: argmin over the reversed window axis
+                rev = win[:, ::-1]
+                j = (w - 1 - rev.argmin(axis=1)) + np.arange(win.shape[0])
+                sel = np.unique(j)
+                out_d.append(np.full(sel.size, doc_ids[di], dtype=np.int64))
+                out_p.append(sel.astype(np.int64))
+                out_g.append(g[sel])
+            if not out_d:
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("doc_id", "pos", "gram")})
+            return pd.DataFrame({
+                "doc_id": np.concatenate(out_d),
+                "pos": np.concatenate(out_p),
+                "gram": np.concatenate(out_g),
+            })
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_Winnow, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

@@ -813,6 +813,40 @@ class TestWavCodec:
         # a 0.5-amplitude sine has RMS ≈ 0.35 — first frames must be loud
         assert (feats[:, 0] > 0.2).all()
 
+    def test_y4m_roundtrip_and_pipeline(self, ray_session):
+        """Y4M codec is lossless (encode→decode identity incl. fps); the
+        actor-pool pipeline decodes real clips and the temporal motion
+        energy discriminates: moving-gradient clips > a static clip."""
+        import json as _json
+
+        from engine.ops.multimodal import (DecodeY4m, decode_y4m, encode_y4m,
+                                           synth_y4m_table, y4m_pipeline)
+
+        rng = np.random.default_rng(11)
+        fr = rng.integers(0, 256, size=(4, 10, 14, 3), dtype=np.uint8)
+        dec, fps = decode_y4m(encode_y4m(fr, fps=(30, 1)))
+        assert (dec == fr).all() and fps == (30, 1)
+
+        out = y4m_pipeline(24, seed=5).to_pandas().sort_values("id").reset_index(drop=True)
+        src = synth_y4m_table(24, seed=5).to_pandas()
+        meta = src["meta"].map(_json.loads)
+        assert (out["n_frames"].to_numpy() == meta.map(lambda m: m["t"]).to_numpy()).all()
+        assert (out["motion_micro"] > 0).all()  # rolling gradients move
+
+        # static clip -> zero motion energy
+        static = np.repeat(fr[:1], 4, axis=0)
+        t = pa.table({"id": pa.array([0], pa.int64()),
+                      "payload": pa.array([encode_y4m(static)], pa.binary())})
+        res = DecodeY4m(stride=1)(t)
+        assert res["motion_micro"][0].as_py() == 0
+        # unsupported sampling gates honestly, naming the tag
+        bad = encode_y4m(static).replace(b"C444", b"C420")
+        try:
+            decode_y4m(bad)
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError as e:
+            assert "C420" in str(e)
+
 
 class TestPhrase:
     def test_phrase_requires_adjacency_in_order(self, tmp_path_factory, ray_session, monkeypatch):
@@ -3172,3 +3206,60 @@ def test_good_turing_and_hard_negatives(ray_session):
         assert (lab.loc[n["vec_id"]] != qlab).all()
         assert (lab.loc[p["vec_id"]] == qlab).all()
         assert not set(n["vec_id"]) & set(p["vec_id"])
+
+
+def test_winnowing_python_identity_and_guarantee(ray_session, tmp_path):
+    """Winnowing selections recomputed in pure Python (rightmost-min rule);
+    the MOSS guarantee holds on a planted pair: two docs sharing a run of
+    w + shingle_width − 1 tokens share at least one selected gram; density
+    is ≈ 2/(w+1) on the fixture."""
+    from engine.ops.dedup import rolling_shingle_hashes
+    from engine.ops.textstats import (CONTAM_BASE, CONTAM_MOD, CONTAM_WIDTH,
+                                      WINNOW_W, _ContamShingles, winnowing)
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+    sh = _ContamShingles()
+
+    def grams_of(text):
+        import pyarrow as _pa
+        g, c = sh.doc_grams(_pa.array([text], type=_pa.large_string()))
+        return list(g)
+
+    def reference(docs, w):
+        rows = []
+        for i in sorted(docs):
+            g = grams_of(docs[i])
+            if len(g) < w:
+                continue
+            sel = set()
+            for s in range(len(g) - w + 1):
+                window = g[s:s + w]
+                mn = min(window)
+                j = max(p for p in range(w) if window[p] == mn) + s
+                sel.add((j, g[j]))
+            rows += [(i, p, gg) for p, gg in sorted(sel)]
+        return rows
+
+    sf = "/root/testdata/sf0.001"
+    got = winnowing(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = dict(zip(t["doc_id"].astype(int), t["text"]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == reference(docs, WINNOW_W)
+    # density ≈ 2/(w+1): loose two-sided bound on the fixture
+    n_grams = sum(max(len(grams_of(x)), 0) for x in docs.values())
+    density = len(got) / n_grams
+    assert 0.2 < density < 0.8, density
+
+    # guarantee: shared run of w + W − 1 tokens ⇒ a shared fingerprint
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + CONTAM_WIDTH - 1))
+    docs2 = {1: "aa bb cc dd " + shared, 2: shared + " ee ff gg hh"}
+    sd = str(tmp_path / "synth")
+    os.makedirs(sd, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(docs2), pa.int64()),
+                             "text": pa.array([docs2[i] for i in sorted(docs2)])}),
+                   f"{sd}/documents.parquet")
+    g2 = winnowing(sd)
+    f1 = set(g2[g2["doc_id"] == 1]["gram"])
+    f2 = set(g2[g2["doc_id"] == 2]["gram"])
+    assert f1 & f2, "MOSS guarantee violated"
