@@ -508,6 +508,56 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_wildcard_leading_sql(k: int, max_expand: int = 5) -> str:
+    """Leading-wildcard oracle: *suffix tokens expand by endswith (LIKE
+    '%' || suffix), same top-terms cap; the union scores as standard BM25."""
+    from engine.pipelines import LEADING_WILDCARD_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}')" for q, t in LEADING_WILDCARD_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS (VALUES {rows}),
+rawtok AS (
+  SELECT qid::BIGINT qid, unnest(regexp_split_to_array(qtext, ' ')) tok FROM q
+),
+lit AS (SELECT qid, tok term FROM rawtok WHERE tok NOT LIKE '*%'),
+sfx AS (SELECT qid, ltrim(tok, '*') s FROM rawtok WHERE tok LIKE '*%'),
+expand AS (
+  SELECT qid, term FROM (
+    SELECT sfx.qid, df.term,
+           row_number() OVER (PARTITION BY sfx.qid, sfx.s
+                              ORDER BY df.df DESC, df.term ASC) r
+    FROM sfx JOIN df ON df.term LIKE '%' || sfx.s
+  ) WHERE r <= {max_expand}
+),
+qterm AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT * FROM lit UNION ALL SELECT * FROM expand
+  )
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_regexp_sql(k: int, max_expand: int = 5) -> str:
     """Regexp oracle: /pattern/ tokens expand to their max_expand highest-df
     FULL-match vocabulary terms (regexp_full_match — same subset Python
@@ -3420,6 +3470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hybrid BM25 + embedding-cosine retrieval, integer RRF fusion
         "ft_hybrid_rrf": lambda sf: P.ft_hybrid_rrf(sf, k=10),
         # trailing-* wildcard expansion against the term dictionary
+        "ft_bm25_wildcard_leading": P.ft_bm25_wildcard_leading,
         "ft_bm25_wildcard": lambda sf: P.ft_bm25_wildcard(sf, k=10),
         # fuzzy retrieval: term~ expands to edit-distance-1 vocab terms
         "ft_bm25_fuzzy": lambda sf: P.ft_bm25_fuzzy(sf, k=10),
@@ -3589,6 +3640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_quality_buckets": textstats.quality_buckets,
         # DSIR-style hashed-unigram importance scoring vs the lang-target
         "ta_dsir_weights": textstats.dsir_weights,
+        # DSIR selection: deterministic importance-weighted resample
+        "sample_dsir_resample": textstats.dsir_resample,
         # CCNet-style unigram-LM perplexity filter: train on the hash-split
         # train half, score every doc in exact integer micro-nats
         "ta_lm_nll": textstats.lm_nll,
@@ -3722,6 +3775,7 @@ ORDER BY b.purchase_id
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),
         "ft_bm25_wildcard": _bm25_wildcard_sql(10),
+        "ft_bm25_wildcard_leading": _bm25_wildcard_leading_sql(10),
         "ft_bm25_fuzzy": _bm25_fuzzy_sql(10),
         "ft_bm25_regexp": _bm25_regexp_sql(10),
         "ft_bm25_search_after": _bm25_search_after_sql(10),
@@ -3803,6 +3857,18 @@ SELECT doc_id, score,
 FROM s CROSS JOIN th ORDER BY doc_id
 """,
         "ta_dsir_weights": _dsir_sql(),
+        "sample_dsir_resample": f"""
+WITH w AS ({{_dsir_inner}}),
+d AS (
+  SELECT doc_id, importance_micro,
+         (('0x' || substr(md5('resample:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+          % 1000000)::BIGINT draw
+  FROM w
+)
+SELECT doc_id, importance_micro, draw,
+       (draw < least(importance_micro, 1000000))::BIGINT kept
+FROM d ORDER BY doc_id
+""".format(_dsir_inner=_dsir_sql().strip().rstrip(';')),
         "ta_lm_nll": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 trn AS (

@@ -2399,3 +2399,31 @@ def winnowing(sf_dir: str, w: int = WINNOW_W) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+def dsir_resample(sf_dir: str) -> pd.DataFrame:
+    """DSIR selection step (Xie et al. 2023 resample by importance weight):
+    every scored document draws a deterministic md5 lottery ticket
+    (draw = first-8-hex of md5("resample:doc_id") mod 1e6 — the hash_split
+    purity rule, salted so it is independent of the split buckets) and is
+    KEPT iff draw < min(importance_micro, 1e6). Expected keep probability
+    = the doc's clipped importance weight; the draw is a pure function of
+    the key, so the sample is reproducible on any cluster shape, resumable,
+    and SQL-checkable — the properties random.random() selection lacks.
+
+    Scale shape: dsir_weights' two passes (hashed-feature model fit + one
+    scoring scan) plus a per-batch vectorized lottery — no extra exchange.
+    Columns: doc_id, importance_micro, draw, kept (int64)."""
+    w = dsir_weights(sf_dir)
+
+    def draw_of(ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(f"resample:{int(i)}".encode()).hexdigest()[:8], 16)
+             % 1_000_000 for i in ids),
+            count=ids.size, dtype=np.int64)
+
+    out = w[["doc_id", "importance_micro"]].copy()
+    out["draw"] = draw_of(out["doc_id"].to_numpy())
+    out["kept"] = (out["draw"] <
+                   np.minimum(out["importance_micro"], 1_000_000)).astype(np.int64)
+    return out.astype("int64")

@@ -344,6 +344,48 @@ WILDCARD_QUERIES: list[tuple[int, str]] = [
 ]
 MAX_EXPAND = 5  # per-wildcard expansion cap, df desc / term asc (top-terms rewrite)
 
+# leading-* query set — suffix expansion. Edge coverage: shared suffix
+# class (0: *ow -> slow/window/row...), dead suffix + literal (2).
+LEADING_WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "*ow batch"),
+    (1, "*ream *alue"),
+    (2, "*zzz merge"),
+    (3, "hash *oin"),
+]
+
+
+def ft_bm25_wildcard_leading(sf_dir: str, k: int = 10,
+                             max_expand: int = MAX_EXPAND) -> pd.DataFrame:
+    """Leading-wildcard retrieval (`*suffix`): suffix terms expand against
+    the term dictionary by endswith (df desc, term asc cap, the same
+    top-terms rewrite as X10). At this dictionary scale the scan is a
+    vocab-sized Arrow pass; the production path for huge vocabularies is
+    Lucene's reverse-token field — index each term REVERSED so a leading
+    wildcard becomes a trailing-prefix lookup on the reversed dictionary —
+    which changes only where this expansion reads, not the query contract.
+    Columns: qid, rank, doc_id, score_micro."""
+    import pyarrow.parquet as pq
+
+    from engine.index.build import ensure_term_stats
+
+    idx = documents_index(sf_dir)
+    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    stats["term"] = stats["term"].astype(str)
+    items = []
+    for qid, qtext in LEADING_WILDCARD_QUERIES:
+        terms: list[str] = []
+        for tok in qtext.split():
+            if tok.startswith("*"):
+                sfx = tok.lstrip("*")
+                hit = stats[stats["term"].str.endswith(sfx)]
+                hit = hit.sort_values(["df", "term"], ascending=[False, True],
+                                      kind="stable").head(max_expand)
+                terms.extend(hit["term"])
+            else:
+                terms.append(tok)
+        items.append({"qid": qid, "text": " ".join(terms)})
+    return _run_doc_queries(sf_dir, items, k)
+
 
 def ft_bm25_wildcard(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.DataFrame:
     """Wildcard retrieval: query terms with a trailing ``*`` expand against

@@ -3263,3 +3263,43 @@ def test_winnowing_python_identity_and_guarantee(ray_session, tmp_path):
     f1 = set(g2[g2["doc_id"] == 1]["gram"])
     f2 = set(g2[g2["doc_id"] == 2]["gram"])
     assert f1 & f2, "MOSS guarantee violated"
+
+
+def test_dsir_resample_and_leading_wildcard(ray_session):
+    """(1) DSIR resample: kept ⇔ md5 draw < clipped weight, recomputed in
+    Python; high-weight docs keep at a higher rate than low-weight docs.
+    (2) Leading wildcard: every expanded query hit contains a term ending
+    with the suffix; the dead-suffix query falls back to its literal."""
+    import hashlib as _h
+
+    from engine.ops.textstats import dsir_resample, dsir_weights
+    from engine.pipelines import ft_bm25_wildcard_leading
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    rs = dsir_resample(sf)
+    w = dsir_weights(sf).set_index("doc_id")["importance_micro"]
+    for r in rs.itertuples():
+        draw = int(_h.md5(f"resample:{int(r.doc_id)}".encode()).hexdigest()[:8],
+                   16) % 1_000_000
+        assert draw == r.draw
+        assert r.kept == int(draw < min(int(w.loc[r.doc_id]), 1_000_000))
+    # expectation law: keep rate tracks the mean clipped weight (binomial
+    # σ ≈ 2.2pp at n=500; the fixture's weights are too narrow for a
+    # median-split comparison to be signal)
+    p_exp = np.minimum(rs["importance_micro"], 1_000_000).mean() / 1e6
+    assert abs(rs["kept"].mean() - p_exp) < 0.07
+    assert 0 < rs["kept"].sum() < len(rs)
+
+    out = ft_bm25_wildcard_leading(sf, k=10)
+    an = Analyzer()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(i): set(an.tokens(t)) for i, t in zip(docs["doc_id"], docs["text"])}
+    # qid 0: "*ow batch" — every hit has batch or an -ow term
+    for r in out[out["qid"] == 0].itertuples():
+        ts = toks[int(r.doc_id)]
+        assert "batch" in ts or any(t.endswith("ow") for t in ts)
+    # qid 2: dead suffix -> behaves as plain "merge"
+    for r in out[out["qid"] == 2].itertuples():
+        assert "merge" in toks[int(r.doc_id)]
