@@ -2157,6 +2157,71 @@ SELECT qid, rank, vec_id, adc FROM (
 """
 
 
+def _ann_ivfpq_residual_topk_sql() -> str:
+    """IVFADC oracle: like _ann_ivfpq_topk_sql but the query subtracts each
+    probed list's micro centroid (centroids_micro.parquet) BEFORE the
+    distance table, so the per-(qid, lid) LUT is replayed exactly."""
+    import json
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        raise OSError("driver correctness dataset absent")
+    from engine.ops.ann import PQ_M, ivfpq_probe_artifacts
+
+    adir, probe_path = ivfpq_probe_artifacts(sf, n_queries=5, nprobe=4,
+                                             residual=True)
+    with open(f"{adir}/meta.json") as f:
+        dsub = json.load(f)["dsub"]
+    unpivot = ", ".join(
+        f"{{'sub': {s}, 'code': code_{s}}}" for s in range(PQ_M))
+    return f"""
+WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT qid, s['j'] j, s['v'] v FROM (
+    SELECT qid, unnest(list_transform(range(1, len(embedding) + 1),
+           i -> {{'j': i - 1,
+                  'v': floor(embedding[i]::DOUBLE * 1e6 + 0.5)::BIGINT}})) s
+    FROM q)
+),
+probe AS (SELECT qid, lid FROM read_parquet('{probe_path}')),
+cm AS (SELECT lid, j, c FROM read_parquet('{adir}/centroids_micro.parquet')),
+qr AS (
+  SELECT p.qid, p.lid, qc.j, (qc.v - cm.c)::BIGINT vr
+  FROM probe p JOIN qc ON qc.qid = p.qid
+  JOIN cm ON cm.lid = p.lid AND cm.j = qc.j
+),
+cb AS (SELECT sub, code, j, c FROM read_parquet('{adir}/codebooks.parquet')),
+dist AS (
+  SELECT qid, lid, cb.sub, cb.code,
+         sum((qr.vr - cb.c) * (qr.vr - cb.c))::BIGINT d
+  FROM cb JOIN qr ON qr.j = cb.sub * {dsub} + cb.j
+  GROUP BY 1, 2, 3, 4
+),
+lists AS (SELECT * FROM read_parquet('{adir}/lists/*/*.parquet')),
+cand AS (
+  SELECT p.qid, l.* FROM probe p JOIN lists l ON l.lid = p.lid
+  WHERE l.vec_id <> p.qid
+),
+codes AS (
+  SELECT qid, vec_id, lid, s['sub'] sub, s['code'] code FROM (
+    SELECT qid, vec_id, lid, unnest([{unpivot}]) s FROM cand)
+),
+adc AS (
+  SELECT c.qid::BIGINT qid, c.vec_id::BIGINT vec_id, sum(d.d)::BIGINT adc
+  FROM codes c JOIN dist d ON d.qid = c.qid AND d.lid = c.lid
+                          AND d.sub = c.sub AND d.code = c.code
+  GROUP BY 1, 2
+)
+SELECT qid, rank, vec_id, adc FROM (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc ASC, vec_id ASC)::BIGINT rank
+  FROM adc
+) WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+
 def _lang_id_scored_sql() -> str:
     """ta_lang_id_scored oracle: trigram extraction, integer scoring, argmax
     and confidence recomputed by DuckDB against the SAME materialized profile
@@ -3575,6 +3640,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": lambda sf: ann.pq_adc_topk(sf, n_queries=5, k=10),
         # IVF-PQ: coarse-routed probes + ADC over per-list codes
         "ann_ivfpq_topk": lambda sf: ann.ivfpq_topk(sf, n_queries=5, nprobe=4, k=10),
+        # IVFADC proper: residual-encoded codes, per-list query LUTs
+        "ann_ivfpq_residual_topk": lambda sf: ann.ivfpq_topk(
+            sf, n_queries=5, nprobe=4, k=10, residual=True),
         # full probe (nprobe = n_lists) is EXACT: proves the persisted-IVF
         # read path (partition routing, per-list scan, merge) against the
         # same SQL oracle as brute force
@@ -4572,6 +4640,10 @@ FROM documents ORDER BY doc_id
     # IVF-PQ: probe restriction + exact ADC replay, both from artifacts
     try:
         sql["ann_ivfpq_topk"] = _ann_ivfpq_topk_sql()
+    except OSError:
+        pass
+    try:
+        sql["ann_ivfpq_residual_topk"] = _ann_ivfpq_residual_topk_sql()
     except OSError:
         pass
     sql["dedup_span_coverage"] = _span_coverage_sql()

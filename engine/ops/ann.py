@@ -746,18 +746,22 @@ PQ_ITERS = 3    # Lloyd iterations per subspace
 # (8,16,3) 12/50, (16,16,3) 21/50 — finer subspaces win on this corpus
 
 
-def _pq_fit(ds, m: int, ks: int, iters: int):
+def _pq_fit(ds, m: int, ks: int, iters: int, transform=None):
     """Per-subspace Lloyd k-means under the SAME exact integer contract as
     _kmeans_fit, FUSED: one seed pass + one corpus pass per iteration
     trains all ``m`` codebooks at once (a per-subspace _kmeans_fit would
     cost m× the passes for identical results). Seeds are the first ``ks``
     vectors in the deterministic md5 hash order, sliced per subspace.
+    ``transform(batch, ids, X) -> X'`` (optional) maps each batch's micro
+    matrix before any PQ work — the residual hook IVFADC uses.
     Returns (Cs, lives, dsub): per-subspace int64 centroid matrices and the
     surviving original code ids."""
     import ray
 
     def seed_partial(batch: pa.Table) -> pd.DataFrame:
         ids, X = _emb_micro(batch)
+        if transform is not None:
+            X = transform(batch, ids, X)
         hv = _km_seed_hash(ids)
         ordx = np.lexsort((ids, hv))[:ks]
         return pd.DataFrame({
@@ -782,6 +786,8 @@ def _pq_fit(ds, m: int, ks: int, iters: int):
         def upd_partial(batch: pa.Table, c_ref=c_ref) -> pd.DataFrame:
             Cb = ray.get(c_ref)
             ids, X = _emb_micro(batch)
+            if transform is not None:
+                X = transform(batch, ids, X)
             rows = []
             for s, Cm in enumerate(Cb):
                 Xs = X[:, s * dsub:(s + 1) * dsub]
@@ -1002,7 +1008,7 @@ def _adc_lut(Q: np.ndarray, cents: dict[tuple[int, int], np.ndarray],
 
 def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
                     m: int = PQ_M, ks: int = PQ_KS,
-                    iters: int = PQ_ITERS) -> str:
+                    iters: int = PQ_ITERS, residual: bool = False) -> str:
     """Build-once persisted IVF-PQ artifact — the production 100-TB ANN
     layout (coarse inverted lists whose ENTRIES are PQ codes, Jégou 2011):
 
@@ -1014,7 +1020,19 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
     ONE corpus pass assigns the coarse list AND encodes the PQ codes; a
     query then reads only its probed partitions and scans m ints per
     candidate — neither raw vectors nor unprobed lists ever move. Same
-    idempotence/lock/fingerprint rules as the IVF and PQ caches."""
+    idempotence/lock/fingerprint rules as the IVF and PQ caches.
+
+    ``residual=True`` is IVFADC proper (Jégou 2011 §IV): codebooks train on
+    and codes encode x − c(lid) — the residual against the vector's own
+    micro-quantized coarse centroid (persisted as centroids_micro.parquet
+    so SQL replays the subtraction exactly); query LUTs become
+    per-probed-list. Residuals concentrate the quantizer's dynamic range
+    on within-cell variation, the standard recall win at equal m×ks on
+    REAL embedding distributions — measured on this repo's isotropic
+    synthetic fixture it does NOT win (recall@10 over 5 queries: raw 21/50
+    vs residual 17/50 at nprobe=4; 21 vs 19 at full probe), which is the
+    honest caveat: residuals pay off when within-cell variance ≪ global
+    variance, and the fixture's clusters are nearly isotropic."""
     import hashlib
     import json
     import os
@@ -1023,7 +1041,8 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
     import ray
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivfpq|{n_lists}|{seed}|{m}|{ks}|{iters}".encode()
+        f"{os.path.abspath(sf_dir)}|ivfpq|{n_lists}|{seed}|{m}|{ks}|{iters}"
+        f"|r{int(residual)}".encode()
     ).hexdigest()[:12]
     adir = f"/tmp/engine_indexes/ivfpq-{tag}"
     meta_path = os.path.join(adir, "meta.json")
@@ -1037,6 +1056,7 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
         ok = (meta.get("n_lists") == n_lists and meta.get("seed") == seed
               and meta.get("m") == m and meta.get("ks") == ks
               and meta.get("iters") == iters
+              and bool(meta.get("residual", False)) == residual
               and meta.get("source_fingerprint") == src_fp)
         return meta if ok else None
 
@@ -1049,10 +1069,38 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
             return adir
         ds = _read_embeddings(sf_dir)
         centroids = _train_centroids(ds, n_lists, seed)
-        Cs, lives, dsub = _pq_fit(ds, m, ks, iters)
+        c_micro = np.floor(centroids * 1e6 + 0.5).astype(np.int64)
+        if residual:
+            import ray as _ray
+
+            cf_ref = _ray.put((centroids, c_micro))
+
+            def _resid(batch, ids, X, cf_ref=cf_ref):
+                import ray as _r
+
+                cents, cm = _r.get(cf_ref)
+                _i, mat = _to_matrix(batch)
+                lid = (_normalize(mat) @ cents.T).argmax(axis=1)
+                return X - cm[lid]
+        else:
+            _resid = None
+        Cs, lives, dsub = _pq_fit(ds, m, ks, iters, transform=_resid)
         os.makedirs(adir, exist_ok=True)
         np.save(os.path.join(adir, "centroids.npy"), centroids)
         import pyarrow.parquet as pqt
+
+        if residual:
+            cm_rows = {"lid": [], "j": [], "c": []}
+            for lid in range(c_micro.shape[0]):
+                for j in range(c_micro.shape[1]):
+                    cm_rows["lid"].append(lid)
+                    cm_rows["j"].append(j)
+                    cm_rows["c"].append(int(c_micro[lid, j]))
+            tmpc = os.path.join(adir, f"centroids_micro.parquet.tmp-{os.getpid()}")
+            pqt.write_table(
+                pa.table({k: pa.array(v, pa.int64()) for k, v in cm_rows.items()}),
+                tmpc)
+            os.replace(tmpc, os.path.join(adir, "centroids_micro.parquet"))
 
         rows = {"sub": [], "code": [], "j": [], "c": []}
         for s in range(m):
@@ -1070,13 +1118,15 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
         lists_dir = os.path.join(adir, "lists")
         if os.path.isdir(lists_dir):
             shutil.rmtree(lists_dir)
-        ref = ray.put((centroids, Cs, lives))
+        ref = ray.put((centroids, c_micro, Cs, lives))
 
         def assign_encode(batch: pa.Table, ref=ref) -> pa.Table:
-            cents, Cb, lv = ray.get(ref)
+            cents, cm, Cb, lv = ray.get(ref)
             ids, X = _emb_micro(batch)
             _ids2, mat = _to_matrix(batch)
             lid = (_normalize(mat) @ cents.T).argmax(axis=1).astype(np.int32)
+            if residual:
+                X = X - cm[lid]
             cols = {"vec_id": pa.array(ids, pa.int64())}
             for s, Cm in enumerate(Cb):
                 a, _ = _km_assign(X[:, s * dsub:(s + 1) * dsub], Cm)
@@ -1090,7 +1140,7 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
             lists_dir, partition_cols=["list_id"])
         meta = {"n_lists": n_lists, "seed": seed, "m": m, "ks": ks,
                 "iters": iters, "dim": dsub * m, "dsub": dsub,
-                "source_fingerprint": src_fp}
+                "residual": residual, "source_fingerprint": src_fp}
         tmpm = f"{meta_path}.tmp-{os.getpid()}"
         with open(tmpm, "w") as f:
             json.dump(meta, f)
@@ -1099,7 +1149,8 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
 
 
 def ivfpq_probe_artifacts(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
-                          n_lists: int = 16, seed: int = 13) -> tuple[str, str]:
+                          n_lists: int = 16, seed: int = 13,
+                          residual: bool = False) -> tuple[str, str]:
     """(artifact_dir, probe_parquet_path) — the IVF-PQ sibling of
     ivf_probe_artifacts: materializes the (qid, lid) probe table with the
     same routing expression ivfpq_topk uses, keyed by source fingerprint."""
@@ -1109,7 +1160,7 @@ def ivfpq_probe_artifacts(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
     import pyarrow.compute as pc
     import pyarrow.parquet as pqt
 
-    adir = ivfpq_artifacts(sf_dir, n_lists=n_lists, seed=seed)
+    adir = ivfpq_artifacts(sf_dir, n_lists=n_lists, seed=seed, residual=residual)
     with open(os.path.join(adir, "meta.json")) as f:
         fp = json.load(f)["source_fingerprint"]
     probe_path = os.path.join(adir, f"probe_q{n_queries}_np{nprobe}_{fp}.parquet")
@@ -1133,7 +1184,8 @@ def ivfpq_probe_artifacts(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
 
 
 def ivfpq_topk(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
-               k: int = 10, n_lists: int = 16, seed: int = 13) -> pd.DataFrame:
+               k: int = 10, n_lists: int = 16, seed: int = 13,
+               residual: bool = False) -> pd.DataFrame:
     """IVF-PQ query: coarse-route each query to its nprobe nearest lists,
     then ADC-rank ONLY those lists' PQ codes — the scan reads the probed
     hive partitions (probe_paths seam, pruning assertable in tests) and
@@ -1149,7 +1201,8 @@ def ivfpq_topk(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
     import ray.data as rd
 
     adir, _probe_path = ivfpq_probe_artifacts(
-        sf_dir, n_queries=n_queries, nprobe=nprobe, n_lists=n_lists, seed=seed)
+        sf_dir, n_queries=n_queries, nprobe=nprobe, n_lists=n_lists, seed=seed,
+        residual=residual)
     with open(os.path.join(adir, "meta.json")) as f:
         meta = json.load(f)
     m, ks, dsub = int(meta["m"]), int(meta["ks"]), int(meta["dsub"])
@@ -1163,7 +1216,19 @@ def ivfpq_topk(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
     probe = np.argsort(-(_normalize(qmat) @ centroids.T), axis=1)[:, :nprobe]
 
     cents = _load_codebooks(os.path.join(adir, "codebooks.parquet"))
-    lut = _adc_lut(Q, cents, m, ks, dsub)
+    if residual:
+        # IVFADC: one LUT per probed list — distances are to (residual
+        # codeword + that list's micro centroid), i.e. subtract c(lid)
+        # from the query before the table build
+        import pyarrow.parquet as _pqt
+
+        cmt = _pqt.read_table(os.path.join(adir, "centroids_micro.parquet")).to_pandas()
+        cm = np.zeros((int(cmt["lid"].max()) + 1, dsub * m), dtype=np.int64)
+        cm[cmt["lid"].to_numpy(), cmt["j"].to_numpy()] = cmt["c"].to_numpy()
+        lut = {int(l): _adc_lut(Q - cm[int(l)][None, :], cents, m, ks, dsub)
+               for l in np.unique(probe)}
+    else:
+        lut = _adc_lut(Q, cents, m, ks, dsub)
     ref = ray.put((q_ids, lut, probe))
 
     paths = probe_paths(adir, probe.ravel())
@@ -1184,8 +1249,16 @@ def ivfpq_topk(sf_dir: str, *, n_queries: int = 5, nprobe: int = 4,
             if not mask.any():
                 continue
             adc = np.zeros(int(mask.sum()), dtype=np.int64)
-            for s in range(m):
-                adc += luts[qi, s][codes[mask, s]]
+            if residual:
+                ml = lids[mask]
+                for s in range(m):
+                    cs = codes[mask, s]
+                    for l in np.unique(ml):
+                        lm = ml == l
+                        adc[lm] += luts[int(l)][qi, s][cs[lm]]
+            else:
+                for s in range(m):
+                    adc += luts[qi, s][codes[mask, s]]
             v = vid[mask]
             if v.size > k:
                 part = np.lexsort((v, adc))[:k]

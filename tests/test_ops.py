@@ -3303,3 +3303,67 @@ def test_dsir_resample_and_leading_wildcard(ray_session):
     # qid 2: dead suffix -> behaves as plain "merge"
     for r in out[out["qid"] == 2].itertuples():
         assert "merge" in toks[int(r.doc_id)]
+
+
+def test_ivfpq_residual_replay_and_distinctness(ray_session):
+    """IVFADC (residual=True): ranking reproduced from the persisted
+    artifacts (per-list LUT = query minus that list's micro centroid);
+    residual codes genuinely differ from raw codes; both artifact
+    generations coexist (distinct cache dirs)."""
+    import json
+    import os
+
+    from engine.ops.ann import (_adc_lut, _emb_micro, _load_codebooks,
+                                ivfpq_probe_artifacts, ivfpq_topk)
+
+    sf = "/root/testdata/sf0.001"
+    got = ivfpq_topk(sf, n_queries=5, nprobe=4, k=10, residual=True)
+    adir, probe_path = ivfpq_probe_artifacts(sf, n_queries=5, nprobe=4,
+                                             residual=True)
+    raw_adir, _ = ivfpq_probe_artifacts(sf, n_queries=5, nprobe=4,
+                                        residual=False)
+    assert adir != raw_adir
+    with open(f"{adir}/meta.json") as f:
+        meta = json.load(f)
+    assert meta["residual"] is True
+    m, ks, dsub = meta["m"], meta["ks"], meta["dsub"]
+
+    def load_lists(d):
+        parts = [p for p in os.listdir(f"{d}/lists") if p.startswith("list_id=")]
+        return pd.concat([
+            pq.read_table(os.path.join(d, "lists", p, f)).to_pandas()
+            for p in parts for f in os.listdir(os.path.join(d, "lists", p))
+            if f.endswith(".parquet")], ignore_index=True).sort_values(
+                "vec_id").reset_index(drop=True)
+
+    lists = load_lists(adir)
+    raw_lists = load_lists(raw_adir)
+    code_cols = [f"code_{s}" for s in range(m)]
+    assert not lists[code_cols].equals(raw_lists[code_cols])
+    # same coarse assignment either way (routing is residual-independent)
+    assert lists["lid"].tolist() == raw_lists["lid"].tolist()
+
+    cmt = pq.read_table(f"{adir}/centroids_micro.parquet").to_pandas()
+    cm = np.zeros((int(cmt["lid"].max()) + 1, dsub * m), dtype=np.int64)
+    cm[cmt["lid"].to_numpy(), cmt["j"].to_numpy()] = cmt["c"].to_numpy()
+    probe = pq.read_table(probe_path).to_pandas()
+    qt = pq.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).sort_by("vec_id").slice(0, 5)
+    q_ids, Q = _emb_micro(qt)
+    cents = _load_codebooks(f"{adir}/codebooks.parquet")
+    for qi, qid in enumerate(q_ids):
+        lids = sorted(set(probe[probe["qid"] == qid]["lid"]))
+        rows = []
+        for lid in lids:
+            lut = _adc_lut(Q[qi:qi + 1] - cm[lid][None, :], cents, m, ks, dsub)[0]
+            cand = lists[(lists["lid"] == lid) & (lists["vec_id"] != qid)]
+            adc = np.zeros(len(cand), dtype=np.int64)
+            for s in range(m):
+                adc += lut[s][cand[f"code_{s}"].to_numpy()]
+            rows.append(pd.DataFrame({"vec_id": cand["vec_id"].to_numpy(),
+                                      "adc": adc}))
+        allc = pd.concat(rows, ignore_index=True)
+        order = np.lexsort((allc["vec_id"].to_numpy(), allc["adc"].to_numpy()))[:10]
+        g = got[got["qid"] == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == allc["vec_id"].to_numpy()[order].tolist()
+        assert g["adc"].tolist() == allc["adc"].to_numpy()[order].tolist()
