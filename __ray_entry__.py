@@ -3303,6 +3303,64 @@ ORDER BY qid, rank
 """
 
 
+def _tr_most_fields_sql(k: int) -> str:
+    """most_fields oracle: the dis_max per-field CTEs with SUM + integer
+    boost in place of MAX."""
+    from engine.pipelines import (MOST_FIELDS_TOOL_BOOST, _dismax_query_set,
+                                  tr_oracle_corpus_path)
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in _dismax_query_set())
+
+    def field_ctes(p: str, col: str) -> str:
+        toks = f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+        return f"""
+{p}tok AS (SELECT doc_key, unnest({toks}) AS term FROM src),
+{p}tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM {p}tok GROUP BY 1, 2),
+{p}dl AS (SELECT doc_key, count(*)::BIGINT dl FROM {p}tok GROUP BY 1),
+{p}stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM {p}dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+{p}df AS (SELECT term, count(*)::BIGINT df FROM {p}tf GROUP BY 1),
+{p}scored AS (
+  SELECT qt.qid, tf.doc_key,
+         floor(sum(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) * 1e6 + 0.5)::BIGINT score_micro
+  FROM qterm qt
+  JOIN {p}df df ON df.term = qt.term
+  JOIN {p}tf tf ON tf.term = qt.term
+  JOIN {p}dl dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN {p}stats s
+  GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH src AS (SELECT doc_key, text, tool FROM read_parquet('{path}')),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),{field_ctes("t", "text")},{field_ctes("k", "tool")},
+summed AS (
+  SELECT qid, doc_key, sum(score_micro)::BIGINT score_micro FROM (
+    SELECT * FROM tscored
+    UNION ALL
+    SELECT qid, doc_key, score_micro * {MOST_FIELDS_TOOL_BOOST} FROM kscored
+  ) GROUP BY 1, 2
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM summed
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_bm25_recency_sql(k: int) -> str:
     """Oracle for tr_bm25_recency: BM25 micro scores scaled by the linear
     integer ppm recency weight (age in whole hours below the corpus max ts,
@@ -3580,6 +3638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_has_child": lambda sf: P.tr_has_child(sf, k=10),
         # multi-field best_fields: max of per-field BM25 over one index
         # per field (text + tool)
+        "tr_most_fields": lambda sf: P.tr_most_fields(sf, k=10),
         "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
         # field-sorted retrieval: newest matching turns first
         "tr_sort_by_field": lambda sf: P.tr_sort_by_field(sf, k=10),
@@ -3864,6 +3923,7 @@ ORDER BY b.purchase_id
         "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
         "tr_has_child": _tr_has_child_sql(10),
         "tr_dis_max": _tr_dis_max_sql(10),
+        "tr_most_fields": _tr_most_fields_sql(10),
         "tr_sort_by_field": _tr_sort_by_field_sql(10),
         "tr_sort_by_field_dv": _tr_sort_by_field_sql(10),
         "tr_has_parent": _tr_has_parent_sql(10),

@@ -3198,6 +3198,73 @@ def tr_dis_max(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+MOST_FIELDS_TOOL_BOOST = 2  # integer per-field boost (tool^2 in ES syntax)
+
+
+def tr_most_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Multi-field `most_fields` retrieval (ES `multi_match` with
+    `type: most_fields`, fields ["text", "tool^2"]): each doc's score is
+    the SUM of its per-field BM25 scores with an integer per-field boost —
+    the recall-oriented sibling of dis_max (X50), rewarding docs that match
+    in MANY fields instead of taking the best one.
+
+    Scale shape: identical to tr_dis_max — one ScoredMatchServer pool per
+    field index, streams union, ONE associative groupby — with Sum in
+    place of Max and the boost applied per stream before the combine.
+    Columns: qid, rank, doc_key, score_micro."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.query.engine import ScoredMatchServer
+
+    _path, idx_text = tr_oracle_index()
+    _path2, idx_tool = tr_tool_index()
+    items = [{"qid": q, "text": t} for q, t in _dismax_query_set()]
+
+    def field_stream(idx: str, boost: int):
+        ds = rd.from_items(items).map_batches(
+            ScoredMatchServer,
+            fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4,
+            concurrency=2,
+        )
+        if boost == 1:
+            return ds
+
+        def apply_boost(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.set_column(b.schema.get_field_index("score"), "score",
+                                pc.multiply(b["score"], boost))
+
+        return ds.map_batches(apply_boost, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    summed = (
+        field_stream(idx_text, 1)
+        .union(field_stream(idx_tool, MOST_FIELDS_TOOL_BOOST))
+        .groupby(["qid", "doc_key"])
+        .aggregate(Sum("score", alias_name="score_micro"))
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "score_micro", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = summed.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "score_micro", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def tr_text_identity(sf_dir: str) -> pd.DataFrame:
     """The spec's per-row invariant, driver-checked: every turn the ENGINE's
     committed docmap knows hydrates to the right docID and its source text

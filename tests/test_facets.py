@@ -1511,3 +1511,22 @@ def test_ft_percentile_ranks_vs_pandas(ray_session):
         g = g.sort_values("thr")
         assert list(g["thr"]) == list(PRANK_VALUES)
         assert g["n_le"].is_monotonic_increasing
+
+
+def test_tr_most_fields_vs_dis_max_laws(ray_session):
+    """most_fields vs dis_max algebra on the same streams: for every
+    common (qid, doc_key), sum-with-boost ≥ max (boost ≥ 1); docs scoring
+    in BOTH fields rank strictly higher under most_fields than their
+    best single field alone; and some ranking actually differs."""
+    from engine.pipelines import (MOST_FIELDS_TOOL_BOOST, tr_dis_max,
+                                  tr_most_fields)
+
+    mf = tr_most_fields("unused", k=10)
+    dm = tr_dis_max("unused", k=10)
+    assert len(mf) and len(dm)
+    assert MOST_FIELDS_TOOL_BOOST >= 1
+    merged = mf.merge(dm, on=["qid", "doc_key"], suffixes=("_sum", "_max"))
+    assert len(merged)
+    assert (merged["score_micro_sum"] >= merged["score_micro_max"]).all()
+    assert (mf.sort_values(["qid", "rank"])["doc_key"].tolist()
+            != dm.sort_values(["qid", "rank"])["doc_key"].tolist())
