@@ -508,6 +508,63 @@ ORDER BY qid, rank
 """
 
 
+_SSTEM_CASE = """CASE
+  WHEN t LIKE '%ies' THEN
+    CASE WHEN length(t) <= 3 OR t LIKE '%eies' OR t LIKE '%aies' THEN t
+         ELSE substr(t, 1, length(t) - 3) || 'y' END
+  WHEN t LIKE '%es' THEN
+    CASE WHEN length(t) <= 3 OR t LIKE '%aes' OR t LIKE '%ees' OR t LIKE '%oes' THEN t
+         ELSE substr(t, 1, length(t) - 1) END
+  WHEN t LIKE '%s' THEN
+    CASE WHEN length(t) <= 2 OR t LIKE '%us' OR t LIKE '%ss' THEN t
+         ELSE substr(t, 1, length(t) - 1) END
+  ELSE t END"""
+
+
+def _bm25_stemmed_sql(k: int) -> str:
+    """Stemmed-retrieval oracle: the sstem ladder (SURVEY X113) replayed as
+    a suffix-form CASE applied to BOTH document tokens and query tokens;
+    BM25 stats computed over the stemmed token stream."""
+    from engine.pipelines import STEM_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}')" for q, t in STEM_QUERIES)
+    stem = f"list_transform({_TOKS}, t -> {_SSTEM_CASE})"
+    qstem = ("list_transform(list_filter(regexp_split_to_array(lower(qtext),"
+             " '[^a-z0-9]+'), x -> x <> ''), t -> " + _SSTEM_CASE + ")")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({stem}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({qstem}) term FROM q),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bm25_wildcard_leading_sql(k: int, max_expand: int = 5) -> str:
     """Leading-wildcard oracle: *suffix tokens expand by endswith (LIKE
     '%' || suffix), same top-terms cap; the union scores as standard BM25."""
@@ -3594,6 +3651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_hybrid_rrf": lambda sf: P.ft_hybrid_rrf(sf, k=10),
         # trailing-* wildcard expansion against the term dictionary
         "ft_bm25_wildcard_leading": P.ft_bm25_wildcard_leading,
+        # s-stemmed field: plural queries match singular docs
+        "ft_bm25_stemmed": lambda sf: P.ft_bm25_stemmed(sf, k=10),
         "ft_bm25_wildcard": lambda sf: P.ft_bm25_wildcard(sf, k=10),
         # fuzzy retrieval: term~ expands to edit-distance-1 vocab terms
         "ft_bm25_fuzzy": lambda sf: P.ft_bm25_fuzzy(sf, k=10),
@@ -3903,6 +3962,7 @@ ORDER BY b.purchase_id
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),
         "ft_bm25_wildcard": _bm25_wildcard_sql(10),
         "ft_bm25_wildcard_leading": _bm25_wildcard_leading_sql(10),
+        "ft_bm25_stemmed": _bm25_stemmed_sql(10),
         "ft_bm25_fuzzy": _bm25_fuzzy_sql(10),
         "ft_bm25_regexp": _bm25_regexp_sql(10),
         "ft_bm25_search_after": _bm25_search_after_sql(10),

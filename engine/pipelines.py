@@ -2302,6 +2302,59 @@ def ft_autocomplete(sf_dir: str) -> pd.DataFrame:
     return out.astype({"df": "int64"})
 
 
+STEM_QUERIES: list[tuple[int, str]] = [
+    (0, "joins batches"),
+    (1, "queries windows"),
+    (2, "tables scans"),
+    (3, "rows values merges"),
+]
+
+
+def documents_sstem_index(sf_dir: str, num_shards: int = 8) -> str:
+    """Build (once per corpus CONTENT) the S-STEMMED index over documents:
+    same build machinery, `sstem` analyzer plugin
+    (engine/text/analyzer.py::SStemAnalyzer) — doc tokens are stemmed at
+    index time, queries stem with the same analyzer at query time, the
+    Lucene analyzer-symmetry rule."""
+    fp = _src_fp(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|{num_shards}|{fp}|sstem-v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"sstem-{key}")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            build_index(documents_corpus(sf_dir), idx, num_shards=num_shards,
+                        build_id="sstem", analyzer="sstem", exchange="sort")
+    return idx
+
+
+def ft_bm25_stemmed(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Stemmed retrieval (ES `analyzer: minimal_english` / s-stemmer):
+    plural query forms match singular document tokens because BOTH sides
+    pass the sstem analyzer — 'queries windows' finds docs containing
+    'query'/'window'. BM25 stats (df/dl/avgdl) are the STEMMED index's
+    own, as in any Lucene field with a custom analyzer.
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    from engine.text.analyzer import SStemAnalyzer
+
+    idx = documents_sstem_index(sf_dir)
+    res = rd.from_items(
+        [{"qid": q, "text": t} for q, t in STEM_QUERIES]
+    ).map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True,
+                               "analyzer_obj": SStemAnalyzer()},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64",
+                       "score_micro": "int64"})
+
+
 def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
     """Extended-stats aggregation (ES `extended_stats`): count / min / max /
     sum / sum-of-squares of n_chars over each query's FULL match set, plus

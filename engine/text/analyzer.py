@@ -194,10 +194,68 @@ class EdgeNGramAnalyzer(Analyzer):
         return flat, out_dl
 
 
+class SStemAnalyzer(Analyzer):
+    """S-stemmer analyzer (Harman 1991, "How effective is suffixing?"):
+    after the default grammar, each token passes ONE ladder — the first
+    suffix form that applies decides, exceptions leave the token unchanged:
+
+      ends 'ies' (len > 3, not 'eies'/'aies')  → strip 'ies', add 'y'
+      else ends 'es' (len > 3, not 'aes'/'ees'/'oes') → strip final 's'
+      else ends 's' (len > 2, not 'us'/'ss')   → strip final 's'
+
+    The mildest published English stemmer — conflates regular plurals
+    ('queries'→'query', 'joins'→'join', 'values'→'value') without
+    Porter's aggressive derivational folding. The ladder is a pure
+    suffix-form CASE, so DuckDB replays it exactly (the SQL-parity rule
+    NFKC deliberately trades away)."""
+
+    name = "sstem"
+
+    @staticmethod
+    def _stem_one(t: str) -> str:
+        if t.endswith("ies"):
+            if len(t) <= 3 or t.endswith(("eies", "aies")):
+                return t
+            return t[:-3] + "y"
+        if t.endswith("es"):
+            if len(t) <= 3 or t.endswith(("aes", "ees", "oes")):
+                return t
+            return t[:-1]
+        if t.endswith("s"):
+            if len(t) <= 2 or t.endswith(("us", "ss")):
+                return t
+            return t[:-1]
+        return t
+
+    def tokens(self, text: str) -> list[str]:
+        return [self._stem_one(t) for t in super().tokens(text)]
+
+    def tokenize_arrow(self, texts):
+        import pandas as pd
+
+        flat, dl = super().tokenize_arrow(texts)
+        if len(flat) == 0:
+            return flat, dl
+        s = pd.Series(np.asarray(flat.to_pandas(), dtype=object), dtype=object).astype(str)
+        ln = s.str.len()
+        c1 = s.str.endswith("ies")
+        m1 = c1 & (ln > 3) & ~(s.str.endswith("eies") | s.str.endswith("aies"))
+        c2 = ~c1 & s.str.endswith("es")
+        m2 = c2 & (ln > 3) & ~(s.str.endswith(("aes", "ees", "oes")))
+        c3 = ~c1 & ~c2 & s.str.endswith("s")
+        m3 = c3 & (ln > 2) & ~(s.str.endswith(("us", "ss")))
+        out = s.copy()
+        out[m1] = s[m1].str[:-3] + "y"
+        out[m2] = s[m2].str[:-1]
+        out[m3] = s[m3].str[:-1]
+        return pa.array(out.to_numpy(dtype=object), type=pa.large_string()), dl
+
+
 _REGISTRY: dict[str, tuple[type, bool]] = {
     "default": (Analyzer, False),
     "nfkc": (NFKCAnalyzer, False),
     "edge_ngram": (EdgeNGramAnalyzer, False),
+    "sstem": (SStemAnalyzer, False),
 }
 
 

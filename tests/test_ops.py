@@ -3367,3 +3367,24 @@ def test_ivfpq_residual_replay_and_distinctness(ray_session):
         g = got[got["qid"] == qid].sort_values("rank")
         assert g["vec_id"].tolist() == allc["vec_id"].to_numpy()[order].tolist()
         assert g["adc"].tolist() == allc["adc"].to_numpy()[order].tolist()
+
+
+def test_sstem_analyzer_and_stemmed_retrieval(ray_session):
+    """S-stemmer ladder: scalar == vectorized arrow path on the exception
+    zoo; stemmed retrieval finds singular docs from plural queries (every
+    qid returns hits even though the corpus has no plural forms)."""
+    from engine.pipelines import STEM_QUERIES, ft_bm25_stemmed
+    from engine.text.analyzer import SStemAnalyzer
+
+    an = SStemAnalyzer()
+    zoo = ("queries joins values tables goes pass bus dies aies eies xs abs "
+           "scans merges batches us ss s es ies".split())
+    flat, _dl = an.tokenize_arrow(pa.array([" ".join(zoo)], pa.large_string()))
+    assert an.tokens(" ".join(zoo)) == flat.to_pylist()
+    assert an.tokens("queries") == ["query"]
+    assert an.tokens("values") == ["value"]
+    assert an.tokens("bus pass goes") == ["bus", "pass", "goes"]  # exceptions hold
+
+    out = ft_bm25_stemmed("/root/testdata/sf0.001", k=10)
+    assert set(out["qid"]) == {q for q, _ in STEM_QUERIES}
+    assert (out.groupby("qid").size() > 0).all()
