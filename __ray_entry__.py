@@ -3844,6 +3844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.q1_pricing_summary,
         "rel_nation_revenue": relational.nation_revenue,
         "rel_top_orders": relational.top_orders,
+        # TPC-H Q3: 3-way join + pushed-down predicates + top-k by revenue
+        "rel_shipping_priority": relational.shipping_priority,
         "ev_hourly": relational.events_hourly,
         # heavy hitters: top users by micro-exact total value
         # as-of join (SURVEY J4): last-click attribution within 24 h
@@ -4570,6 +4572,21 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1
+""",
+        "rel_shipping_priority": f"""
+SELECT o_orderkey, o_orderdate_epoch, revenue_cents FROM (
+  SELECT l_orderkey o_orderkey,
+         epoch_us(o_orderdate)::BIGINT o_orderdate_epoch,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT revenue_cents
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = '{relational.Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{relational.Q3_DATE}'
+    AND l_shipdate > TIMESTAMP '{relational.Q3_DATE}'
+  GROUP BY 1, 2
+)
+ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT {relational.Q3_TOPK}
 """,
         "rel_top_orders": """
 SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5)::BIGINT price_cents

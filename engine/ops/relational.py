@@ -742,3 +742,100 @@ def events_hll_registers(sf_dir: str) -> pd.DataFrame:
                         "max_rank": np.zeros(HLL_M, dtype=np.int64)})
     out.loc[got["reg"].to_numpy(), "max_rank"] = got["max_rank"].to_numpy()
     return out.astype("int64")
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"  # segment cutoff, TPC-H Q3's classic parameters
+Q3_TOPK = 10
+
+
+def shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 (shipping priority): revenue of undelivered orders from one
+    market segment — customer ⋈ orders ⋈ lineitem with date predicates on
+    BOTH fact tables, grouped by order, top-10 by revenue. The canonical
+    multi-join + filter-pushdown benchmark query.
+
+    Scale shape: predicates apply AT THE SCAN (segment filter on customer,
+    date filters inside the map stage before any exchange — only
+    surviving slim rows shuffle); two keyed hash joins sized to the
+    cluster; revenue as exact integer cents Σ floor(price·(1−disc)·100+0.5)
+    (single fused float expression, identical IEEE sequence in SQL);
+    per-block partial top-k + tiny driver merge, no global sort.
+
+    Columns: o_orderkey, o_orderdate_epoch, revenue_cents."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+
+    ensure_hash_shuffle()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(np.datetime64(Q3_DATE, "us"))
+        b = b.filter(pc.less(b["o_orderdate"], cutoff))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate_epoch": pc.cast(b["o_orderdate"], pa.int64()),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+
+    def line_rev(b: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(np.datetime64(Q3_DATE, "us"))
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_c": pa.array(rev, type=pa.int64()),
+        })
+
+    jargs = join_args(n_joins=2)
+    np_parts = jargs.pop("num_partitions")
+    oc = orders.map_batches(ord_filter, batch_format="pyarrow",
+                            zero_copy_batch=True).join(
+        cust.map_batches(cust_filter, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        join_type="inner", num_partitions=np_parts,
+        on=("o_custkey",), right_on=("c_custkey",), **jargs)
+    joined = line.map_batches(line_rev, batch_format="pyarrow",
+                              zero_copy_batch=True).join(
+        oc, join_type="inner", num_partitions=np_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",), **jargs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_orderdate_epoch"],
+                       as_index=False)["rev_c"].sum()
+        return g.rename(columns={"l_orderkey": "o_orderkey",
+                                 "rev_c": "revenue_cents"})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderkey", "o_orderdate_epoch"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "o_orderkey"],
+                              ascending=[False, True]).head(Q3_TOPK)
+
+    out = (
+        agg.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True])
+        .head(Q3_TOPK)
+        .reset_index(drop=True)
+    )
+    return out[["o_orderkey", "o_orderdate_epoch", "revenue_cents"]].astype("int64")

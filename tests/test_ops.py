@@ -3388,3 +3388,33 @@ def test_sstem_analyzer_and_stemmed_retrieval(ray_session):
     out = ft_bm25_stemmed("/root/testdata/sf0.001", k=10)
     assert set(out["qid"]) == {q for q, _ in STEM_QUERIES}
     assert (out.groupby("qid").size() > 0).all()
+
+
+def test_shipping_priority_vs_pandas(ray_session):
+    """TPC-H Q3 vs a pandas recompute: same joins, predicates, exact-cents
+    revenue, same (revenue desc, orderkey asc) top-10."""
+    from engine.ops.relational import (Q3_DATE, Q3_SEGMENT, Q3_TOPK,
+                                       shipping_priority)
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority(sf)
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    line = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp(Q3_DATE)
+    c = cust[cust["c_mktsegment"] == Q3_SEGMENT][["c_custkey"]]
+    o = orders[orders["o_orderdate"] < cutoff]
+    li = line[line["l_shipdate"] > cutoff].copy()
+    li["rev_c"] = np.floor(li["l_extendedprice"].to_numpy()
+                           * (1.0 - li["l_discount"].to_numpy()) * 100.0
+                           + 0.5).astype(np.int64)
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        c, left_on="o_custkey", right_on="c_custkey")
+    g = j.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_c"].sum()
+    g = g.sort_values(["rev_c", "l_orderkey"],
+                      ascending=[False, True]).head(Q3_TOPK)
+    assert got["o_orderkey"].tolist() == g["l_orderkey"].tolist()
+    assert got["revenue_cents"].tolist() == g["rev_c"].tolist()
+    assert got["o_orderdate_epoch"].tolist() == \
+        (g["o_orderdate"].astype("int64")).tolist()
+    assert len(got) == Q3_TOPK
