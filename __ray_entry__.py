@@ -3728,6 +3728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the verified pair graph (the "keep one
         # representative per duplicate cluster" action)
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold_micro=900_000),
+        # keep-best-quality canonical selection within each cluster
+        "dedup_keep_best": lambda sf: dedup.dedup_keep_best(sf, threshold_micro=900_000),
         "dedup_embedding_pairs": lambda sf: dedup.embedding_pairs(sf, threshold_micro=400_000),
         # SemDeDup (Abbas et al. 2023): k-means clusters, within-cluster
         # cosine duplicates, keep the farthest-from-centroid member
@@ -4459,6 +4461,39 @@ walk(doc, lab) AS (
 SELECT doc::BIGINT doc_id, min(lab)::BIGINT cluster_id,
        (CASE WHEN doc = min(lab) THEN 1 ELSE 0 END)::BIGINT keep
 FROM walk GROUP BY doc ORDER BY doc_id
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE t AS (SELECT doc_id, list_distinct({_TOKS}) s FROM documents),
+p AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id doc_a, b.doc_id doc_b,
+           floor((len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5)::BIGINT jm
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+  ) WHERE jm >= 900000
+),
+e AS (SELECT doc_a a, doc_b b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+walk(doc, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, w.lab FROM e JOIN walk w ON w.doc = e.b
+),
+cl AS (SELECT doc doc_id, min(lab) cluster_id FROM walk GROUP BY doc),
+sc AS (
+  SELECT doc_id,
+         floor(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE
+               * 1e6 + 0.5)::BIGINT score
+  FROM (SELECT doc_id, {_TOKS} toks FROM documents)
+),
+r AS (
+  SELECT cl.doc_id, cl.cluster_id, sc.score,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY sc.score DESC, cl.doc_id ASC) rn
+  FROM cl JOIN sc USING (doc_id)
+)
+SELECT doc_id::BIGINT doc_id, cluster_id::BIGINT cluster_id, score,
+       (rn = 1)::BIGINT keep
+FROM r ORDER BY doc_id
 """,
         "dedup_embedding_pairs": """
 SELECT vec_a, vec_b, sim_micro FROM (

@@ -1413,3 +1413,64 @@ def dedup_semantic(
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+def dedup_keep_best(sf_dir: str, *, threshold_micro: int = 900_000) -> pd.DataFrame:
+    """Canonical-document selection: within every near-dup cluster
+    (dedup_clusters' components) keep the HIGHEST-QUALITY member — quality
+    = the engine's shared unique-token-ratio micro score — ties to the
+    smallest doc_id. The selection real training-data dedup ships (keep the
+    best copy, not the smallest id); cluster_id stays the component min so
+    the two keep policies are directly comparable.
+
+    Scale shape: the cluster table is duplicate-population-sized (already
+    the dedup_clusters contract) and the score column comes from ONE
+    shuffle-free corpus scan restricted to clustered docs; the argmax per
+    cluster is a keyed reduction over that slim table. Columns: doc_id,
+    cluster_id, score, keep."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    clusters = dedup_clusters(sf_dir, threshold_micro=threshold_micro)
+    if not len(clusters):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "cluster_id", "score", "keep")})
+    wanted = pa.array(sorted(int(d) for d in clusters["doc_id"]), pa.int64())
+
+    class _Score:
+        def __init__(self) -> None:
+            self.an = Analyzer()
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            batch = batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            flat, dl = self.an.tokenize_arrow(texts)
+            toks = flat.to_numpy(zero_copy_only=False)
+            uniq = np.zeros(len(dl), dtype=np.int64)
+            if toks.size:
+                seg = np.repeat(np.arange(len(dl)), dl)
+                u = pd.DataFrame({"s": seg, "t": toks}).groupby("s")["t"].nunique()
+                uniq[u.index.to_numpy()] = u.to_numpy()
+            score = np.floor(
+                uniq / np.maximum(dl, 1).astype(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                                 "score": score})
+
+    scores = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+    out = clusters.drop(columns=["keep"]).merge(scores, on="doc_id")
+    best = out.sort_values(["cluster_id", "score", "doc_id"],
+                           ascending=[True, False, True],
+                           kind="stable").groupby("cluster_id").head(1)
+    out["keep"] = out["doc_id"].isin(best["doc_id"]).astype(np.int64)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "cluster_id", "score", "keep"]].astype("int64")

@@ -3418,3 +3418,23 @@ def test_shipping_priority_vs_pandas(ray_session):
     assert got["o_orderdate_epoch"].tolist() == \
         (g["o_orderdate"].astype("int64")).tolist()
     assert len(got) == Q3_TOPK
+
+
+def test_dedup_keep_best_vs_min_id_policy(ray_session):
+    """keep-best selection: exactly one keeper per cluster, it is the
+    cluster's (score desc, doc_id asc) argmax, cluster ids match
+    dedup_clusters', and the policy DIFFERS from keep-min-id somewhere on
+    the fixture (otherwise the test proves nothing)."""
+    from engine.ops.dedup import dedup_clusters, dedup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    kb = dedup_keep_best(sf)
+    cl = dedup_clusters(sf)
+    assert kb["doc_id"].tolist() == cl["doc_id"].tolist()
+    assert kb["cluster_id"].tolist() == cl["cluster_id"].tolist()
+    assert (kb.groupby("cluster_id")["keep"].sum() == 1).all()
+    for _c, g in kb.groupby("cluster_id"):
+        best = g.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        assert int(g[g["keep"] == 1]["doc_id"].iloc[0]) == int(best["doc_id"])
+    assert (kb["keep"] != cl["keep"]).any(), "policies never diverge on fixture"
