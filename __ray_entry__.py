@@ -3849,11 +3849,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3: 3-way join + pushed-down predicates + top-k by revenue
         "rel_shipping_priority": relational.shipping_priority,
         "ev_hourly": relational.events_hourly,
-        # heavy hitters: top users by micro-exact total value
         # as-of join (SURVEY J4): last-click attribution within 24 h
         "ev_attribution": relational.events_attribution,
         # HLL register sketch: mergeable bounded-memory count-distinct state
         "ev_hll_registers": relational.events_hll_registers,
+        # heavy hitters: top users by micro-exact total value
         "ev_heavy_hitters": lambda sf: relational.events_heavy_hitters(sf, k=25),
         "ev_sliding": lambda sf: relational.events_sliding(sf, window_hours=24),
         # pipeline aggs over the daily histogram: derivative, cumulative
@@ -3903,10 +3903,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_autocomplete": _autocomplete_sql(),
         "ft_did_you_mean": _did_you_mean_sql(),
         "ev_max_bucket": _ev_max_bucket_sql(),
-        # as-of semantics via a click-grain window: a purchase's grp counts
-        # clicks at-or-before it in strict (ts_us, event_id) order; the
-        # grp-th click IS its most recent prior click
-                # HLL registers replayed in SQL: same md5 hash, register = low 6
+        # HLL registers replayed in SQL: same md5 hash, register = low 6
         # bits, rank = 58-bit leading zeros + 1 via length(bin(suffix))
         "ev_hll_registers": f"""
 WITH h AS (
@@ -3927,6 +3924,9 @@ SELECT regs.reg, coalesce(max(rk.rank), 0)::BIGINT max_rank
 FROM regs LEFT JOIN rk ON rk.reg = regs.reg
 GROUP BY 1 ORDER BY 1
 """,
+        # as-of semantics via a click-grain window: a purchase's grp counts
+        # clicks at-or-before it in strict (ts_us, event_id) order; the
+        # grp-th click IS its most recent prior click
         "ev_attribution": """
 WITH u AS (
   SELECT user_id, event_id, epoch_us(ts)::BIGINT ts_us,

@@ -867,20 +867,7 @@ def pq_artifacts(sf_dir: str, *, m: int = PQ_M, ks: int = PQ_KS,
         ds = _read_embeddings(sf_dir)
         Cs, lives, dsub = _pq_fit(ds, m, ks, iters)
         os.makedirs(adir, exist_ok=True)
-        rows = {"sub": [], "code": [], "j": [], "c": []}
-        for s in range(m):
-            for pos in range(len(Cs[s])):
-                for j in range(dsub):
-                    rows["sub"].append(s)
-                    rows["code"].append(int(lives[s][pos]))
-                    rows["j"].append(j)
-                    rows["c"].append(int(Cs[s][pos, j]))
-        import pyarrow.parquet as pqt
-
-        tmp = os.path.join(adir, f"codebooks.parquet.tmp-{os.getpid()}")
-        pqt.write_table(
-            pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}), tmp)
-        os.replace(tmp, os.path.join(adir, "codebooks.parquet"))
+        _write_codebooks(adir, Cs, lives, dsub)
 
         codes_dir = os.path.join(adir, "codes")
         if os.path.isdir(codes_dir):
@@ -933,22 +920,13 @@ def pq_adc_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10,
         meta = json.load(f)
     dsub = int(meta["dsub"])
 
-    cb = pqt.read_table(os.path.join(adir, "codebooks.parquet")).to_pandas()
-    # (sub, code) -> int64 centroid subvector
-    cents: dict[tuple[int, int], np.ndarray] = {}
-    for (s, c), g in cb.groupby(["sub", "code"]):
-        cents[(int(s), int(c))] = g.sort_values("j")["c"].to_numpy(np.int64)
+    cents = _load_codebooks(os.path.join(adir, "codebooks.parquet"))
 
     qt = pqt.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     qt = qt.filter(pc.less(qt["vec_id"], n_queries)).sort_by("vec_id")
     q_ids, Q = _emb_micro(qt)
-    # dt[qi] = (m, ks) exact squared-distance LUT; dead codes stay at max
-    # so they can never win (no vector carries a dead code anyway)
-    dt = np.full((len(q_ids), m, ks), np.iinfo(np.int64).max, dtype=np.int64)
-    for (s, c), cent in cents.items():
-        diff = Q[:, s * dsub:(s + 1) * dsub] - cent[None, :]
-        dt[:, s, c] = (diff * diff).sum(axis=1)
+    dt = _adc_lut(Q, cents, m, ks, dsub)
     dt_ref = ray.put((q_ids, dt))
 
     def scan(batch: pa.Table, dt_ref=dt_ref) -> pd.DataFrame:
@@ -984,6 +962,29 @@ def pq_adc_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10,
 # ---------------------------------------------------------------------------
 # IVF-PQ: coarse routing + ADC over per-list codes
 # ---------------------------------------------------------------------------
+
+
+def _write_codebooks(adir: str, Cs, lives, dsub: int) -> None:
+    """Persist per-subspace codebooks as the canonical (sub, code, j, c)
+    parquet, atomically — the ONE definition of the artifact format that
+    _load_codebooks and the SQL oracles read (shared by pq_artifacts and
+    ivfpq_artifacts; review r3 finding #4)."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    rows = {"sub": [], "code": [], "j": [], "c": []}
+    for s in range(len(Cs)):
+        for pos in range(len(Cs[s])):
+            for j in range(dsub):
+                rows["sub"].append(s)
+                rows["code"].append(int(lives[s][pos]))
+                rows["j"].append(j)
+                rows["c"].append(int(Cs[s][pos, j]))
+    tmp = os.path.join(adir, f"codebooks.parquet.tmp-{os.getpid()}")
+    pqt.write_table(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}), tmp)
+    os.replace(tmp, os.path.join(adir, "codebooks.parquet"))
 
 
 def _load_codebooks(path: str) -> dict[tuple[int, int], np.ndarray]:
@@ -1102,18 +1103,7 @@ def ivfpq_artifacts(sf_dir: str, *, n_lists: int = 16, seed: int = 13,
                 tmpc)
             os.replace(tmpc, os.path.join(adir, "centroids_micro.parquet"))
 
-        rows = {"sub": [], "code": [], "j": [], "c": []}
-        for s in range(m):
-            for pos in range(len(Cs[s])):
-                for j in range(dsub):
-                    rows["sub"].append(s)
-                    rows["code"].append(int(lives[s][pos]))
-                    rows["j"].append(j)
-                    rows["c"].append(int(Cs[s][pos, j]))
-        tmp = os.path.join(adir, f"codebooks.parquet.tmp-{os.getpid()}")
-        pqt.write_table(
-            pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}), tmp)
-        os.replace(tmp, os.path.join(adir, "codebooks.parquet"))
+        _write_codebooks(adir, Cs, lives, dsub)
 
         lists_dir = os.path.join(adir, "lists")
         if os.path.isdir(lists_dir):
