@@ -3116,6 +3116,36 @@ FROM c JOIN rj USING (conv_id) JOIN n USING (conv_id) ORDER BY conv_id
 """
 
 
+def _tr_context_windows_sql() -> str:
+    """Context-window oracle: per-turn canonical strings via the shared
+    token grammar, rolling window of the previous CTX_WINDOW turns
+    aggregated oldest-first, md5 of the space-join — turn order pinned by
+    the window ORDER BY."""
+    from engine.pipelines import CTX_WINDOW, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    k = CTX_WINDOW
+    return f"""
+WITH src AS (
+  SELECT conv_id, turn_idx,
+         array_to_string({_TOKS}, ' ') canon
+  FROM read_parquet('{path}')
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         list(canon) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) ctx,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) rn
+  FROM src
+)
+SELECT conv_id, turn_idx::BIGINT turn_idx,
+       len(ctx)::BIGINT ctx_turns,
+       md5(array_to_string(ctx, ' ')) ctx_fp
+FROM w WHERE rn > 1
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _tr_has_child_sql(k: int) -> str:
     """Oracle for tr_has_child: per-turn BM25 micro scores (union match
     semantics) summed per conversation, inner-hit count, ranked by
@@ -3686,6 +3716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_exists": lambda sf: P.tr_exists(sf, k=10),
         # DPO preference pairs: best/worst assistant turn per conversation
         "tr_pref_pairs": P.tr_pref_pairs,
+        # rolling chat-history fingerprints (prefill cache key)
+        "tr_context_windows": P.tr_context_windows,
         # daily date-histogram of each query's full match set (match stream
         # → keyed ts join → partial day counts → one small groupby)
         "tr_match_histogram": P.tr_match_histogram,
@@ -3981,6 +4013,7 @@ ORDER BY b.purchase_id
         "tr_bm25_purged": _tr_bm25_oracle_sql(10, where="conv_id NOT LIKE '%7'"),
         "tr_exists": _tr_bm25_oracle_sql(10, post_where="c.tool <> ''"),
         "tr_pref_pairs": _tr_pref_pairs_sql(),
+        "tr_context_windows": _tr_context_windows_sql(),
         "tr_text_identity": _tr_text_identity_sql(),
         "tr_match_histogram": _tr_match_histogram_sql(),
         "tr_bm25_boosted": _tr_bm25_boosted_sql(10),

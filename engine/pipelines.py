@@ -4701,3 +4701,54 @@ def tr_sft_examples(sf_dir: str, budget: int = SFT_BUDGET) -> pd.DataFrame:
     out["conv_id"] = out["conv_id"].astype(str)
     ints = ["n_turns", "n_kept", "n_tokens_total", "n_tokens_kept", "text_fp"]
     return out.astype({c: "int64" for c in ints})
+
+
+CTX_WINDOW = 3  # context turns per example
+
+
+def tr_context_windows(sf_dir: str, k: int = CTX_WINDOW) -> pd.DataFrame:
+    """Conversation context-window assembly (the RAG-eval / chat-history
+    prep op): for every turn with turn_idx ≥ 1, the fingerprint of its
+    preceding min(k, turn_idx) turns — ctx_fp = md5 of the turns' canonical
+    token strings (the dedup_exact canon per turn) joined by single spaces,
+    oldest first. Zero-token turns contribute an empty canonical string
+    (the join keeps their slot — deterministic on both sides). Downstream,
+    equal ctx_fp ⇒ identical usable history, the cache key a serving stack
+    deduplicates prefill on.
+
+    Scale shape: ONE keyed groupby(conv_id).map_groups over slim
+    (conv, turn_idx, text) rows — conversations are the transcript
+    pipelines' natural partition (the X81 SFT-assembly contract); inside a
+    group everything is a vectorized tokenize + a per-turn md5 chain.
+
+    Columns: conv_id (str), turn_idx, ctx_turns (int64), ctx_fp (str)."""
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    path = tr_oracle_corpus_path()
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        an = Analyzer()
+        g = g.sort_values("turn_idx")
+        canons = [" ".join(an.tokens(t)) for t in g["text"]]
+        idx = g["turn_idx"].to_numpy()
+        rows = []
+        for i in range(1, len(canons)):
+            lo = max(0, i - k)
+            rows.append((g["conv_id"].iloc[0], int(idx[i]), i - lo,
+                         hashlib.md5(" ".join(canons[lo:i]).encode()).hexdigest()))
+        return pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                           "ctx_turns", "ctx_fp"])
+
+    out = (
+        rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+        .groupby("conv_id")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    out["conv_id"] = out["conv_id"].astype(str)
+    out["ctx_fp"] = out["ctx_fp"].astype(str)
+    return out.astype({"turn_idx": "int64", "ctx_turns": "int64"})

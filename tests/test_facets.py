@@ -1530,3 +1530,34 @@ def test_tr_most_fields_vs_dis_max_laws(ray_session):
     assert (merged["score_micro_sum"] >= merged["score_micro_max"]).all()
     assert (mf.sort_values(["qid", "rank"])["doc_key"].tolist()
             != dm.sort_values(["qid", "rank"])["doc_key"].tolist())
+
+
+def test_tr_context_windows_python_identity(ray_session):
+    """Context fingerprints recomputed in pure Python per conversation;
+    window never exceeds CTX_WINDOW, first turn emits nothing, and shared
+    prefixes produce EQUAL fingerprints across different conversations only
+    when the canonical history matches."""
+    import hashlib as _h
+
+    from engine.pipelines import (CTX_WINDOW, tr_context_windows,
+                                  tr_oracle_corpus_path)
+    from engine.text.analyzer import Analyzer
+
+    got = tr_context_windows("unused")
+    an = Analyzer()
+    t = pq.read_table(tr_oracle_corpus_path(),
+                      columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    exp = {}
+    for cid, g in t.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        canons = [" ".join(an.tokens(x)) for x in g["text"]]
+        idx = g["turn_idx"].tolist()
+        for i in range(1, len(canons)):
+            lo = max(0, i - CTX_WINDOW)
+            exp[(cid, int(idx[i]))] = (
+                i - lo, _h.md5(" ".join(canons[lo:i]).encode()).hexdigest())
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert exp[(r.conv_id, int(r.turn_idx))] == (int(r.ctx_turns), r.ctx_fp)
+    assert (got["ctx_turns"] <= CTX_WINDOW).all()
+    assert got.groupby("conv_id")["turn_idx"].min().gt(0).all()
