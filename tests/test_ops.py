@@ -3438,3 +3438,68 @@ def test_dedup_keep_best_vs_min_id_policy(ray_session):
                              ascending=[False, True]).iloc[0]
         assert int(g[g["keep"] == 1]["doc_id"].iloc[0]) == int(best["doc_id"])
     assert (kb["keep"] != cl["keep"]).any(), "policies never diverge on fixture"
+
+
+def test_property_winnowing_guarantee_and_sstem_paths(ray_session):
+    """Hypothesis properties for the round-3 text kernels (pure-kernel, no
+    Ray): (1) the MOSS guarantee — two random docs sharing a planted
+    (w + shingle_width − 1)-token run ALWAYS share a selected gram, for
+    arbitrary surrounding tokens; (2) the s-stemmer vectorized arrow path
+    equals the scalar ladder on arbitrary lowercase-alnum token streams;
+    (3) chunk layouts cover every token for arbitrary (dl, w, s)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.ops.textstats import CONTAM_WIDTH, WINNOW_W, _ContamShingles
+    from engine.text.analyzer import SStemAnalyzer
+
+    sh = _ContamShingles()
+    tok = st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=6)
+
+    def winnow_fps(text: str) -> set:
+        g, _c = sh.doc_grams(pa.array([text], type=pa.large_string()))
+        g = list(g)
+        sel = set()
+        for s in range(len(g) - WINNOW_W + 1):
+            win = g[s:s + WINNOW_W]
+            mn = min(win)
+            sel.add(g[max(p for p in range(WINNOW_W) if win[p] == mn) + s])
+        return sel
+
+    @given(shared=st.lists(tok, min_size=WINNOW_W + CONTAM_WIDTH - 1,
+                           max_size=WINNOW_W + CONTAM_WIDTH + 3),
+           pre=st.lists(tok, max_size=6), post=st.lists(tok, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def moss_guarantee(shared, pre, post):
+        a = " ".join(pre + shared)
+        b = " ".join(shared + post)
+        assert winnow_fps(a) & winnow_fps(b)
+
+    moss_guarantee()
+
+    an = SStemAnalyzer()
+
+    @given(st.lists(tok, max_size=30))
+    @settings(max_examples=80, deadline=None)
+    def sstem_paths_agree(words):
+        text = " ".join(words)
+        flat, _dl = an.tokenize_arrow(pa.array([text], pa.large_string()))
+        assert an.tokens(text) == flat.to_pylist()
+
+    sstem_paths_agree()
+
+    @given(dl=st.integers(1, 200), w=st.integers(1, 64), s=st.integers(1, 64))
+    @settings(max_examples=100, deadline=None)
+    def chunk_layout_covers(dl, w, s):
+        if s > w:
+            return
+        n = 1 + (max(dl - w, 0) + s - 1) // s
+        starts = [i * s for i in range(n)]
+        ends = [min(st_ + w, dl) for st_ in starts]
+        covered = set()
+        for a, b in zip(starts, ends):
+            assert a < dl  # no empty chunk
+            covered.update(range(a, b))
+        assert covered == set(range(dl))
+
+    chunk_layout_covers()
