@@ -376,6 +376,85 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_range_sql(k: int) -> str:
+    """Range-query oracle: BM25 restricted to docs whose n_chars falls in
+    the query's half-open [lo, hi) window (the RANGE_QUERIES literal)."""
+    from engine.pipelines import RANGE_QUERIES
+
+    rows = ", ".join(f"({q}, '{t}', {lo}, {hi})" for q, t, lo, hi in RANGE_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext, lo, hi) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib c
+  JOIN q ON q.qid = c.qid
+  JOIN documents d ON d.doc_id = c.doc_id
+  WHERE d.n_chars >= q.lo AND d.n_chars < q.hi
+  GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _ta_bpe_merges_sql() -> str:
+    """BPE merge-loop oracle: BPE_MERGE_ROUNDS rounds unrolled as chained
+    CTEs (the emb_kmeans pattern) over the weighted vocabulary. Each round
+    re-counts adjacent symbol pairs from the space-separated state string,
+    adopts the (cnt desc, left asc, right asc) argmax, and applies it with
+    ``replace`` — whose left-to-right non-overlapping semantics match the
+    engine's pandas ``str.replace`` exactly (verified)."""
+    from engine.ops.textstats import BPE_MERGE_ROUNDS
+
+    ctes = ["state0 AS (SELECT cf, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') s FROM vocab)"]
+    sels = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT pr.a a, pr.b b, sum(cf)::BIGINT cnt FROM (
+    SELECT cf,
+           unnest(list_transform(range(1, len(syms)),
+                                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) pr
+    FROM (SELECT cf, list_filter(string_split(s, ' '), x -> x <> '') syms
+          FROM state{r - 1})
+  ) GROUP BY 1, 2
+)""")
+        ctes.append(f"best{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)")
+        ctes.append(f"""state{r} AS (
+  SELECT cf, replace(s, ' ' || ba.a || ' ' || ba.b || ' ',
+                     ' ' || ba.a || ba.b || ' ') s
+  FROM state{r - 1}, best{r} ba
+)""")
+        sels.append(f"SELECT {r - 1}::BIGINT merge_idx, a AS \"left\", b AS \"right\", cnt FROM best{r}")
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return (
+        f"WITH tok AS (SELECT unnest({toks}) term FROM documents),\n"
+        "vocab AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),\n"
+        + ",\n".join(ctes)
+        + "\n" + "\nUNION ALL\n".join(sels)
+        + "\nORDER BY merge_idx"
+    )
+
+
 def _bm25_synonyms_sql(k: int) -> str:
     """Synonym oracle: a (term → class member) mapping table expands each
     query token via LEFT JOIN (unmapped tokens pass through), then standard
@@ -1702,6 +1781,33 @@ FROM t GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _emb_infer_sql() -> str:
+    """Hash-projection encoder oracle: same md5-prefix bucket map as
+    ta_feature_hash, ±1 weights from md5('emb|b|d') first-nibble parity,
+    v[d] = Σ_b tf_b · M[b,d] — all exact BIGINT arithmetic."""
+    from engine.ops.embed import EMB_BUCKETS, EMB_DIM
+
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),
+b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(term), 1, 8))::UBIGINT % {EMB_BUCKETS})::BIGINT bucket,
+         count(*)::BIGINT tf
+  FROM t GROUP BY 1, 2
+),
+dims AS (SELECT unnest(range({EMB_DIM})) dim),
+m AS (
+  SELECT bk.bucket, d.dim,
+         CASE WHEN ('0x' || substr(md5('emb|' || bk.bucket || '|' || d.dim), 1, 1))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END s
+  FROM (SELECT DISTINCT bucket FROM b) bk CROSS JOIN dims d
+)
+SELECT b.doc_id, m.dim::BIGINT dim, sum(b.tf * m.s)::BIGINT val
+FROM b JOIN m ON m.bucket = b.bucket
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _dsir_sql() -> str:
     """ta_dsir_weights oracle: the Laplace-smoothed hashed-unigram
     importance ratio in exact BIGINTs — same md5 % FH_BUCKETS feature map
@@ -2061,6 +2167,35 @@ FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """
 
 
+def _pinned_embeddings_guard_cte() -> str:
+    """Guard CTE for oracles whose persisted ANN artifacts are trained on
+    the pinned sf0.01 embeddings (ADVICE r3 #1): when the session-attached
+    `embeddings` view is a DIFFERENT table, DuckDB raises a CLEAR
+    diagnostic instead of silently comparing the engine (which builds
+    artifacts for the attached sf) against sf0.01-trained codebooks and
+    reporting a spurious value mismatch. Fingerprint = (count, Σ of the
+    micro-rounded FIRST embedding component) of the pinned table — vector
+    VALUES, not ids: different sfs share (count, Σ vec_id) by
+    construction — computed at SQL-build time."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                       columns=["embedding"])
+    n = t.num_rows
+    sm = sum(int(math.floor(float(v[0]) * 1e6 + 0.5))
+             for v in t["embedding"].to_pylist())
+    return f"""pinchk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM embeddings) = {n}
+               AND (SELECT coalesce(sum(floor(embedding[1]::DOUBLE * 1e6 + 0.5)::BIGINT), 0)
+                    FROM embeddings) = {sm}
+         THEN 1 ELSE error('attached embeddings view is not the pinned '
+              'sf0.01 table these persisted ANN artifacts were trained on; '
+              'run at sf0.01 or treat this entry as rows-only') END ok
+)"""
+
+
 def _ann_ivf_topk_sql() -> str:
     """Oracle for the APPROXIMATE IVF path (nprobe < n_lists): brute-force
     cosine restricted to each query's probed lists, recomputed by DuckDB
@@ -2080,7 +2215,8 @@ def _ann_ivf_topk_sql() -> str:
     index_dir, probe_path = ivf_probe_artifacts(sf, n_queries=5, nprobe=4)
     lists_glob = f"{index_dir}/lists/*/*.parquet"
     return f"""
-WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+WITH {_pinned_embeddings_guard_cte()},
+q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 probe AS (SELECT qid, lid FROM read_parquet('{probe_path}')),
 assign AS (SELECT vec_id, lid FROM read_parquet('{lists_glob}')),
 cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (lid)),
@@ -2095,7 +2231,7 @@ SELECT qid, rank, vec_id, sim_micro FROM (
   SELECT qid, vec_id, sim_micro,
          row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)::BIGINT rank
   FROM sims
-) WHERE rank <= 10 ORDER BY qid, rank
+) CROSS JOIN pinchk WHERE rank <= 10 AND pinchk.ok = 1 ORDER BY qid, rank
 """
 
 
@@ -2122,7 +2258,8 @@ def _ann_pq_topk_sql() -> str:
     unpivot = ", ".join(
         f"{{'sub': {s}, 'code': code_{s}}}" for s in range(PQ_M))
     return f"""
-WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+WITH {_pinned_embeddings_guard_cte()},
+q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 qc AS (
   SELECT qid, s['j'] j, s['v'] v FROM (
     SELECT qid, unnest(list_transform(range(1, len(embedding) + 1),
@@ -2152,7 +2289,7 @@ SELECT qid, rank, vec_id, adc FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY adc ASC, vec_id ASC)::BIGINT rank
   FROM adc WHERE vec_id <> qid
-) WHERE rank <= 10 ORDER BY qid, rank
+) CROSS JOIN pinchk WHERE rank <= 10 AND pinchk.ok = 1 ORDER BY qid, rank
 """
 
 
@@ -2175,7 +2312,8 @@ def _ann_ivfpq_topk_sql() -> str:
     unpivot = ", ".join(
         f"{{'sub': {s}, 'code': code_{s}}}" for s in range(PQ_M))
     return f"""
-WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+WITH {_pinned_embeddings_guard_cte()},
+q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 qc AS (
   SELECT qid, s['j'] j, s['v'] v FROM (
     SELECT qid, unnest(list_transform(range(1, len(embedding) + 1),
@@ -2210,7 +2348,7 @@ SELECT qid, rank, vec_id, adc FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY adc ASC, vec_id ASC)::BIGINT rank
   FROM adc
-) WHERE rank <= 10 ORDER BY qid, rank
+) CROSS JOIN pinchk WHERE rank <= 10 AND pinchk.ok = 1 ORDER BY qid, rank
 """
 
 
@@ -2233,7 +2371,8 @@ def _ann_ivfpq_residual_topk_sql() -> str:
     unpivot = ", ".join(
         f"{{'sub': {s}, 'code': code_{s}}}" for s in range(PQ_M))
     return f"""
-WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
+WITH {_pinned_embeddings_guard_cte()},
+q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 qc AS (
   SELECT qid, s['j'] j, s['v'] v FROM (
     SELECT qid, unnest(list_transform(range(1, len(embedding) + 1),
@@ -2275,7 +2414,7 @@ SELECT qid, rank, vec_id, adc FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY adc ASC, vec_id ASC)::BIGINT rank
   FROM adc
-) WHERE rank <= 10 ORDER BY qid, rank
+) CROSS JOIN pinchk WHERE rank <= 10 AND pinchk.ok = 1 ORDER BY qid, rank
 """
 
 
@@ -3448,6 +3587,78 @@ ORDER BY qid, rank
 """
 
 
+def _tr_cross_fields_sql(k: int) -> str:
+    """cross_fields oracle: per-field tf/dl/avgdl CTEs (the dis_max
+    pattern) but idf from the BLENDED df — greatest(df_text, df_tool) per
+    query term — with per-(term, field, doc) w micro-rounded BEFORE the
+    cross-field max, then summed over terms (both groupbys integer-exact,
+    mirroring the engine). tf_sat is parenthesised to the engine's IEEE op
+    order: idf * ((tf * 2.2) / den)."""
+    from engine.pipelines import _dismax_query_set, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in _dismax_query_set())
+
+    def field_ctes(p: str, col: str) -> str:
+        toks = f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+        return f"""
+{p}tok AS (SELECT doc_key, unnest({toks}) AS term FROM src),
+{p}tf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM {p}tok GROUP BY 1, 2),
+{p}dl AS (SELECT doc_key, count(*)::BIGINT dl FROM {p}tok GROUP BY 1),
+{p}stats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM {p}dl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+{p}df AS (SELECT term, count(*)::BIGINT df FROM {p}tf GROUP BY 1),
+{p}contrib AS (
+  SELECT qt.qid, qt.term, tf.doc_key,
+         floor(ln(1 + (s.n_docs - b.df + 0.5) / (b.df + 0.5))
+               * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+               * 1e6 + 0.5)::BIGINT w_micro
+  FROM qterm qt
+  JOIN blend b ON b.term = qt.term
+  JOIN {p}tf tf ON tf.term = qt.term
+  JOIN {p}dl dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN {p}stats s
+)"""
+
+    return f"""
+WITH src AS (SELECT doc_key, text, tool FROM read_parquet('{path}')),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+ttok0 AS (SELECT doc_key, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM src),
+ktok0 AS (SELECT doc_key, unnest(list_filter(regexp_split_to_array(lower(tool), '[^a-z0-9]+'), x -> x <> '')) AS term FROM src),
+tdf0 AS (SELECT term, count(DISTINCT doc_key)::BIGINT df FROM ttok0 GROUP BY 1),
+kdf0 AS (SELECT term, count(DISTINCT doc_key)::BIGINT df FROM ktok0 GROUP BY 1),
+blend AS (
+  SELECT t.term,
+         greatest(coalesce(tdf0.df, 0), coalesce(kdf0.df, 0))::BIGINT df
+  FROM (SELECT DISTINCT term FROM qterm) t
+  LEFT JOIN tdf0 ON tdf0.term = t.term
+  LEFT JOIN kdf0 ON kdf0.term = t.term
+  WHERE greatest(coalesce(tdf0.df, 0), coalesce(kdf0.df, 0)) > 0
+),{field_ctes("t", "text")},{field_ctes("k", "tool")},
+crossed AS (
+  SELECT qid, term, doc_key, max(w_micro)::BIGINT w_micro FROM (
+    SELECT * FROM tcontrib UNION ALL SELECT * FROM kcontrib
+  ) GROUP BY 1, 2, 3
+),
+summed AS (
+  SELECT qid, doc_key, sum(w_micro)::BIGINT score_micro FROM crossed GROUP BY 1, 2
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM summed
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_bm25_recency_sql(k: int) -> str:
     """Oracle for tr_bm25_recency: BM25 micro scores scaled by the linear
     integer ppm recency weight (age in whole hours below the corpus max ts,
@@ -3588,6 +3799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         packing,
+        embed,
         pii,
         relational,
         sampling,
@@ -3677,6 +3889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-time attribute filter (filter-context search): scored match
         # stream → attr hash join → predicate filter → per-block top-k
         "ft_bm25_postfilter": lambda sf: P.ft_bm25_postfilter(sf, k=10),
+        # numeric range gate in query context, served from the X68
+        # DocValues sidecar inside the match stream (zero query-time shuffle)
+        "ft_bm25_range": lambda sf: P.ft_bm25_range(sf, k=10),
         # hybrid BM25 + embedding-cosine retrieval, integer RRF fusion
         "ft_hybrid_rrf": lambda sf: P.ft_hybrid_rrf(sf, k=10),
         # trailing-* wildcard expansion against the term dictionary
@@ -3731,6 +3946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per field (text + tool)
         "tr_most_fields": lambda sf: P.tr_most_fields(sf, k=10),
         "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
+        # multi-field cross_fields: blended per-term df across text+tool
+        # (BM25F-style), per-term best-field saturation, summed over terms
+        "tr_cross_fields": lambda sf: P.tr_cross_fields(sf, k=10),
         # field-sorted retrieval: newest matching turns first
         "tr_sort_by_field": lambda sf: P.tr_sort_by_field(sf, k=10),
         # same semantics served from the mmap'd docvalues sidecar: zero
@@ -3810,6 +4028,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_repetition": textstats.repetition,
         # hashing-trick vectorizer: sparse (doc, bucket, tf) features
         "ta_feature_hash": textstats.feature_hash,
+        # model-in-actor embed stage: deterministic hash-projection
+        # encoder, text -> int vectors (dense (doc_id, dim, val) rows)
+        "emb_infer": embed.emb_infer,
         # group-wise top-k: best docs per source by unique-token ratio
         "ta_top_per_source": lambda sf: textstats.top_quality_per_source(sf, k=3),
         # exact histogram-based doc-length percentiles (no sketch)
@@ -3826,6 +4047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training step 1: weighted char-pair counts over the
         # vocab rollup (corpus reduces to the vocabulary before pair work)
         "ta_bpe_pairs": lambda sf: textstats.bpe_pairs(sf, k=20),
+        # the trained merge TABLE: X89's statistic iterated K rounds
+        "ta_bpe_merges": lambda sf: textstats.bpe_merges(sf),
         # tokenizer-vocab coverage audit: per-doc OOV rate vs the top-16
         # corpus vocabulary
         "ta_vocab_coverage": textstats.vocab_coverage,
@@ -3864,6 +4087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_dsir_resample": textstats.dsir_resample,
         # CCNet-style unigram-LM perplexity filter: train on the hash-split
         # train half, score every doc in exact integer micro-nats
+        # trained NB-linear quality/domain classifier over hashed features
+        "ta_quality_clf": lambda sf: textstats.quality_clf(sf),
         "ta_lm_nll": textstats.lm_nll,
         # bigram sibling: context-conditioned add-one costs, same contract
         "ta_lm_nll_bigram": textstats.lm_nll_bigram,
@@ -3995,6 +4220,7 @@ ORDER BY b.purchase_id
         "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
+        "ft_bm25_range": _bm25_range_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),
         "ft_bm25_wildcard": _bm25_wildcard_sql(10),
         "ft_bm25_wildcard_leading": _bm25_wildcard_leading_sql(10),
@@ -4021,6 +4247,7 @@ ORDER BY b.purchase_id
         "tr_has_child": _tr_has_child_sql(10),
         "tr_dis_max": _tr_dis_max_sql(10),
         "tr_most_fields": _tr_most_fields_sql(10),
+        "tr_cross_fields": _tr_cross_fields_sql(10),
         "tr_sort_by_field": _tr_sort_by_field_sql(10),
         "tr_sort_by_field_dv": _tr_sort_by_field_sql(10),
         "tr_has_parent": _tr_has_parent_sql(10),
@@ -4094,6 +4321,39 @@ SELECT doc_id, importance_micro, draw,
        (draw < least(importance_micro, 1000000))::BIGINT kept
 FROM d ORDER BY doc_id
 """.format(_dsir_inner=_dsir_sql().strip().rstrip(';')),
+        # NB-linear classifier: train-half per-class hashed-occurrence
+        # counts -> per-bucket ln-ratio weights (exact-int ln inputs, the
+        # lm_nll parity), bias from doc-count priors, scored by occurrence
+        "ta_quality_clf": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) term FROM documents),
+f AS (SELECT doc_id,
+             (('0x' || substr(md5(term), 1, 8))::UBIGINT % {textstats.FH_BUCKETS})::BIGINT b
+      FROM tok),
+trn AS (
+  SELECT doc_id, (lang = '{textstats.DSIR_TARGET_LANG}') pos FROM documents
+  WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) >= {textstats.CLF_TRAIN_MIN_BUCKET}
+),
+pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT n_pos,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT n_neg FROM trn),
+cnt AS (SELECT b, sum(CASE WHEN t.pos THEN 1 ELSE 0 END)::BIGINT cp,
+               sum(CASE WHEN t.pos THEN 0 ELSE 1 END)::BIGINT cn
+        FROM f JOIN trn t USING (doc_id) GROUP BY 1),
+tot AS (SELECT coalesce(sum(cp), 0)::BIGINT tp, coalesce(sum(cn), 0)::BIGINT tn FROM cnt),
+w AS (SELECT b,
+             floor((ln(cp + 1) - ln(tp + {textstats.FH_BUCKETS}) - ln(cn + 1)
+                    + ln(tn + {textstats.FH_BUCKETS})) * 1e6 + 0.5)::BIGINT w
+      FROM cnt CROSS JOIN tot),
+w0 AS (SELECT floor((ln(1) - ln(tp + {textstats.FH_BUCKETS}) - ln(1)
+                     + ln(tn + {textstats.FH_BUCKETS})) * 1e6 + 0.5)::BIGINT w FROM tot),
+bias AS (SELECT floor((ln(n_pos + 1) - ln(n_neg + 1)) * 1e6 + 0.5)::BIGINT bm FROM pri),
+sc AS (SELECT f.doc_id, count(*)::BIGINT n_tokens,
+              sum(coalesce(w.w, (SELECT w FROM w0)))::BIGINT ssum
+       FROM f LEFT JOIN w USING (b) GROUP BY 1)
+SELECT doc_id::BIGINT doc_id, n_tokens,
+       ((SELECT bm FROM bias) + ssum)::BIGINT score_micro,
+       (CASE WHEN (SELECT bm FROM bias) + ssum > 0 THEN 1 ELSE 0 END)::BIGINT pred
+FROM sc ORDER BY doc_id
+""",
         "ta_lm_nll": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 trn AS (
@@ -4172,6 +4432,7 @@ ORDER BY a.cf
 """,
         "ta_repetition": _repetition_sql(),
         "ta_feature_hash": _feature_hash_sql(),
+        "emb_infer": _emb_infer_sql(),
         # doc co-occurrence among the head vocabulary: same top-N selection
         # (df desc, term asc) and lexicographic pair order as the engine
         "ta_pmi": f"""
@@ -4263,6 +4524,7 @@ ORDER BY cnt DESC, bigram ASC LIMIT 20
 """,
         # BPE step-1 pair counts: vocab-side explode (cf-weighted adjacent
         # char pairs inside each distinct term), never the corpus
+        "ta_bpe_merges": _ta_bpe_merges_sql(),
         "ta_bpe_pairs": f"""
 WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),
@@ -4315,7 +4577,7 @@ counters AS (SELECT r, w, sum(cf)::BIGINT cnt FROM h GROUP BY 1, 2),
 top AS (
   SELECT term, cf FROM (
     SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term ASC) rn FROM cf
-  ) WHERE rn <= 16
+  ) WHERE rn <= {textstats.CMS_TOP_K}
 )
 SELECT t.term, t.cf cf_true, min(c.cnt)::BIGINT cf_est
 FROM top t JOIN h ON h.term = t.term

@@ -38,11 +38,11 @@ DOCMAP_PARTS = 64  # hydration prunes docmap partitions by doc_key % this
 
 
 def _default_concurrency():
-    """Autoscaling actor-pool bounds from the current cluster size."""
-    import ray
+    """Autoscaling actor-pool bounds from the current cluster size
+    (delegates to the engine-wide helper — see engine/core/pool.py)."""
+    from engine.core.pool import default_pool
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus))
+    return default_pool()
 
 
 def plan_read_units(files: list[str], n_units: int) -> list[list[list]]:

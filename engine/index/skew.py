@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 from engine.core.partitioning import SaltMap
+from engine.core.pool import default_pool
 from engine.text.analyzer import get_analyzer
 
 
@@ -72,7 +73,7 @@ def sketch_salt_map(
         fn_constructor_kwargs={"analyzer": analyzer},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     ).to_pandas()
     if len(parts) == 0:
         return SaltMap(num_shards)

@@ -999,8 +999,13 @@ def _load_codebooks(path: str) -> dict[tuple[int, int], np.ndarray]:
 def _adc_lut(Q: np.ndarray, cents: dict[tuple[int, int], np.ndarray],
              m: int, ks: int, dsub: int) -> np.ndarray:
     """(nq, m, ks) exact int64 squared-distance lookup tables. Dead codes
-    stay at int64 max (no vector carries one, so they can never win)."""
-    dt = np.full((len(Q), m, ks), np.iinfo(np.int64).max, dtype=np.int64)
+    get a sentinel that stays OVERFLOW-SAFE under the m-way ADC sum
+    (iinfo.max // (m + 1), ADVICE r3): a stale or mixed codes/ file
+    carrying a dropped code id then ranks dead-last loudly instead of
+    wrapping int64 into silent garbage (no live vector carries one, so
+    correct runs are unaffected)."""
+    dt = np.full((len(Q), m, ks), np.iinfo(np.int64).max // (m + 1),
+                 dtype=np.int64)
     for (s, c), cent in cents.items():
         diff = Q[:, s * dsub:(s + 1) * dsub] - cent[None, :]
         dt[:, s, c] = (diff * diff).sum(axis=1)

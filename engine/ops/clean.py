@@ -41,6 +41,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from engine.core.pool import default_pool
+
 REASONS = ("exact_dup", "near_dup", "low_quality", "lang_other", "kept")
 
 
@@ -51,15 +53,22 @@ def clean_corpus(
     min_uniq_ratio_micro: int = 330_000,
     keep_lang: str = "en",
     threshold_micro: int = 900_000,
+    distributed: bool | None = None,
 ) -> pd.DataFrame:
-    """(doc_id, keep, reason) for every document — see module docstring."""
+    """(doc_id, keep, reason) for every document — see module docstring.
+
+    ``distributed=True`` forces the near-dup pair graph through the
+    Dataset-native LSH→verify→label-propagation chain (no driver pair
+    frame); the drop set that reaches the scan is cluster-table-sized
+    (duplicate population), not pair-sized."""
     import ray
     import ray.data as rd
 
     from engine.ops.dedup import dedup_clusters
     from engine.ops.textstats import DocStats, LangIdScorer, build_langid_profiles
 
-    clusters = dedup_clusters(sf_dir, threshold_micro=threshold_micro)
+    clusters = dedup_clusters(sf_dir, threshold_micro=threshold_micro,
+                              distributed=distributed)
     drop = clusters.loc[clusters["keep"] == 0, "doc_id"].to_numpy()
     near_ref = ray.put(np.sort(drop.astype(np.int64)))
     profiles = build_langid_profiles()
@@ -114,7 +123,7 @@ def clean_corpus(
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = (
-        ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool())
         .groupby("fingerprint")
         .map_groups(decide, batch_format="pandas")
         .to_pandas()

@@ -27,6 +27,8 @@ import json
 import numpy as np
 import pyarrow as pa
 
+from engine.core.pool import default_pool
+
 
 def synth_media_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic fake media corpus: payload = seeded pseudo-random bytes
@@ -102,9 +104,11 @@ class DecodeFeatures:
         )
 
 
-def decode_features(ds, *, decoder: str = "fake", concurrency=(1, 4), batch_size: int = 64):
+def decode_features(ds, *, decoder: str = "fake", concurrency=None, batch_size: int = 64):
     """The multimodal map stage: SMALL batch_size (binary rows are big; a
     batch × pool must fit worker heaps — SURVEY 'memory-aware')."""
+    if concurrency is None:
+        concurrency = default_pool()
     return ds.map_batches(
         DecodeFeatures,
         fn_constructor_kwargs={"decoder": decoder},
@@ -171,7 +175,7 @@ def media_meta(sf_dir: str):
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=64,
-            concurrency=2,
+            concurrency=default_pool(),
         )
         .to_pandas()
         .sort_values("doc_id")
@@ -313,7 +317,7 @@ def bmp_pipeline(n: int = 128, seed: int = 0, out_size: int = 32):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     )
 
 
@@ -450,7 +454,7 @@ def wav_pipeline(n: int = 128, seed: int = 0):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     )
 
 
@@ -579,7 +583,7 @@ def y4m_pipeline(n: int = 64, seed: int = 0):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=16,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     )
 
 
@@ -639,7 +643,7 @@ def video_meta(sf_dir: str):
     out = (
         rd.read_parquet(path, columns=["id", "payload"])
         .map_batches(_Meta, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=16, concurrency=(1, 4))
+                     batch_size=16, concurrency=default_pool())
         .to_pandas()
         .sort_values("id")
         .reset_index(drop=True)

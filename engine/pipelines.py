@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from engine.core.pool import default_pool
 from engine.index.build import build_index
 from engine.io.manifest import Manifest
 from engine.query.engine import SegmentServer
@@ -190,7 +191,7 @@ def _run_doc_queries(sf_dir: str, items: list[dict], k: int, **server_kwargs) ->
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
     res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
@@ -261,7 +262,7 @@ def ft_bm25_postfilter(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attr_cols = sorted({c for _q, _t, c, _v in POSTFILTER_QUERIES})
     attrs = rd.read_parquet(
@@ -290,6 +291,86 @@ def ft_bm25_postfilter(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     out = (
         joined.map_batches(filter_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "score", "doc_key"], ascending=[True, False, True],
+                     kind="stable")
+        .groupby("qid")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    out = out[["qid", "rank", "doc_id", "score_micro"]]
+    return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64",
+                       "score_micro": "int64"})
+
+
+# per-query numeric range gates [lo, hi) over n_chars — ES
+# `range: {gte, lt}` in QUERY context; mirrored literally in the oracle SQL
+RANGE_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "hash join batch", 100, 400),
+    (1, "window agg stream", 250, 600),
+    (2, "customer order line value", 0, 300),
+    (3, "spark vector", 150, 450),
+    (4, "scan", 300, 10_000),
+    (5, "merge sort key", 200, 520),
+]
+
+
+def ft_bm25_range(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Numeric RANGE query in query context (ES ``range: {n_chars: {gte,
+    lt}}`` combined with a match query): top-k BM25 among only the docs
+    whose attribute falls in the query's window.
+
+    Scale shape: unlike ft_bm25_postfilter (keyed attribute join), the
+    range gate is served from the X68 DocValues sidecar INSIDE the scored
+    match stream's own map stage — an mmap'd part-routed binary search per
+    batch, so there is ZERO query-time shuffle: scored matches stream out
+    of the ScoredMatchServer pool, each batch attaches n_chars from the
+    sidecar, applies its query's [lo, hi) window from a broadcast
+    queries-sized map, and reduces to a per-block partial top-k before the
+    tiny driver merge. Selectivity-safe like postfilter (no over-fetch
+    guess). Columns: qid, rank, doc_id, score_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.engine import ScoredMatchServer
+
+    idx = documents_index(sf_dir)
+    dv = ensure_docvalues(idx, f"{sf_dir}/documents.parquet",
+                          field="n_chars", key_col="doc_id")
+    qds = rd.from_items([{"qid": q, "text": t} for q, t, _lo, _hi in RANGE_QUERIES])
+    gated = qds.map_batches(
+        ScoredMatchServer,
+        fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=default_pool(),
+    ).map_batches(
+        DocValuesLookup,
+        fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_pool(),
+    )
+    bounds_ref = ray.put({q: (lo, hi) for q, _t, lo, hi in RANGE_QUERIES})
+
+    def gate_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bounds = ray.get(bounds_ref)
+        qs = df["qid"].to_numpy()
+        nc = df["n_chars"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for q, (lo, hi) in bounds.items():
+            keep |= (qs == q) & (nc >= lo) & (nc < hi)
+        df = df[keep]
+        df = df.sort_values(["qid", "score", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid").head(k)[["qid", "doc_key", "score"]]
+
+    out = (
+        gated.map_batches(gate_topk, batch_format="pandas")
         .to_pandas()
         .sort_values(["qid", "score", "doc_key"], ascending=[True, False, True],
                      kind="stable")
@@ -964,7 +1045,7 @@ def ft_bm25_facets(sf_dir: str, facets: tuple[str, ...] = ("source", "lang")) ->
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", *facets]
@@ -1054,7 +1135,7 @@ def ft_hit_count(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
@@ -1134,7 +1215,7 @@ def ft_significant_terms(sf_dir: str, top_n: int = 5) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).materialize()
 
     # leg B: match-set sizes (per-batch partials → tiny frame)
@@ -1235,7 +1316,7 @@ def ft_match_stats(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -1308,7 +1389,7 @@ def ft_match_percentiles(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -1380,7 +1461,7 @@ def ft_percentile_ranks(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -1446,7 +1527,7 @@ def ft_cardinality(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", *facets]
@@ -1510,7 +1591,7 @@ def ft_adjacency(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).materialize()
     right = matches.map_batches(
         lambda b: b.rename_columns(["qid_b", "doc_key"]),
@@ -2115,7 +2196,7 @@ def ft_top_hits(sf_dir: str, n: int = 3) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
@@ -2347,7 +2428,7 @@ def ft_bm25_stemmed(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
     res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
@@ -2380,7 +2461,7 @@ def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -2450,7 +2531,7 @@ def ft_matrix_stats(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     class _Attrs:
@@ -2471,7 +2552,7 @@ def ft_matrix_stats(sf_dir: str) -> pd.DataFrame:
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     ).map_batches(_Attrs, batch_format="pyarrow", zero_copy_batch=True,
-                  concurrency=(1, 2))
+                  concurrency=default_pool())
     jargs = join_args(n_joins=1)
     joined = matches.join(
         attrs, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
@@ -2551,7 +2632,7 @@ def ft_diversified_sampler(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
@@ -2619,7 +2700,7 @@ def ft_terms_sub_aggs(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
@@ -2685,7 +2766,7 @@ def ft_rare_terms(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -2744,7 +2825,7 @@ def ft_match_len_histogram(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -3025,7 +3106,7 @@ def ft_query_profile(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def partial(b: pa.Table) -> pd.DataFrame:
@@ -3099,7 +3180,7 @@ def tr_bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     _path, idx = tr_oracle_index()
     res = query_index(
-        idx, seeded_query_set(20, seed=7), k=k, concurrency=2, score_micro=True
+        idx, seeded_query_set(20, seed=7), k=k, concurrency=default_pool(), score_micro=True
     ).to_pandas()
     res = res.rename(columns={"score": "score_micro"})
     out = res[["qid", "rank", "doc_id", "doc_key", "score_micro"]]
@@ -3225,7 +3306,7 @@ def tr_dis_max(sf_dir: str, k: int = 10) -> pd.DataFrame:
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=4,
-            concurrency=2,
+            concurrency=default_pool(),
         )
 
     best = (
@@ -3281,7 +3362,7 @@ def tr_most_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=4,
-            concurrency=2,
+            concurrency=default_pool(),
         )
         if boost == 1:
             return ds
@@ -3308,6 +3389,97 @@ def tr_most_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
         return df.groupby("qid", sort=False).head(k)
 
     out = summed.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "score_micro", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
+def tr_cross_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Multi-field ``cross_fields`` retrieval (ES ``multi_match`` with
+    ``type: cross_fields`` / BM25F-style blended statistics): the fields
+    are treated as one logical field AT THE TERM-STATISTICS level — each
+    query term scores with a BLENDED document frequency,
+    ``df_blend(t) = max(df_text(t), df_tool(t))`` (Lucene's
+    BlendedTermQuery convention), while tf and length normalisation stay
+    per-field. Per doc: score = Σ_t max_field idf(df_blend) ·
+    tf_sat(tf_f, dl_f, avgdl_f) — a term matching in EITHER field
+    contributes once, at the best field's saturation, with field-neutral
+    rarity. This is the third ES multi_match mode next to best_fields
+    (tr_dis_max, per-field score max) and most_fields (tr_most_fields,
+    per-field score sum): cross_fields fixes best_fields' term-rarity skew
+    when one field is sparse (a tool name is rare in `text` but common in
+    `tool`; blending stops the sparse field's inflated idf dominating).
+
+    Scale shape: blended dfs are a query-vocabulary-sized driver lookup
+    against the two term_stats artifacts (broadcast in the constructor);
+    two per-term scored match streams (TermScoredMatchServer pool per
+    field index, streamed, never collected) → union → groupby Max on
+    (qid, term, doc_key) [cross-field, per term] → groupby Sum on
+    (qid, doc_key) [over terms] → per-batch partial top-k + tiny driver
+    merge. Per-row micro-rounding happens before Max, so both groupbys
+    are integer-exact and the SQL oracle replays them verbatim.
+    Columns: qid, rank, doc_key, score_micro."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from engine.index.build import ensure_term_stats
+    from engine.oracle.bm25 import idf as bm25_idf
+    from engine.query.engine import TermScoredMatchServer
+    from engine.text.analyzer import Analyzer
+
+    _path, idx_text = tr_oracle_index()
+    _path2, idx_tool = tr_tool_index()
+    items = [{"qid": q, "text": t} for q, t in _dismax_query_set()]
+
+    an = Analyzer()
+    all_terms = sorted({t for _, qtext in _dismax_query_set() for t in an.tokens(qtext)})
+    dfs = {}
+    for idx in (idx_text, idx_tool):
+        tb = pq.read_table(ensure_term_stats(idx), columns=["term", "df"],
+                           filters=[("term", "in", all_terms)])
+        dfs[idx] = dict(zip(tb["term"].to_pylist(), tb["df"].to_pylist()))
+    n_text = int(Manifest(idx_text).stats["n_docs"])
+    n_tool = int(Manifest(idx_tool).stats["n_docs"])
+    if n_text != n_tool:  # same corpus, A3 every-docmap-row-counts on both
+        raise AssertionError(f"field indexes disagree on n_docs: {n_text} != {n_tool}")
+    idf_override = {
+        t: float(bm25_idf(n_text, max(dfs[idx_text].get(t, 0), dfs[idx_tool].get(t, 0))))
+        for t in all_terms
+        if max(dfs[idx_text].get(t, 0), dfs[idx_tool].get(t, 0)) > 0
+    }
+
+    def field_stream(idx: str):
+        return rd.from_items(items).map_batches(
+            TermScoredMatchServer,
+            fn_constructor_kwargs={"index_dir": idx, "score_micro": True,
+                                   "idf_override": idf_override},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4,
+            concurrency=default_pool(),
+        )
+
+    combined = (
+        field_stream(idx_text)
+        .union(field_stream(idx_tool))
+        .groupby(["qid", "term", "doc_key"])
+        .aggregate(Max("score", alias_name="w_micro"))  # cross-field, per term
+        .groupby(["qid", "doc_key"])
+        .aggregate(Sum("w_micro", alias_name="score_micro"))  # over terms
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "score_micro", "doc_key"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    out = combined.map_batches(partial_topk, batch_format="pandas").to_pandas()
     cols = ["qid", "rank", "doc_key", "score_micro"]
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
@@ -3401,7 +3573,7 @@ def tr_bm25_oracle(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     tbl = hydrate_table(idx, pa.Table.from_pandas(res))
     out = tbl.to_pandas().rename(columns={"score": "score_micro"})
@@ -3442,7 +3614,7 @@ def tr_exists(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     attrs = rd.read_parquet(path, columns=["doc_key", "doc_id", "tool"])
     jargs = join_args(n_joins=1)
@@ -3539,7 +3711,7 @@ def tr_pref_pairs(sf_dir: str) -> pd.DataFrame:
     out = (
         rd.read_parquet(path, columns=["conv_id", "doc_key", "role", "text"])
         .map_batches(_Score, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=(1, 4))
+                     concurrency=default_pool())
         .groupby("conv_id")
         .map_groups(pick, batch_format="pandas")
         .to_pandas()
@@ -3649,7 +3821,7 @@ def tr_bm25_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     res = res.rename(columns={"score": "score_micro"})
     res = res[["qid", "rank", "doc_key", "score_micro"]]
@@ -3686,7 +3858,7 @@ def tr_match_histogram(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     ts_ds = rd.read_parquet(path, columns=["doc_key", "ts"])
     jargs = join_args(n_joins=1)
@@ -3745,7 +3917,7 @@ def tr_bm25_boosted(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     roles = rd.read_parquet(path, columns=["doc_key", "role"])
     jargs = join_args(n_joins=1)
@@ -3805,7 +3977,7 @@ def tr_bm25_collapse(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     convs = rd.read_parquet(path, columns=["doc_key", "conv_id"])
     jargs = join_args(n_joins=1)
@@ -3886,7 +4058,7 @@ def tr_bm25_recency(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def to_epoch(b: pa.Table) -> pa.Table:
@@ -3958,7 +4130,7 @@ def tr_has_child(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     convs = rd.read_parquet(path, columns=["doc_key", "conv_id"])
     jargs = join_args(n_joins=1)
@@ -4018,7 +4190,7 @@ def tr_sort_by_field(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def to_us(b: pa.Table) -> pa.Table:
@@ -4076,13 +4248,13 @@ def tr_sort_by_field_dv(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).map_batches(
         DocValuesLookup,
         fn_constructor_kwargs={"dv_dir": dv, "out_col": "ts_us"},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -4125,13 +4297,13 @@ def ft_match_stats_dv(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).map_batches(
         DocValuesLookup,
         fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -4193,7 +4365,7 @@ def tr_has_parent(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
     convs = rd.read_parquet(path, columns=["doc_key", "conv_id"])
     sizes = (
@@ -4264,7 +4436,7 @@ def tr_boosting_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     cols = ["qid", "rank", "doc_key", "score_micro"]
     if len(out) == 0:
@@ -4379,7 +4551,7 @@ def tr_bm25_purged(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     tbl = hydrate_table(idx, pa.Table.from_pandas(res))
     out = tbl.to_pandas().rename(columns={"score": "score_micro"})
@@ -4470,7 +4642,7 @@ def ft_bm25_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).to_pandas()
     tbl = hydrate_table(idx, pa.Table.from_pandas(res))
     out = tbl.to_pandas().rename(columns={"score": "score_micro"})
@@ -4518,7 +4690,7 @@ def ft_rank_eval(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def partial(b: pa.Table) -> pd.DataFrame:
@@ -4600,13 +4772,13 @@ def ft_function_score(sf_dir: str, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4,
-        concurrency=2,
+        concurrency=default_pool(),
     ).map_batches(
         DocValuesLookup,
         fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=default_pool(),
     )
 
     def rescale_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -4708,13 +4880,18 @@ CTX_WINDOW = 3  # context turns per example
 
 def tr_context_windows(sf_dir: str, k: int = CTX_WINDOW) -> pd.DataFrame:
     """Conversation context-window assembly (the RAG-eval / chat-history
-    prep op): for every turn with turn_idx ≥ 1, the fingerprint of its
-    preceding min(k, turn_idx) turns — ctx_fp = md5 of the turns' canonical
-    token strings (the dedup_exact canon per turn) joined by single spaces,
-    oldest first. Zero-token turns contribute an empty canonical string
-    (the join keeps their slot — deterministic on both sides). Downstream,
-    equal ctx_fp ⇒ identical usable history, the cache key a serving stack
-    deduplicates prefill on.
+    prep op): for every turn except a conversation's FIRST (in turn_idx
+    order), the fingerprint of its preceding min(k, position) turns, where
+    ``position`` is the turn's 0-based POSITIONAL index within the
+    conversation — NOT turn_idx itself, so a conversation with turn_idx
+    gaps still windows over the turns that actually exist (the oracle's
+    row_number() semantics; on gap-free fixtures position == turn_idx).
+    ctx_fp = md5 of the window turns' canonical token strings (the
+    dedup_exact canon per turn) joined by single spaces, oldest first;
+    ctx_turns = the window's actual size. Zero-token turns contribute an
+    empty canonical string (the join keeps their slot — deterministic on
+    both sides). Downstream, equal ctx_fp ⇒ identical usable history, the
+    cache key a serving stack deduplicates prefill on.
 
     Scale shape: ONE keyed groupby(conv_id).map_groups over slim
     (conv, turn_idx, text) rows — conversations are the transcript

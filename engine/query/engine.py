@@ -691,13 +691,71 @@ class ScoredMatchServer(SegmentServer):
                          "score": np.concatenate(out_sc)})
 
 
+class TermScoredMatchServer(SegmentServer):
+    """Per-TERM scored match stream: (qid, term, doc_key, score) for every
+    (query term, matching doc) — the building block for cross-field
+    blended-statistics retrieval (ES ``multi_match type: cross_fields`` /
+    BM25F-style scoring), where a term's idf must come from BLENDED
+    per-field document frequencies rather than this index's own df.
+
+    ``idf_override`` maps term → idf value to use in place of
+    idf(n_docs, local df); terms absent from the map fall back to local
+    stats, so the server doubles as a plain per-term explain stream.
+    Per-row score is micro-rounded BEFORE any cross-field combination
+    (when score_micro), making the downstream max/sum integer-exact and
+    SQL-replayable. Honors deletes. Scale shape: rows ∝ per-term match
+    sets (streamed per block, never collected); the override map is
+    query-vocabulary-sized."""
+
+    def __init__(self, *args, idf_override: dict[str, float] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.idf_override = idf_override or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.oracle.bm25 import idf as bm25_idf
+        from engine.oracle.bm25 import tf_sat
+
+        qids = batch["qid"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_qid, out_term, out_key, out_sc = [], [], [], []
+        for qid, text in zip(qids, texts):
+            for t in sorted(set(self.analyzer.tokens(text))):
+                hits, df = self._term_hits(t)
+                if not hits:
+                    continue
+                w_idf = self.idf_override.get(t)
+                if w_idf is None:
+                    w_idf = float(bm25_idf(self.n_docs, df))
+                for seg, idx in hits:
+                    dk, tf, dl = seg.read_postings(idx)
+                    w = w_idf * tf_sat(tf, dl, self.avgdl)
+                    dk, w = self._filter_deleted(dk, w)
+                    if self.score_micro:
+                        w = np.floor(w * 1e6 + 0.5).astype(np.int64)
+                    out_qid.append(np.full(dk.size, qid, dtype=np.int64))
+                    out_term.append(np.full(dk.size, t, dtype=object))
+                    out_key.append(dk)
+                    out_sc.append(w)
+        stype = pa.int64() if self.score_micro else pa.float64()
+        if not out_qid:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.large_string()),
+                             "doc_key": pa.array([], pa.int64()),
+                             "score": pa.array([], stype)})
+        return pa.table({"qid": np.concatenate(out_qid),
+                         "term": pa.array(np.concatenate(out_term).tolist(),
+                                          type=pa.large_string()),
+                         "doc_key": np.concatenate(out_key),
+                         "score": np.concatenate(out_sc)})
+
+
 def query_index(
     index_dir: str,
     queries,
     *,
     k: int = 10,
     mode: str = "exhaustive",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 256,
     hydrate: bool = True,
     sort_output: bool = True,
@@ -711,6 +769,10 @@ def query_index(
     pandas should sort driver-side instead of paying an all-to-all)."""
     import ray.data as rd
 
+    from engine.core.pool import default_pool
+
+    if concurrency is None:
+        concurrency = default_pool()
     if not hasattr(queries, "map_batches"):
         queries = rd.from_items([{"qid": int(q), "text": t} for q, t in queries])
     partials = queries.map_batches(

