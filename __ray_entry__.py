@@ -1490,6 +1490,66 @@ ORDER BY c.qid, r.rank, c.term
 """
 
 
+def _bm25_highlight_sql(k: int, frag: int) -> str:
+    """Best-fragment highlight oracle: same ranked top-k as snippets, then
+    per hit every frag-token window is scored by COUNT(DISTINCT query
+    terms contained), argmax with leftmost tie-break (sc DESC, i ASC)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+topk AS (
+  SELECT qid, rank, doc_id, score_micro FROM (
+    SELECT qid, doc_id, score_micro,
+           row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+dtok AS (SELECT doc_id, {_TOKS} toks FROM documents),
+win AS (
+  SELECT t.qid, t.rank, t.doc_id, t.score_micro, d.toks,
+         unnest(range(1, greatest(1, len(d.toks) - {frag} + 1) + 1)) i
+  FROM topk t JOIN dtok d ON d.doc_id = t.doc_id
+),
+wsc AS (
+  SELECT qid, rank, doc_id, score_micro, toks, i,
+         (SELECT count(DISTINCT qt.term) FROM qterm qt
+          WHERE qt.qid = win.qid
+            AND list_contains(list_slice(win.toks, win.i, win.i + {frag} - 1), qt.term))::BIGINT sc
+  FROM win
+),
+best AS (
+  SELECT qid, rank, doc_id, score_micro, toks, i, sc FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, rank
+                                 ORDER BY sc DESC, i ASC) rn
+    FROM wsc
+  ) WHERE rn = 1
+)
+SELECT qid, rank, doc_id, score_micro,
+       (i - 1)::BIGINT frag_start, sc n_qterms,
+       array_to_string(list_slice(toks, i, i + {frag} - 1), ' ') fragment
+FROM best ORDER BY qid, rank
+"""
+
+
 def _bool_queries_values() -> str:
     from engine.pipelines import BOOL_QUERIES
 
@@ -3886,6 +3946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_boosted_terms": lambda sf: P.ft_bm25_boosted_terms(sf, k=10),
         # top-k + context-window snippets (bounded candidate-only scan)
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
+        # ES highlight semantics: BEST fragment (max distinct query terms)
+        "ft_bm25_highlight": lambda sf: P.ft_bm25_highlight(sf, k=5),
         # query-time attribute filter (filter-context search): scored match
         # stream → attr hash join → predicate filter → per-block top-k
         "ft_bm25_postfilter": lambda sf: P.ft_bm25_postfilter(sf, k=10),
@@ -4130,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine.ops import relational, textstats
+    from engine.pipelines import HL_FRAG
 
     sql = {
         "ft_bm25_topk10": _bm25_sql(10),
@@ -4219,6 +4282,7 @@ ORDER BY b.purchase_id
         "ft_bm25_msm": _bm25_msm_sql(10, 2),
         "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
+        "ft_bm25_highlight": _bm25_highlight_sql(5, HL_FRAG),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_bm25_range": _bm25_range_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

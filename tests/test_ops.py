@@ -2184,6 +2184,41 @@ class TestEmbedStage:
             assert sub["vec_id"].tolist() == exp_ids.tolist(), qid
 
 
+def test_ft_bm25_highlight_best_fragment(ray_session):
+    """Best-fragment highlighting: the chosen window is a true argmax —
+    recompute every window's distinct-query-term count in pure Python and
+    assert the op picked the max with the LEFTMOST tie-break; and the best
+    window is at least as term-rich as the first-hit (snippets) window."""
+    import engine.pipelines as P
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    got = P.ft_bm25_highlight(sf, k=5)
+    assert len(got) > 0
+    an = Analyzer()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
+    qterms = {q: set(an.tokens(t)) for q, t in P.DOC_QUERIES}
+    improved = 0
+    for r in got.itertuples():
+        ts = toks[int(r.doc_id)]
+        qs = qterms[int(r.qid)]
+        w = min(P.HL_FRAG, len(ts))
+        scores = [len({t for t in ts[i:i + w] if t in qs})
+                  for i in range(len(ts) - w + 1)]
+        best = max(scores)
+        assert int(r.n_qterms) == best
+        assert int(r.frag_start) == scores.index(best)  # leftmost tie
+        assert r.fragment == " ".join(ts[r.frag_start:r.frag_start + w])
+        first_hit = next(i for i, t in enumerate(ts) if t in qs)
+        lo = max(0, first_hit - 5)
+        snip_terms = len({t for t in ts[lo:first_hit + 6] if t in qs})
+        if best > snip_terms:
+            improved += 1
+    assert improved >= 1  # best-fragment genuinely beats first-hit somewhere
+
+
 def test_quality_clf_learns_separable_classes(tmp_path, ray_session):
     """The trained classifier must actually LEARN: on a corpus where the
     target lang uses a disjoint vocabulary, holdout (train-excluded md5
