@@ -129,16 +129,22 @@ class PiiScan:
         return pa.table(cols)
 
 
-def pii_redact(sf_dir: str, plant: bool = True) -> pd.DataFrame:
-    """doc_id, n_<rule> counts, fully-redacted text for every document."""
+def pii_redact(sf_dir: str, plant: bool = True, out_dir: str | None = None):
+    """doc_id, n_<rule> counts, fully-redacted text for every document.
+    ``out_dir`` streams to sharded parquet (engine/ops/sink.py) — for this
+    op the sink path matters most of all: the output carries the FULL
+    redacted text, i.e. it is corpus-sized, and a driver frame of it is
+    exactly what a 100-TB redaction run must never build."""
     import ray.data as rd
 
+    from engine.ops.sink import sink_or_frame
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
+    res = ds.map_batches(
         PiiScan,
         fn_constructor_kwargs={"plant": plant},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=default_pool(),
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    )
+    return sink_or_frame(res, out_dir, sort_by="doc_id")

@@ -272,17 +272,20 @@ class TokenCounter:
         )
 
 
-def token_count(sf_dir: str):
-    """doc_id, n_ws_tokens, n_bpe_tokens for every document."""
+def token_count(sf_dir: str, out_dir: str | None = None):
+    """doc_id, n_ws_tokens, n_bpe_tokens for every document; ``out_dir``
+    streams to sharded parquet (engine/ops/sink.py)."""
     import ray.data as rd
 
+    from engine.ops.sink import sink_or_frame
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
+    res = ds.map_batches(
         TokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype(
-        {"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}
     )
+    return sink_or_frame(res, out_dir, sort_by="doc_id",
+                         astype={"doc_id": "int64", "n_ws_tokens": "int64",
+                                 "n_bpe_tokens": "int64"})
 
 
 class _CorpusPartial:
@@ -489,7 +492,7 @@ class _RepetitionStats:
         )
 
 
-def repetition(sf_dir: str) -> pd.DataFrame:
+def repetition(sf_dir: str, out_dir: str | None = None):
     """Gopher-style repetition filters (Rae et al. 2021's repetition
     signals, token-level): per doc, the fraction of bigram slots taken by
     the single most frequent bigram, and the fraction of trigram slots
@@ -498,11 +501,13 @@ def repetition(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
+    from engine.ops.sink import sink_or_frame
+
+    res = ds.map_batches(
         _RepetitionStats, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=default_pool(),
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    )
+    return sink_or_frame(res, out_dir, sort_by="doc_id", astype="int64")
 
 
 # benchmark-contamination constants — mirrored in the SQL oracle. A wider

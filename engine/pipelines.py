@@ -1123,14 +1123,19 @@ def ft_bm25_facets(sf_dir: str, facets: tuple[str, ...] = ("source", "lang")) ->
     # one pass melts each attr column into (facet, value) pairs with an
     # in-batch partial count, then ONE small groupby-sum finishes
     def melt(b: pa.Table) -> pa.Table:
-        frames = []
-        df = b.to_pandas()
+        # batch-local partial counts with NATIVE pyarrow group_by (VERDICT
+        # r3 #4: the pandas round-trip here was per-batch copy overhead in
+        # the hottest aggregation pipeline)
+        parts = []
         for f in facets:
-            g = df.groupby(["qid", f], as_index=False).size()
-            g = g.rename(columns={f: "value", "size": "n"})
-            g["facet"] = f
-            frames.append(g[["qid", "facet", "value", "n"]])
-        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+            g = b.select(["qid", f]).group_by(["qid", f]).aggregate([([], "count_all")])
+            parts.append(pa.table({
+                "qid": g["qid"].cast(pa.int64()),
+                "facet": pa.array(np.full(g.num_rows, f), type=pa.string()),
+                "value": g[f].cast(pa.string()),
+                "n": g["count_all"].cast(pa.int64()),
+            }))
+        return pa.concat_tables(parts)
 
     from ray.data.aggregate import Sum
 
@@ -1211,17 +1216,14 @@ def ft_hit_count(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial_counts(b: pa.Table) -> pa.Table:
-        df = (
-            b.select(["qid", "source"])
-            .to_pandas()
-            .groupby(["qid", "source"], as_index=False)
-            .size()
-        )
+        # native pyarrow group_by — no per-batch pandas round-trip
+        g = b.select(["qid", "source"]).group_by(["qid", "source"]).aggregate(
+            [([], "count_all")])
         return pa.table(
             {
-                "qid": df["qid"].astype("int64"),
-                "source": df["source"].astype(str),
-                "n": df["size"].astype("int64"),
+                "qid": g["qid"].cast(pa.int64()),
+                "source": g["source"].cast(pa.string()),
+                "n": g["count_all"].cast(pa.int64()),
             }
         )
 
@@ -1323,11 +1325,12 @@ def ft_significant_terms(sf_dir: str, top_n: int = 5) -> pd.DataFrame:
     )
 
     def partial_fg(b: pa.Table) -> pa.Table:
-        df = (b.select(["qid", "term"]).to_pandas()
-              .groupby(["qid", "term"], as_index=False).size())
-        return pa.table({"qid": df["qid"].astype("int64"),
-                         "term": df["term"].astype(str),
-                         "n": df["size"].astype("int64")})
+        # native pyarrow group_by — no per-batch pandas round-trip
+        g = b.select(["qid", "term"]).group_by(["qid", "term"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"qid": g["qid"].cast(pa.int64()),
+                         "term": g["term"].cast(pa.string()),
+                         "n": g["count_all"].cast(pa.int64())})
 
     fg = (
         joined.map_batches(partial_fg, batch_format="pyarrow")
@@ -1392,14 +1395,15 @@ def ft_match_stats(sf_dir: str) -> pd.DataFrame:
     )
 
     def partials(b: pa.Table) -> pa.Table:
-        df = b.select(["qid", "n_chars"]).to_pandas()
-        g = df.groupby("qid", as_index=False).agg(
-            n=("n_chars", "size"),
-            s=("n_chars", "sum"),
-            lo=("n_chars", "min"),
-            hi=("n_chars", "max"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # native pyarrow group_by — no per-batch pandas round-trip
+        g = b.select(["qid", "n_chars"]).group_by(["qid"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"),
+             ("n_chars", "min"), ("n_chars", "max")])
+        return pa.table({"qid": g["qid"].cast(pa.int64()),
+                         "n": g["n_chars_count"].cast(pa.int64()),
+                         "s": g["n_chars_sum"].cast(pa.int64()),
+                         "lo": g["n_chars_min"].cast(pa.int64()),
+                         "hi": g["n_chars_max"].cast(pa.int64())})
 
     out = (
         joined.map_batches(partials, batch_format="pyarrow")
@@ -1603,14 +1607,16 @@ def ft_cardinality(
     )
 
     def distinct_rows(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        frames = []
+        # batch-local distinct via native pyarrow group_by (no pandas)
+        parts = []
         for f in facets:
-            g = df[["qid", f]].drop_duplicates()
-            g = g.rename(columns={f: "value"})
-            g["facet"] = f
-            frames.append(g[["qid", "facet", "value"]])
-        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+            g = b.select(["qid", f]).group_by(["qid", f]).aggregate([])
+            parts.append(pa.table({
+                "qid": g["qid"].cast(pa.int64()),
+                "facet": pa.array(np.full(g.num_rows, f), type=pa.string()),
+                "value": g[f].cast(pa.string()),
+            }))
+        return pa.concat_tables(parts)
 
     uniq = (
         joined.map_batches(distinct_rows, batch_format="pyarrow")
