@@ -12,9 +12,11 @@ feature_hash, …) have TWO consumers with opposite shapes:
 builds its result Dataset exactly once, and the ``out_dir`` argument picks
 the consumer. The parquet layout is hive-partitioned by ``shard =
 key % num_shards`` — a deterministic, data-independent split, so re-runs
-land identical partition directories (resumable: finished buckets can be
-detected and skipped by a wrapper) and downstream readers can prune by key
-shard. The summary is computed from the written parquet FOOTERS (row
+land identical partition directories and downstream readers can prune by
+key shard. Output is RESUMABLE at run level: a ``_SINK.json`` sentinel is
+committed only after a complete write, so re-running over a finished
+out_dir skips the pipeline entirely while a crashed partial write is
+cleaned and redone (the index manifest's atomic-commit philosophy). The summary is computed from the written parquet FOOTERS (row
 counts only) — no result row ever transits the driver on this path.
 """
 
@@ -45,6 +47,22 @@ def sink_or_frame(
         keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         return out.sort_values(keys).reset_index(drop=True)
 
+    # run-level resumability (the manifest atomic-commit philosophy applied
+    # to op outputs): a _SINK.json sentinel is written only AFTER a
+    # complete write, so a re-run over a finished out_dir skips the whole
+    # pipeline (returns the saved summary), while a crashed partial write
+    # (no sentinel) is cleaned and redone — never half-trusted.
+    import json
+    import os
+    import shutil
+
+    sentinel = os.path.join(out_dir, "_SINK.json")
+    if os.path.exists(sentinel):
+        with open(sentinel) as f:
+            return json.load(f)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
     key = sort_by if isinstance(sort_by, str) else sort_by[0]
 
     def _shard(t: pa.Table) -> pa.Table:
@@ -55,7 +73,10 @@ def sink_or_frame(
     res.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         out_dir, partition_cols=["shard"]
     )
-    return summarize_sink(out_dir)
+    summary = summarize_sink(out_dir)
+    with open(sentinel, "w") as f:
+        json.dump(summary, f)
+    return summary
 
 
 def summarize_sink(out_dir: str) -> dict:

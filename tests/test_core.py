@@ -163,3 +163,21 @@ class TestOracle:
         assert seeded_query_set(5, seed=7) == seeded_query_set(5, seed=7)
         qs = seeded_query_set(50)
         assert len({q for _, q in qs}) > 30
+
+
+class TestDefaultPool:
+    def test_pool_bounds_derive_from_cluster(self, ray_session):
+        """Stage pools must size from ray.cluster_resources(), not fixture
+        literals (VERDICT r3 #1): hi == all cluster CPUs (≥2), lo
+        respected, cap clamps."""
+        import ray
+
+        from engine.core.pool import cluster_cpus, default_pool
+
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+        assert cpus >= 1
+        assert cluster_cpus() == cpus
+        lo, hi = default_pool()
+        assert lo == 1 and hi == max(2, cpus)
+        assert default_pool(cap=2) == (1, 2)
+        assert default_pool(lo=3, cap=1) == (3, 3)  # cap never undercuts lo

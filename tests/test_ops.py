@@ -3772,3 +3772,34 @@ def test_property_winnowing_guarantee_and_sstem_paths(ray_session):
         assert covered == set(range(dl))
 
     chunk_layout_covers()
+
+
+class TestSinkResume:
+    def test_finished_sink_is_skipped_and_partial_redone(self, tmp_path, ray_session):
+        """Run-level resumability: a finished out_dir (sentinel present)
+        returns the saved summary WITHOUT re-executing the pipeline
+        (poisoned Dataset proves it); a partial dir without the sentinel
+        is cleaned and rewritten."""
+        import json
+        import os
+
+        from engine.ops.sink import sink_or_frame
+        from engine.ops.textstats import quality
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "q")
+        first = quality(sf, out_dir=out)
+        assert os.path.exists(f"{out}/_SINK.json")
+
+        class _Poisoned:
+            def map_batches(self, *a, **k):
+                raise AssertionError("finished sink re-executed its pipeline")
+
+        again = sink_or_frame(_Poisoned(), out, sort_by="doc_id")
+        assert again == first
+        # partial write (sentinel removed) must be cleaned and redone
+        os.remove(f"{out}/_SINK.json")
+        redo = quality(sf, out_dir=out)
+        assert redo["rows"] == first["rows"]
+        with open(f"{out}/_SINK.json") as f:
+            assert json.load(f)["rows"] == first["rows"]
