@@ -1550,6 +1550,71 @@ FROM best ORDER BY qid, rank
 """
 
 
+def _bm25_rescore_sql(k: int, window: int, boost: int) -> str:
+    """Rescore oracle: the ranked top-window per query, then the proximity
+    bonus boost // min-pair-gap over distinct query terms (positions from
+    the shared tokenization), reranked (combined desc, doc_id asc)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+topw AS (
+  SELECT qid, doc_id, score_micro FROM (
+    SELECT qid, doc_id, score_micro,
+           row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+    FROM scored
+  ) WHERE rank <= {window}
+),
+dtok AS (SELECT doc_id, {_TOKS} toks FROM documents
+         WHERE doc_id IN (SELECT DISTINCT doc_id FROM topw)),
+pos AS (
+  SELECT doc_id, s['p'] pos, s['t'] term FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                          i -> {{'p': i, 't': toks[i]}})) s
+    FROM dtok)
+),
+gaps AS (
+  SELECT w.qid, w.doc_id, min(abs(p1.pos - p2.pos))::BIGINT g
+  FROM topw w
+  JOIN qterm q1 ON q1.qid = w.qid
+  JOIN qterm q2 ON q2.qid = w.qid AND q1.term < q2.term
+  JOIN pos p1 ON p1.doc_id = w.doc_id AND p1.term = q1.term
+  JOIN pos p2 ON p2.doc_id = w.doc_id AND p2.term = q2.term
+  GROUP BY 1, 2
+),
+resc AS (
+  SELECT w.qid, w.doc_id, w.score_micro,
+         (w.score_micro + coalesce({boost} // g.g, 0))::BIGINT combined_micro
+  FROM topw w LEFT JOIN gaps g ON g.qid = w.qid AND g.doc_id = w.doc_id
+)
+SELECT qid, rank, doc_id, score_micro, combined_micro FROM (
+  SELECT qid, doc_id, score_micro, combined_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY combined_micro DESC, doc_id ASC)::BIGINT rank
+  FROM resc
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _bool_queries_values() -> str:
     from engine.pipelines import BOOL_QUERIES
 
@@ -3948,6 +4013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_snippets": lambda sf: P.ft_bm25_snippets(sf, k=10),
         # ES highlight semantics: BEST fragment (max distinct query terms)
         "ft_bm25_highlight": lambda sf: P.ft_bm25_highlight(sf, k=5),
+        # ES rescore: top-window BM25 reranked by a proximity bonus
+        "ft_bm25_rescore": lambda sf: P.ft_bm25_rescore(sf, k=10),
         # query-time attribute filter (filter-context search): scored match
         # stream → attr hash join → predicate filter → per-block top-k
         "ft_bm25_postfilter": lambda sf: P.ft_bm25_postfilter(sf, k=10),
@@ -4193,6 +4260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from engine.ops import relational, textstats
     from engine.pipelines import HL_FRAG
+    from engine.pipelines import RESCORE_BOOST_MICRO as P_RESCORE_BOOST
+    from engine.pipelines import RESCORE_WINDOW as P_RESCORE_WINDOW
 
     sql = {
         "ft_bm25_topk10": _bm25_sql(10),
@@ -4283,6 +4352,8 @@ ORDER BY b.purchase_id
         "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
         "ft_bm25_highlight": _bm25_highlight_sql(5, HL_FRAG),
+        "ft_bm25_rescore": _bm25_rescore_sql(
+            10, P_RESCORE_WINDOW, P_RESCORE_BOOST),
         "ft_bm25_postfilter": _bm25_postfilter_sql(10),
         "ft_bm25_range": _bm25_range_sql(10),
         "ft_hybrid_rrf": _hybrid_rrf_sql(10),

@@ -1903,6 +1903,88 @@ PROX_QUERIES: list[tuple[int, str, str, int]] = [
 ]
 
 
+RESCORE_WINDOW = 20        # ES rescore window_size (top-N rescored per query)
+RESCORE_BOOST_MICRO = 2_000_000  # proximity bonus numerator (integer contract)
+
+
+def ft_bm25_rescore(sf_dir: str, k: int = 10, window: int = RESCORE_WINDOW) -> pd.DataFrame:
+    """Query RESCORING (the ES ``rescore`` window): cheap BM25 retrieves
+    the top-``window`` candidates per query, an expensive PROXIMITY
+    rescorer reranks only that window, and the final top-k is served from
+    the rescored window — the standard two-phase ranking shape where the
+    costly scorer touches q·window docs, never the corpus.
+
+    Rescorer contract (integer-exact): for each windowed hit, gap = the
+    smallest |pos_i − pos_j| over pairs of DISTINCT query terms both
+    present in the doc (occurrence positions in analyzer-token space);
+    combined_micro = score_micro + RESCORE_BOOST_MICRO // gap, with no
+    bonus when fewer than two distinct query terms occur. Final order
+    (combined_micro desc, doc_id asc).
+
+    Scale shape: base retrieval is the existing scored top-k path; the
+    rescorer is a candidate-only column-pruned scan (vectorized isin, the
+    snippets/explain pattern) + per-doc nearest-neighbour searchsorted
+    gaps — cost ∝ queries × window. Columns: qid, rank, doc_id,
+    score_micro, combined_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.text.analyzer import Analyzer
+
+    base = _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES],
+                            window)
+    cols = ["qid", "rank", "doc_id", "score_micro", "combined_micro"]
+    if len(base) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    cand = np.unique(base["doc_id"].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        w = ray.get(cand_ref)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= w.size] = 0
+        return b.filter(pa.array(w[pos] == ids))
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    an = Analyzer()
+    toks = {int(r.doc_id): np.asarray(an.tokens(r.text), dtype=object)
+            for r in docs.itertuples()}
+    qterms = {qid: sorted(set(an.tokens(t))) for qid, t in DOC_QUERIES}
+
+    def min_pair_gap(qid: int, doc_id: int) -> int | None:
+        ts = toks[doc_id]
+        present = {}
+        for t in qterms[qid]:
+            p = np.flatnonzero(ts == t)
+            if p.size:
+                present[t] = p
+        names = sorted(present)
+        best = None
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                g = _min_pos_gap(present[names[i]], present[names[j]])
+                if best is None or g < best:
+                    best = g
+        return best
+
+    out = base.copy()
+    bonus = []
+    for q, d in zip(out["qid"], out["doc_id"]):
+        g = min_pair_gap(int(q), int(d))
+        bonus.append(0 if g is None else RESCORE_BOOST_MICRO // int(g))
+    out["combined_micro"] = out["score_micro"].to_numpy() + np.asarray(bonus, dtype=np.int64)
+    out = out.sort_values(["qid", "combined_micro", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def _min_pos_gap(pos_a: np.ndarray, pos_b: np.ndarray) -> int:
     """Smallest |i - j| over occurrence positions of two DISTINCT terms
     (both arrays sorted ascending). O((|a|+|b|) log) via nearest-neighbour

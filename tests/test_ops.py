@@ -3803,3 +3803,22 @@ class TestSinkResume:
         assert redo["rows"] == first["rows"]
         with open(f"{out}/_SINK.json") as f:
             assert json.load(f)["rows"] == first["rows"]
+
+
+def test_ft_bm25_rescore_laws(ray_session):
+    """Rescore window: combined = base + boost // min-pair-gap; single-term
+    queries never get a bonus; the bonus actually reorders some query's
+    window vs plain BM25 on the fixture (else the op is a no-op)."""
+    import engine.pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    res = P.ft_bm25_rescore(sf, k=10)
+    base = P.ft_bm25_topk(sf, k=10)
+    assert len(res) > 0
+    assert (res["combined_micro"] >= res["score_micro"]).all()
+    # qid 4 ("scan") is single-term: no pair gap, no bonus
+    single = res[res["qid"] == 4]
+    assert len(single) and (single["combined_micro"] == single["score_micro"]).all()
+    # somewhere the proximity bonus must reorder vs plain BM25
+    assert (res.sort_values(["qid", "rank"])["doc_id"].tolist()
+            != base.sort_values(["qid", "rank"])["doc_id"].tolist())
