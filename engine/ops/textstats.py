@@ -587,7 +587,7 @@ class _ContamCounter(_ContamShingles):
         )
 
 
-def contamination(sf_dir: str) -> pd.DataFrame:
+def contamination(sf_dir: str, out_dir: str | None = None):
     """Benchmark-contamination check (the train/eval-overlap gate every
     LLM-training pipeline needs): flag corpus documents sharing any
     CONTAM_WIDTH-token shingle hash with the benchmark set (here the
@@ -623,7 +623,9 @@ def contamination(sf_dir: str) -> pd.DataFrame:
     )
     bench_ref = ray.put(np.unique(bench_grams))
 
-    out = (
+    from engine.ops.sink import sink_or_frame
+
+    res = (
         rd.read_parquet(path, columns=["doc_id", "text"])
         .map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
@@ -633,11 +635,10 @@ def contamination(sf_dir: str) -> pd.DataFrame:
             zero_copy_batch=True,
             concurrency=default_pool(),
         )
-        .to_pandas()
     )
-    return out.sort_values("doc_id").reset_index(drop=True).astype(
-        {"doc_id": "int64", "n_shared": "int64", "contaminated": "int64"}
-    )
+    return sink_or_frame(res, out_dir, sort_by="doc_id",
+                         astype={"doc_id": "int64", "n_shared": "int64",
+                                 "contaminated": "int64"})
 
 
 class _TopQualityPartial:
@@ -1158,7 +1159,7 @@ class _TfTriples:
         )
 
 
-def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+def tfidf_topk(sf_dir: str, k: int = 3, out_dir: str | None = None):
     """Top-k characteristic terms per document, ranked by tf·idf with the
     RATIONAL idf surrogate ``score_micro = tf * 1_000_000 // df`` (rank-
     equivalent to tf/df; pure int64 arithmetic so DuckDB reproduces every
@@ -1204,10 +1205,14 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
         out = out[out["rank"] <= k]
         return out[["doc_id", "rank", "term", "score_micro"]]
 
-    res = ds.map_batches(topk, batch_format="pandas", batch_size=None).to_pandas()
-    res = res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
-    res["term"] = res["term"].astype(str)
-    return res.astype({"doc_id": "int64", "rank": "int64", "score_micro": "int64"})
+    from engine.ops.sink import sink_or_frame
+
+    res = ds.map_batches(topk, batch_format="pandas", batch_size=None)
+    if out_dir is not None:
+        return sink_or_frame(res, out_dir, sort_by=["doc_id", "rank"])
+    out = res.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    out["term"] = out["term"].astype(str)
+    return out.astype({"doc_id": "int64", "rank": "int64", "score_micro": "int64"})
 
 
 # ---------------------------------------------------------------------------
@@ -2095,7 +2100,7 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS) -> pd.DataFrame:
 VOCAB_TOP_K = 16  # vocab_coverage: tokenizer vocabulary size under test
 
 
-def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K) -> pd.DataFrame:
+def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K, out_dir: str | None = None):
     """Tokenizer-vocabulary coverage audit: for every document with ≥1
     token, the occurrence count falling OUTSIDE the top-``top_k`` corpus
     vocabulary (cf desc, term asc — deterministic ties) and the OOV rate
@@ -2155,21 +2160,19 @@ def vocab_coverage(sf_dir: str, top_k: int = VOCAB_TOP_K) -> pd.DataFrame:
                 "oov_micro": n_oov * 1_000_000 // dlp,
             })
 
-    out = (
-        ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=default_pool())
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    return out.astype("int64")
+    from engine.ops.sink import sink_or_frame
+
+    res = ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by="doc_id", astype="int64")
 
 
 CHUNK_W = 32   # chunk window (tokens)
 CHUNK_S = 24   # chunk stride (tokens) — 8-token overlap
 
 
-def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFrame:
+def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S,
+                  out_dir: str | None = None):
     """RAG-style sliding-window chunking: every document splits into
     ``w``-token chunks at stride ``s`` (overlap w−s). Start offsets are
     0, s, 2s, …, up to the smallest multiple of s that still reaches the
@@ -2185,12 +2188,13 @@ def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFra
     strings (md5 is per-string by nature; chunks per doc ≈ dl/s).
 
     Columns: doc_id, chunk_idx, chunk_start, n_tokens (int64), fp (str)."""
-    out = (
-        _chunk_ds(sf_dir, w, s)
-        .to_pandas()
-        .sort_values(["doc_id", "chunk_idx"])
-        .reset_index(drop=True)
-    )
+    from engine.ops.sink import sink_or_frame
+
+    res = _chunk_ds(sf_dir, w, s)
+    if out_dir is not None:
+        return sink_or_frame(res, out_dir, sort_by=["doc_id", "chunk_idx"])
+    out = (res.to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
     out["fp"] = out["fp"].astype(str)
     return out.astype({"doc_id": "int64", "chunk_idx": "int64",
                        "chunk_start": "int64", "n_tokens": "int64"})
@@ -2566,7 +2570,7 @@ def good_turing(sf_dir: str) -> pd.DataFrame:
 WINNOW_W = 4  # winnowing window (grams per window)
 
 
-def winnowing(sf_dir: str, w: int = WINNOW_W) -> pd.DataFrame:
+def winnowing(sf_dir: str, w: int = WINNOW_W, out_dir: str | None = None):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     the MOSS algorithm): over each doc's CONTAM_WIDTH-token shingle-hash
     sequence, every window of ``w`` consecutive grams selects its minimal
@@ -2614,15 +2618,13 @@ def winnowing(sf_dir: str, w: int = WINNOW_W) -> pd.DataFrame:
                 "gram": np.concatenate(out_g),
             })
 
-    out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(_Winnow, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=default_pool())
-        .to_pandas()
-        .sort_values(["doc_id", "pos"])
-        .reset_index(drop=True)
-    )
-    return out.astype("int64")
+    from engine.ops.sink import sink_or_frame
+
+    res = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                          ).map_batches(_Winnow, batch_format="pyarrow",
+                                        zero_copy_batch=True,
+                                        concurrency=default_pool())
+    return sink_or_frame(res, out_dir, sort_by=["doc_id", "pos"], astype="int64")
 
 
 def dsir_resample(sf_dir: str) -> pd.DataFrame:
