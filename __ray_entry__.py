@@ -4468,8 +4468,8 @@ trn AS (
   SELECT doc_id, (lang = '{textstats.DSIR_TARGET_LANG}') pos FROM documents
   WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) >= {textstats.CLF_TRAIN_MIN_BUCKET}
 ),
-pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT n_pos,
-               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT n_neg FROM trn),
+pri AS (SELECT coalesce(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0)::BIGINT n_pos,
+               coalesce(sum(CASE WHEN pos THEN 0 ELSE 1 END), 0)::BIGINT n_neg FROM trn),
 cnt AS (SELECT b, sum(CASE WHEN t.pos THEN 1 ELSE 0 END)::BIGINT cp,
                sum(CASE WHEN t.pos THEN 0 ELSE 1 END)::BIGINT cn
         FROM f JOIN trn t USING (doc_id) GROUP BY 1),

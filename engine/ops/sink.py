@@ -73,6 +73,9 @@ def sink_or_frame(
     res.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         out_dir, partition_cols=["shard"]
     )
+    # an all-empty result writes no files at all — an empty summary (with
+    # the sentinel below) is still a COMPLETED run, not an error
+    os.makedirs(out_dir, exist_ok=True)
     summary = summarize_sink(out_dir)
     with open(sentinel, "w") as f:
         json.dump(summary, f)

@@ -3804,6 +3804,22 @@ class TestSinkResume:
         with open(f"{out}/_SINK.json") as f:
             assert json.load(f)["rows"] == first["rows"]
 
+    def test_empty_result_sink_is_a_completed_run(self, tmp_path, ray_session):
+        """An all-empty result writes no parquet files — the sink must
+        still commit a zero-row summary + sentinel (a completed run), not
+        raise on the missing directory."""
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from engine.ops.sink import sink_or_frame
+
+        empty = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+        out = str(tmp_path / "empty")
+        s = sink_or_frame(empty, out, sort_by="doc_id")
+        assert s["rows"] == 0 and os.path.exists(f"{out}/_SINK.json")
+
 
 def test_ft_bm25_rescore_laws(ray_session):
     """Rescore window: combined = base + boost // min-pair-gap; single-term
