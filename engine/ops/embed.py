@@ -1,7 +1,9 @@
 """Embedding inference stage — the model-in-actor text→vector encoder
 that closes the text → embedding → ANN loop (VERDICT r3 "missing" #5).
 
-The encoder is a deterministic HASH-PROJECTION model: tokens feature-hash
+The encoder is a deterministic HASH-PROJECTION model — the hashing trick
+(Weinberger et al. 2009) composed with a ±1 random projection (the
+database-friendly JL variant of Achlioptas 2003): tokens feature-hash
 into ``EMB_BUCKETS`` counts (the ta_feature_hash convention — same
 md5-prefix bucket map, so the two ops can never drift), and a fixed ±1
 projection matrix ``M[bucket, dim]`` — derived bucket-by-bucket from
