@@ -775,20 +775,7 @@ def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
 
     idx = documents_index(sf_dir)
     seeds_np = np.unique(np.asarray(seeds, dtype=np.int64))
-    seeds_ref = ray.put(seeds_np)
-
-    def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        w = ray.get(seeds_ref)
-        pos = np.searchsorted(w, ids)
-        pos[pos >= w.size] = 0
-        return b.filter(pa.array(w[pos] == ids))
-
-    docs = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+    docs = _candidate_texts(sf_dir, seeds_np)
     an = Analyzer()
     seed_toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
     all_terms = sorted({t for ts in seed_toks.values() for t in ts})
@@ -890,21 +877,7 @@ def ft_bm25_explain(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     idx = documents_index(sf_dir)
     base = _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k)
-    cand = np.unique(base["doc_id"].to_numpy())
-    cand_ref = ray.put(cand)
-
-    def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        w = ray.get(cand_ref)
-        pos = np.searchsorted(w, ids)
-        pos[pos >= w.size] = 0
-        return b.filter(pa.array(w[pos] == ids))
-
-    docs = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+    docs = _candidate_texts(sf_dir, base["doc_id"].to_numpy())
     an = Analyzer()
     toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
     qterms = {qid: sorted(set(an.tokens(t))) for qid, t in DOC_QUERIES}
@@ -973,6 +946,32 @@ def ft_term_suggest(sf_dir: str, prefixes: tuple[str, ...] = SUGGEST_PREFIXES,
     return out.astype({"rank": "int64", "df": "int64"})
 
 
+def _candidate_texts(sf_dir: str, doc_ids: np.ndarray) -> pd.DataFrame:
+    """Column-pruned candidate-only corpus scan (the snippets/explain/
+    highlight/rescore pattern): broadcast the sorted candidate-id array
+    once, filter every batch with a vectorized searchsorted-isin, collect
+    only the ≤ q·k surviving (doc_id, text) rows. Cost ∝ candidates,
+    never the corpus."""
+    import ray
+    import ray.data as rd
+
+    wanted = np.unique(np.asarray(doc_ids, dtype=np.int64))
+    ref = ray.put(wanted)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        w = ray.get(ref)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= w.size] = 0
+        return b.filter(pa.array(w[pos] == ids))
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+
+
 def ft_bm25_snippets(sf_dir: str, k: int = 10, window: int = 5) -> pd.DataFrame:
     """Search-result snippets: top-k BM25 plus, per hit, the token window
     around the FIRST occurrence of any query term (``window`` tokens of
@@ -990,21 +989,7 @@ def ft_bm25_snippets(sf_dir: str, k: int = 10, window: int = 5) -> pd.DataFrame:
     from engine.text.analyzer import Analyzer
 
     base = _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k)
-    cand = np.unique(base["doc_id"].to_numpy())
-    cand_ref = ray.put(cand)
-
-    def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        w = ray.get(cand_ref)
-        pos = np.searchsorted(w, ids)
-        pos[pos >= w.size] = 0
-        return b.filter(pa.array(w[pos] == ids))
-
-    docs = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+    docs = _candidate_texts(sf_dir, base["doc_id"].to_numpy())
     an = Analyzer()
     toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
     qterms = {qid: set(an.tokens(t)) for qid, t in DOC_QUERIES}
@@ -1044,21 +1029,7 @@ def ft_bm25_highlight(sf_dir: str, k: int = 5, frag: int = HL_FRAG) -> pd.DataFr
     from engine.text.analyzer import Analyzer
 
     base = _run_doc_queries(sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k)
-    cand = np.unique(base["doc_id"].to_numpy())
-    cand_ref = ray.put(cand)
-
-    def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        w = ray.get(cand_ref)
-        pos = np.searchsorted(w, ids)
-        pos[pos >= w.size] = 0
-        return b.filter(pa.array(w[pos] == ids))
-
-    docs = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+    docs = _candidate_texts(sf_dir, base["doc_id"].to_numpy())
     an = Analyzer()
     toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
     qterms = {qid: sorted(set(an.tokens(t))) for qid, t in DOC_QUERIES}
@@ -1936,21 +1907,7 @@ def ft_bm25_rescore(sf_dir: str, k: int = 10, window: int = RESCORE_WINDOW) -> p
     cols = ["qid", "rank", "doc_id", "score_micro", "combined_micro"]
     if len(base) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-    cand = np.unique(base["doc_id"].to_numpy())
-    cand_ref = ray.put(cand)
-
-    def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        w = ray.get(cand_ref)
-        pos = np.searchsorted(w, ids)
-        pos[pos >= w.size] = 0
-        return b.filter(pa.array(w[pos] == ids))
-
-    docs = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+    docs = _candidate_texts(sf_dir, base["doc_id"].to_numpy())
     an = Analyzer()
     toks = {int(r.doc_id): np.asarray(an.tokens(r.text), dtype=object)
             for r in docs.itertuples()}
