@@ -946,6 +946,20 @@ def ft_term_suggest(sf_dir: str, prefixes: tuple[str, ...] = SUGGEST_PREFIXES,
     return out.astype({"rank": "int64", "df": "int64"})
 
 
+def _per_block_topk(ds, k: int, score_col: str, id_col: str) -> pd.DataFrame:
+    """Per-block partial top-k + tiny driver collect: each block reduces to
+    ≤ |queries|·k rows (block-local stable sort + head) before the driver's
+    final merge — the standard top-k-without-global-sort shape shared by
+    the multi-field, docvalues-sorted and conversation-rollup pipelines."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", score_col, id_col],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+
+    return ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+
 def _candidate_texts(sf_dir: str, doc_ids: np.ndarray) -> pd.DataFrame:
     """Column-pruned candidate-only corpus scan (the snippets/explain/
     highlight/rescore pattern): broadcast the sorted candidate-id array
@@ -3422,12 +3436,7 @@ def tr_dis_max(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .aggregate(Max("score", alias_name="score_micro"))
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "score_micro", "doc_key"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
-    out = best.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = _per_block_topk(best, k, "score_micro", "doc_key")
     cols = ["qid", "rank", "doc_key", "score_micro"]
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
@@ -3489,12 +3498,7 @@ def tr_most_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .aggregate(Sum("score", alias_name="score_micro"))
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "score_micro", "doc_key"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
-    out = summed.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = _per_block_topk(summed, k, "score_micro", "doc_key")
     cols = ["qid", "rank", "doc_key", "score_micro"]
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
@@ -3580,12 +3584,7 @@ def tr_cross_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .aggregate(Sum("w_micro", alias_name="score_micro"))  # over terms
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "score_micro", "doc_key"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
-    out = combined.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = _per_block_topk(combined, k, "score_micro", "doc_key")
     cols = ["qid", "rank", "doc_key", "score_micro"]
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
@@ -4108,14 +4107,8 @@ def tr_bm25_collapse(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_groups(best_of_group, batch_format="pandas")
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "score", "doc_key"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
     out = (
-        collapsed.map_batches(partial_topk, batch_format="pandas")
-        .to_pandas()
+        _per_block_topk(collapsed, k, "score", "doc_key")
         .sort_values(["qid", "score", "doc_key"], ascending=[True, False, True],
                      kind="stable")
         .groupby("qid")
@@ -4248,12 +4241,7 @@ def tr_has_child(sf_dir: str, k: int = 10) -> pd.DataFrame:
                    Count(alias_name="n_hits"))
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "sum_micro", "conv_id"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
-    out = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = _per_block_topk(agg, k, "sum_micro", "conv_id")
     cols = ["qid", "rank", "conv_id", "sum_micro", "n_hits"]
     if len(out) == 0:
         return pd.DataFrame({
@@ -4313,12 +4301,7 @@ def tr_sort_by_field(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ts_ds, "inner", jargs.pop("num_partitions"), on=("doc_key",), **jargs
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "ts_us", "doc_key"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
-    out = joined.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = _per_block_topk(joined, k, "ts_us", "doc_key")
     cols = ["qid", "rank", "doc_key", "ts_us"]
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
@@ -4363,12 +4346,7 @@ def tr_sort_by_field_dv(sf_dir: str, k: int = 10) -> pd.DataFrame:
         concurrency=default_pool(),
     )
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "ts_us", "doc_key"],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("qid", sort=False).head(k)
-
-    out = matches.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = _per_block_topk(matches, k, "ts_us", "doc_key")
     cols = ["qid", "rank", "doc_key", "ts_us"]
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
