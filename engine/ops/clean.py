@@ -46,6 +46,9 @@ from engine.core.pool import default_pool
 REASONS = ("exact_dup", "near_dup", "low_quality", "lang_other", "kept")
 
 
+_DROP_BROADCAST_MAX = 2_000_000  # near-drop ids broadcast above this use the keyed join
+
+
 def clean_corpus(
     sf_dir: str,
     *,
@@ -54,23 +57,35 @@ def clean_corpus(
     keep_lang: str = "en",
     threshold_micro: int = 900_000,
     distributed: bool | None = None,
+    drop_via_join: bool | None = None,
 ) -> pd.DataFrame:
     """(doc_id, keep, reason) for every document — see module docstring.
 
     ``distributed=True`` forces the near-dup pair graph through the
     Dataset-native LSH→verify→label-propagation chain (no driver pair
     frame); the drop set that reaches the scan is cluster-table-sized
-    (duplicate population), not pair-sized."""
+    (duplicate population), not pair-sized.
+
+    ``drop_via_join`` picks how the near-dup drop set reaches the scan:
+    False/auto-small → one sorted-array broadcast (ray.put once, O(log)
+    lookup per batch — right while drops ≪ corpus); True/auto-large (>
+    ``_DROP_BROADCAST_MAX``) → a keyed LEFT join of the scan stream
+    against the drop table (the 50%-duplicate-crawl shape, where a
+    corpus-fraction drop set must never broadcast). Both feed the same
+    ``decide`` reducer and are result-identical (tested)."""
     import ray
     import ray.data as rd
 
+    from engine.core.context import join_args
     from engine.ops.dedup import dedup_clusters
     from engine.ops.textstats import DocStats, LangIdScorer, build_langid_profiles
 
     clusters = dedup_clusters(sf_dir, threshold_micro=threshold_micro,
                               distributed=distributed)
-    drop = clusters.loc[clusters["keep"] == 0, "doc_id"].to_numpy()
-    near_ref = ray.put(np.sort(drop.astype(np.int64)))
+    drop = np.sort(clusters.loc[clusters["keep"] == 0, "doc_id"].to_numpy().astype(np.int64))
+    if drop_via_join is None:
+        drop_via_join = drop.size > _DROP_BROADCAST_MAX
+    near_ref = ray.put(drop if not drop_via_join else drop[:0])
     profiles = build_langid_profiles()
 
     class _Scan:
@@ -100,7 +115,6 @@ def clean_corpus(
     def decide(g: pd.DataFrame) -> pd.DataFrame:
         # one fingerprint group per call: group min is the exact-dup rep.
         # precedence applied by overwriting in REVERSE order.
-        near = ray.get(near_ref)
         ids = g["doc_id"].to_numpy()
         reason = np.full(ids.size, "kept", dtype=object)
         reason[(g["lang_pred"] != keep_lang).to_numpy()] = "lang_other"
@@ -108,10 +122,14 @@ def clean_corpus(
             (g["n_tokens"].to_numpy() < min_tokens)
             | (g["uniq_ratio_micro"].to_numpy() < min_uniq_ratio_micro)
         ] = "low_quality"
-        if near.size:
-            pos = np.searchsorted(near, ids)
-            pos[pos >= near.size] = 0
-            reason[near[pos] == ids] = "near_dup"
+        if "near_flag" in g.columns:  # keyed-join path attached the flag
+            reason[g["near_flag"].to_numpy() > 0] = "near_dup"
+        else:
+            near = ray.get(near_ref)
+            if near.size:
+                pos = np.searchsorted(near, ids)
+                pos[pos >= near.size] = 0
+                reason[near[pos] == ids] = "near_dup"
         reason[ids != ids.min()] = "exact_dup"
         return pd.DataFrame(
             {
@@ -122,8 +140,27 @@ def clean_corpus(
         )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scan = ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=default_pool())
+    if drop_via_join and drop.size:
+        # NOTE at true 100-TB scale the drop table arrives as a Dataset
+        # from the clusters stage; the frame→Dataset hop here is the
+        # fixture/demo contract (dedup_clusters returns a frame)
+        drop_ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(drop, type=pa.int64()),
+            "near_flag": pa.array(np.ones(drop.size, dtype=np.int64)),
+        }))
+        jargs = join_args(n_joins=1)
+        scan = scan.join(drop_ds, "left_outer", jargs.pop("num_partitions"),
+                         on=("doc_id",), **jargs).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("near_flag"), "near_flag",
+                t["near_flag"].combine_chunks().fill_null(0)
+                if isinstance(t["near_flag"], pa.ChunkedArray)
+                else t["near_flag"].fill_null(0)),
+            batch_format="pyarrow", zero_copy_batch=True)
     out = (
-        ds.map_batches(_Scan, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool())
+        scan
         .groupby("fingerprint")
         .map_groups(decide, batch_format="pandas")
         .to_pandas()

@@ -3838,3 +3838,16 @@ def test_ft_bm25_rescore_laws(ray_session):
     # somewhere the proximity bonus must reorder vs plain BM25
     assert (res.sort_values(["qid", "rank"])["doc_id"].tolist()
             != base.sort_values(["qid", "rank"])["doc_id"].tolist())
+
+
+def test_clean_corpus_drop_join_fallback_identical(ray_session):
+    """The keyed-join drop path (the 50%-duplicate-crawl shape where the
+    near-drop set must never broadcast) is decision-identical to the
+    broadcast path on the fixture."""
+    from engine.ops.clean import clean_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = clean_corpus(sf)
+    b = clean_corpus(sf, drop_via_join=True)
+    assert a.equals(b)
+    assert (a["reason"] == "near_dup").sum() > 0  # the flag actually fires
