@@ -2035,10 +2035,12 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS) -> pd.DataFrame:
         .materialize()
     )
 
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=object),
-                              "b": pd.Series([], dtype=object),
-                              "cnt": pd.Series([], dtype="int64")})
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        # typed Arrow output (string, not object dtype) — object columns
+        # break Ray's block-size estimator on empty batches (log noise)
+        empty = pa.table({"a": pa.array([], type=pa.string()),
+                          "b": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
         if not len(df):
             return empty
         syms = df["s"].str.split()
@@ -2056,16 +2058,20 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS) -> pd.DataFrame:
             "a": flat[:-1][ok[:-1]],
             "b": flat[1:][ok[:-1]],
             "cnt": np.repeat(cf, lens - 1),
-        })
-        return part.groupby(["a", "b"], as_index=False)["cnt"].sum()
+        }).groupby(["a", "b"], as_index=False)["cnt"].sum()
+        return pa.table({"a": pa.array(part["a"], type=pa.string()),
+                         "b": pa.array(part["b"], type=pa.string()),
+                         "cnt": pa.array(part["cnt"].to_numpy(np.int64))})
 
-    def block_top1(b: pd.DataFrame) -> pd.DataFrame:
+    def block_top1(b: pd.DataFrame) -> pa.Table:
         if "cnt" not in b.columns or not len(b):
-            return pd.DataFrame({"a": pd.Series([], dtype=object),
-                                 "b": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype="int64")})
-        return b.sort_values(["cnt", "a", "b"],
-                             ascending=[False, True, True]).head(1)
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        t = b.sort_values(["cnt", "a", "b"], ascending=[False, True, True]).head(1)
+        return pa.table({"a": pa.array(t["a"].astype(str)),
+                         "b": pa.array(t["b"].astype(str)),
+                         "cnt": pa.array(t["cnt"].to_numpy(np.int64))})
 
     merges = []
     for r in range(rounds):
