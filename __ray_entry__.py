@@ -2259,7 +2259,8 @@ def _dedup_simhash_sql() -> str:
     # uval: the int64 signature reinterpreted as its unsigned 64-bit value
     # (HUGEINT, exact) so the band extraction matches numpy's uint64 shifts
     return f"""
-WITH s AS (
+WITH {_pinned_documents_guard_cte()},
+s AS (
   SELECT doc_id,
          simhash,
          CASE WHEN simhash < 0
@@ -2288,8 +2289,29 @@ pairs AS (
   WHERE x.doc_id < y.doc_id
 )
 SELECT doc_a::BIGINT doc_a, doc_b::BIGINT doc_b, hamming
-FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b
+FROM pairs CROSS JOIN pindoc
+WHERE hamming <= 3 AND pindoc.ok = 1 ORDER BY doc_a, doc_b
 """
+
+
+def _pinned_documents_guard_cte() -> str:
+    """Sibling of _pinned_embeddings_guard_cte for oracles whose
+    materialized artifact derives from the pinned sf0.01 DOCUMENTS table
+    (the simhash signature parquet): fingerprint = (count, Σ n_chars) —
+    text-derived, so same-row-count sfs still differ."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                       columns=["n_chars"])
+    n, sm = t.num_rows, int(_pc.sum(t["n_chars"]).as_py() or 0)
+    return f"""pindoc AS (
+  SELECT CASE WHEN (SELECT count(*) FROM documents) = {n}
+               AND (SELECT coalesce(sum(n_chars), 0) FROM documents) = {sm}
+         THEN 1 ELSE error('attached documents view is not the pinned '
+              'sf0.01 table this materialized signature artifact derives '
+              'from; run at sf0.01 or treat this entry as rows-only') END ok
+)"""
 
 
 def _pinned_embeddings_guard_cte() -> str:
