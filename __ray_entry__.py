@@ -3734,6 +3734,68 @@ ORDER BY qid, rank
 """
 
 
+def _tr_time_routed_sql(k: int) -> str:
+    """Time-routed oracle: slice membership, per-slice tf/dl/df/avgdl
+    stats, and the query ts windows all derived from the SAME integer-µs
+    expressions as the engine ((ts−lo)·N//span; window = lo + span·x//8),
+    BM25 per slice, docs gated to their query's window, ranked."""
+    from engine.pipelines import TIME_SLICES, _time_routed_queries, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    N = TIME_SLICES
+    rows = ", ".join(f"({q}, '{t}', {a}, {b})" for q, t, a, b in _time_routed_queries())
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+WITH src AS (SELECT doc_key, text, epoch_us(ts) ts_us FROM read_parquet('{path}')),
+b AS (SELECT min(ts_us) lo, max(ts_us) + 1 - min(ts_us) span FROM src),
+sl AS (SELECT doc_key, text, ts_us,
+              ((ts_us - b.lo) * {N} // b.span)::BIGINT s
+       FROM src CROSS JOIN b),
+q(qid, qtext, a8, b8) AS (VALUES {rows}),
+qw AS (SELECT qid::BIGINT qid, qtext,
+              (b.lo + b.span * a8 // 8)::BIGINT wlo,
+              (b.lo + b.span * b8 // 8)::BIGINT whi
+       FROM q CROSS JOIN b),
+qterm AS (
+  SELECT DISTINCT qid, wlo, whi,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM qw
+),
+stok AS (SELECT s, doc_key, unnest({toks}) term FROM sl),
+stf AS (SELECT s, doc_key, term, count(*)::BIGINT tf FROM stok GROUP BY 1, 2, 3),
+sdl AS (SELECT s, doc_key, count(*)::BIGINT dl FROM stok GROUP BY 1, 2),
+sstats AS (
+  SELECT sl.s, count(*)::BIGINT n_docs,
+         coalesce(sum(d.dl), 0)::DOUBLE / count(*) avgdl
+  FROM sl LEFT JOIN sdl d ON d.doc_key = sl.doc_key
+  GROUP BY 1
+),
+sdf AS (SELECT s, term, count(*)::BIGINT df FROM stf GROUP BY 1, 2),
+contrib AS (
+  SELECT qt.qid, tf.doc_key,
+         ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) w
+  FROM qterm qt
+  JOIN stf tf ON tf.term = qt.term
+  JOIN sl ON sl.doc_key = tf.doc_key AND sl.s = tf.s
+  JOIN sdf df ON df.term = qt.term AND df.s = tf.s
+  JOIN sdl dl ON dl.doc_key = tf.doc_key AND dl.s = tf.s
+  JOIN sstats st ON st.s = tf.s
+  WHERE sl.ts_us >= qt.wlo AND sl.ts_us < qt.whi
+),
+scored AS (
+  SELECT qid, doc_key, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_cross_fields_sql(k: int) -> str:
     """cross_fields oracle: per-field tf/dl/avgdl CTEs (the dis_max
     pattern) but idf from the BLENDED df — greatest(df_text, df_tool) per
@@ -4100,6 +4162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-field cross_fields: blended per-term df across text+tool
         # (BM25F-style), per-term best-field saturation, summed over terms
         "tr_cross_fields": lambda sf: P.tr_cross_fields(sf, k=10),
+        # time-routed retrieval: per-period slice indexes, window fan-out
+        "tr_bm25_time_routed": lambda sf: P.tr_bm25_time_routed(sf, k=10),
         # field-sorted retrieval: newest matching turns first
         "tr_sort_by_field": lambda sf: P.tr_sort_by_field(sf, k=10),
         # same semantics served from the mmap'd docvalues sidecar: zero
@@ -4405,6 +4469,7 @@ ORDER BY b.purchase_id
         "tr_dis_max": _tr_dis_max_sql(10),
         "tr_most_fields": _tr_most_fields_sql(10),
         "tr_cross_fields": _tr_cross_fields_sql(10),
+        "tr_bm25_time_routed": _tr_time_routed_sql(10),
         "tr_sort_by_field": _tr_sort_by_field_sql(10),
         "tr_sort_by_field_dv": _tr_sort_by_field_sql(10),
         "tr_has_parent": _tr_has_parent_sql(10),

@@ -3359,6 +3359,165 @@ def tr_oracle_index(num_shards: int = 8) -> tuple[str, str]:
     return path, idx
 
 
+TIME_SLICES = 4  # time-routed indexing: number of equal-µs-width slices
+# (qid, query text, window start, window end) with the window expressed in
+# EIGHTHS of the corpus ts span — [lo + span·a/8, lo + span·b/8) — so the
+# engine and the SQL oracle derive identical integer-µs bounds from the
+# corpus min/max instead of sharing fragile literals. Mirrored in SQL.
+def _time_routed_queries() -> list[tuple[int, str, int, int]]:
+    from engine.oracle.bm25 import seeded_query_set
+
+    wins = [(0, 8),   # whole range — every slice
+            (2, 4),   # exactly one interior slice
+            (1, 5),   # partial edges across 3 slices
+            (5, 8),   # suffix window
+            (3, 6),   # straddles the midpoint
+            (0, 2)]   # prefix window
+    return [(q, t, a, b)
+            for ((q, t), (a, b)) in zip(seeded_query_set(6, seed=21), wins)]
+
+
+def _corpus_ts_bounds(path: str) -> tuple[int, int]:
+    """(lo_us, span_us) of the corpus ts column; span = max−min+1 so the
+    max-ts row lands in the last slice. Driver cost: one column-pruned
+    footer-level read of a single table (at 100 TB this is a Dataset
+    min/max aggregate — same two numbers)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ts = pq.read_table(path, columns=["ts"])["ts"]
+    lo = int(pc.min(ts).cast(pa.int64()).as_py())
+    hi = int(pc.max(ts).cast(pa.int64()).as_py())
+    return lo, hi + 1 - lo
+
+
+def _slices_for_window(lo: int, span: int, n: int, wlo: int, whi: int) -> list[int]:
+    """Slices whose ts range MAY overlap [wlo, whi) — conservatively
+    over-inclusive at the edges (floor/ceil of the slice boundaries), so
+    routing can touch one extra slice but can never MISS one; the exact
+    per-doc ts gate downstream makes the result exact regardless."""
+    out = []
+    for s in range(n):
+        s_lo = lo + s * span // n                       # ≤ true slice start
+        s_hi = lo + ((s + 1) * span + n - 1) // n       # ≥ true slice end
+        if wlo < s_hi and whi > s_lo:
+            out.append(s)
+    return out
+
+
+def tr_time_slice_indexes(num_slices: int = TIME_SLICES) -> tuple[str, list[str], int, int]:
+    """(corpus_path, [slice index dirs], ts_lo_us, ts_span_us): ONE index
+    per equal-width time slice of the oracle corpus — the ES
+    time-based-indices / ILM pattern, where a rolling corpus is indexed
+    per period and range queries fan out only to overlapping periods.
+    Slice membership is the integer expression
+    ``(ts_us − lo) · n // span`` (identical in the SQL oracle). Each slice
+    index carries its OWN stats (per-index df/avgdl, the ES reality).
+
+    Scale shape: slicing is a shuffle-free predicate per slice over the
+    column-pruned corpus; at production scale each period's index builds
+    incrementally as its data arrives (X20) and old periods are dropped by
+    deleting one directory — the lifecycle win the pattern exists for."""
+    import ray.data as rd
+
+    path = tr_oracle_corpus_path()
+    lo, span = _corpus_ts_bounds(path)
+    key = hashlib.md5(f"trslice|{path}|{num_slices}|v1".encode()).hexdigest()[:10]
+    dirs = []
+    for s in range(num_slices):
+        idx = os.path.join(INDEX_ROOT, f"trslice{s}-{key}")
+        dirs.append(idx)
+        with _index_lock(idx):
+            if _needs_build(idx):
+                def pick(b: pa.Table, s=s) -> pa.Table:
+                    ts = b["ts"].cast(pa.int64()).to_numpy()
+                    sl = (ts - lo) * num_slices // span
+                    return b.filter(pa.array(sl == s))
+
+                ds = rd.read_parquet(
+                    path, columns=["conv_id", "turn_idx", "text", "ts"]
+                ).map_batches(pick, batch_format="pyarrow", zero_copy_batch=True
+                              ).drop_columns(["ts"])
+                build_index(ds, idx, num_shards=4, build_id=f"trslice{s}")
+    return path, dirs, lo, span
+
+
+def tr_bm25_time_routed(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Time-ROUTED retrieval over per-period indexes (ES time-based
+    indices + index-pattern search): each query carries a ts window
+    [wlo, whi); the search fans out ONLY to the slice indexes whose period
+    overlaps the window (conservative routing, _slices_for_window), scores
+    per slice with that index's own stats (per-index df/avgdl — the ES
+    cross-index reality), gates edge-slice docs exactly via the ts
+    DocValues sidecar inside the match stream (X118 machinery, zero
+    query-time shuffle), and merges per-block top-k. A whole-corpus query
+    at 100 TB with a one-week window touches one week of index — the
+    pruning this layout exists for. Columns: qid, rank, doc_key,
+    score_micro."""
+    import ray
+    import ray.data as rd
+
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.engine import ScoredMatchServer
+
+    path, dirs, lo, span = tr_time_slice_indexes()
+    queries = _time_routed_queries()
+    windows = {q: (lo + span * a // 8, lo + span * b // 8)
+               for q, _t, a, b in queries}
+    dv = ensure_docvalues(dirs[0], path, field="ts")  # doc_key→ts_us (global)
+
+    streams = []
+    for s, idx in enumerate(dirs):
+        items = [
+            {"qid": q, "text": t}
+            for q, t, _a, _b in queries
+            if s in _slices_for_window(lo, span, len(dirs), *windows[q])
+        ]
+        if not items:
+            continue
+        streams.append(rd.from_items(items).map_batches(
+            ScoredMatchServer,
+            fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4,
+            concurrency=default_pool(),
+        ))
+    assert streams
+    merged = streams[0]
+    for st in streams[1:]:
+        merged = merged.union(st)
+    gated = merged.map_batches(
+        DocValuesLookup,
+        fn_constructor_kwargs={"dv_dir": dv, "out_col": "ts_us"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_pool(),
+    )
+    win_ref = ray.put(windows)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(win_ref)
+        qs = df["qid"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for q, (wlo, whi) in w.items():
+            keep |= (qs == q) & (ts >= wlo) & (ts < whi)
+        return df[keep][["qid", "doc_key", "score"]]
+
+    out = _per_block_topk(gated.map_batches(gate, batch_format="pandas"),
+                          k, "score", "doc_key")
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "score", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out.rename(columns={"score": "score_micro"})
+    out = out[out["rank"] <= k][cols].reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 def tr_tool_index(num_shards: int = 8) -> tuple[str, str]:
     """(corpus_path, index_dir): secondary FIELD index over the `tool`
     column of the oracle corpus (text := tool; empty for non-tool turns).

@@ -3851,3 +3851,28 @@ def test_clean_corpus_drop_join_fallback_identical(ray_session):
     b = clean_corpus(sf, drop_via_join=True)
     assert a.equals(b)
     assert (a["reason"] == "near_dup").sum() > 0  # the flag actually fires
+
+
+def test_time_routing_never_misses_a_slice():
+    """Conservative window routing: for random corpora and windows, every
+    ts inside the window maps (by the shared slice-membership expression)
+    to a slice the router selected — over-inclusion is allowed (the exact
+    per-doc gate handles it), a miss never is. Plus the aligned case is
+    exact."""
+    from engine.pipelines import _slices_for_window
+
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        lo = int(rng.integers(0, 10**12))
+        span = int(rng.integers(10, 10**9))
+        n = int(rng.integers(2, 9))
+        a, b = sorted(rng.integers(0, span + 1, size=2).tolist())
+        if a == b:
+            b = a + 1
+        wlo, whi = lo + a, lo + b
+        routed = set(_slices_for_window(lo, span, n, wlo, whi))
+        for ts in {wlo, whi - 1, lo + (a + b) // 2}:
+            if wlo <= ts < whi:
+                assert (ts - lo) * n // span in routed, (lo, span, n, a, b, ts)
+    # exact on aligned boundaries: slice 1 of 4 over [0, 800)
+    assert _slices_for_window(0, 800, 4, 200, 400) == [1]
