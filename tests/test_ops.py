@@ -166,6 +166,44 @@ class TestDedupRecall:
             got[["doc_a", "doc_b", "jaccard_micro"]]
         )
 
+    def test_distributed_clusters_long_chain_pointer_jumping(
+        self, tmp_path_factory, ray_session
+    ):
+        """A LONG near-dup chain (diameter ≫ allowed rounds) must still
+        close into one component: the distributed loop's pointer-jumping
+        doubles propagation distance per round (O(log diameter) rounds) —
+        the propagate-only loop mislabelled a 100-doc chain into 36
+        clusters. max_iters=10 makes the test bite: 2^10 ≫ 39 hops for
+        doubling, impossibly few for one-hop propagation."""
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i:03d}" for i in range(2000)]
+        base = list(rng.choice(vocab, size=60, replace=False))
+        used = set(base)
+        unused = [v for v in vocab if v not in used]
+        docs, cur, ui = {}, list(base), 0
+        for i in range(40):
+            docs[i] = " ".join(cur)
+            cur = list(cur)
+            for k in range(2):
+                cur[(2 * i + k) % 60] = unused[ui]
+                ui += 1
+        d = tmp_path_factory.mktemp("longchain")
+        ids = sorted(docs)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": [docs[i] for i in ids]}),
+            str(d / "documents.parquet"),
+        )
+        from engine.ops.dedup import dedup_clusters
+
+        a = dedup_clusters(str(d), threshold_micro=900_000)
+        assert a["cluster_id"].nunique() == 1  # the chain is one component
+        b = dedup_clusters(str(d), threshold_micro=900_000,
+                           distributed=True, max_iters=10)
+        assert a.sort_values("doc_id").reset_index(drop=True).equals(
+            b.sort_values("doc_id").reset_index(drop=True)
+        )
+
     def test_simhash_finds_near_dups(self, dup_dir, ray_session):
         from engine.ops.dedup import simhash_pairs
 
