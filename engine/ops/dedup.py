@@ -847,6 +847,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
+_DRIVER_PAIRS_MAX = 2_000_000  # auto-switch: driver pair frames beyond this
+# run the distributed label loop over array-built edges (module-level so
+# tests can exercise the branch at fixture scale)
+
+
 def dedup_clusters(
     sf_dir: str,
     *,
@@ -899,7 +904,7 @@ def dedup_clusters(
         a = pairs["doc_a"].to_numpy()
         b = pairs["doc_b"].to_numpy()
         if distributed is None:
-            distributed = len(pairs) > 2_000_000
+            distributed = len(pairs) > _DRIVER_PAIRS_MAX
     if not distributed:
         nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
         ia, ib = inv[: a.size], inv[a.size :]

@@ -116,10 +116,24 @@ class TestDedupRecall:
         assert 200 not in by_doc  # singletons are not involved in any pair
         keep = dict(zip(out["doc_id"], out["keep"]))
         assert keep[10] == 1 and keep[40] == 0 and keep[100] == 1 and keep[101] == 0
-        # the DISTRIBUTED label-propagation loop (auto-selected only beyond
-        # the driver-size bound) must produce the identical closure
+        # the DISTRIBUTED label-propagation loop (forced: Dataset-native
+        # edges) must produce the identical closure
         dist = dedup_clusters(str(d), threshold_micro=900_000, distributed=True)
         assert dist.sort_values("doc_id").reset_index(drop=True).equals(
+            out.sort_values("doc_id").reset_index(drop=True)
+        )
+        # and the AUTO-selected branch (driver pair frame > threshold →
+        # array-built edges into the same loop) — forced by shrinking the
+        # threshold to zero
+        import engine.ops.dedup as dd
+
+        orig = dd._DRIVER_PAIRS_MAX
+        dd._DRIVER_PAIRS_MAX = 0
+        try:
+            auto = dedup_clusters(str(d), threshold_micro=900_000)
+        finally:
+            dd._DRIVER_PAIRS_MAX = orig
+        assert auto.sort_values("doc_id").reset_index(drop=True).equals(
             out.sort_values("doc_id").reset_index(drop=True)
         )
 
