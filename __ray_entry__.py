@@ -2294,6 +2294,42 @@ WHERE hamming <= 3 AND pindoc.ok = 1 ORDER BY doc_a, doc_b
 """
 
 
+def _dedup_minhash_candidates_sql() -> str:
+    """MinHash-LSH candidate-pair oracle from the materialized banding
+    signatures (the simhash partial-oracle seam): bucket = (band,
+    band_hash), size guard 2 ≤ n ≤ max_bucket, within-bucket pair explode
+    (a < b), cross-band count = n_bands_shared. Pinned to sf0.01 with the
+    documents-fingerprint guard; OSError degrades to rows-only."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        raise OSError("driver correctness dataset absent")
+    from engine.ops.dedup import minhash_band_parquet
+
+    sig_path = minhash_band_parquet(sf)
+    return f"""
+WITH {_pinned_documents_guard_cte()},
+sig AS (SELECT doc_id, band, band_hash FROM read_parquet('{sig_path}')),
+bucket AS (
+  SELECT band, band_hash FROM sig GROUP BY 1, 2
+  HAVING count(*) >= 2 AND count(*) <= 1000
+),
+p AS (
+  SELECT s1.doc_id doc_a, s2.doc_id doc_b
+  FROM sig s1
+  JOIN sig s2 ON s1.band = s2.band AND s1.band_hash = s2.band_hash
+             AND s1.doc_id < s2.doc_id
+  JOIN bucket b ON b.band = s1.band AND b.band_hash = s1.band_hash
+)
+SELECT doc_a::BIGINT doc_a, doc_b::BIGINT doc_b,
+       count(*)::BIGINT n_bands_shared
+FROM p CROSS JOIN pindoc
+WHERE pindoc.ok = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _pinned_documents_guard_cte() -> str:
     """Sibling of _pinned_embeddings_guard_cte for oracles whose
     materialized artifact derives from the pinned sf0.01 DOCUMENTS table
@@ -5317,6 +5353,12 @@ FROM documents ORDER BY doc_id
     # partial oracle: pair logic replayed from the materialized signatures
     try:
         sql["dedup_simhash_pairs"] = _dedup_simhash_sql()
+    except OSError:
+        pass
+    # same seam for MinHash-LSH candidates: bucket/pair/cross-band logic
+    # replayed from the materialized banding signatures
+    try:
+        sql["dedup_minhash_candidates"] = _dedup_minhash_candidates_sql()
     except OSError:
         pass
     # PQ/ADC is int64-exact end-to-end, so the oracle replays the WHOLE

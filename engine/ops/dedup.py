@@ -745,6 +745,42 @@ class _SimHash:
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.int64())})
 
 
+def minhash_band_parquet(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
+                         shingle_width: int = 3) -> str:
+    """(doc_id, band, band_hash) LSH banding signatures materialized once
+    per corpus CONTENT — the simhash partial-oracle seam applied to
+    MinHash (VERDICT r2 #8 pattern): the signature function (splitmix64
+    min-wise hashing + polynomial band fold) stays engine-defined, but the
+    PAIR LOGIC (bucket groupby, size guard, pair explode, cross-band
+    count) becomes fully SQL-replayable from this table, upgrading
+    dedup_minhash_candidates from rows-only to value-hash-checked.
+    Pure pyarrow + the same _MinHashSig batch callable the distributed
+    path runs; atomic tmp+rename."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.pipelines import _src_fp
+
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.md5(
+        f"{_src_fp(src)}|mhband-{num_perm}-{bands}-{shingle_width}-v1".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/engine_oracle/mhband_{key}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        sig = _MinHashSig(num_perm, bands, shingle_width)
+        parts = [
+            sig(t.slice(off, 65536)) for off in range(0, max(t.num_rows, 1), 65536)
+        ]
+        out = pa.concat_tables(parts)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def simhash_signature_parquet(sf_dir: str) -> str:
     """(doc_id, simhash) signatures materialized once per corpus CONTENT
     (size+mtime key) — the PARTIAL-oracle seam (VERDICT r2 #8): DuckDB
