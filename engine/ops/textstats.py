@@ -778,27 +778,22 @@ class _CooccurPartial:
 
 def cooccur_top_terms(sf_dir: str, n_terms: int = COOCCUR_TOP_N) -> pd.DataFrame:
     """Document co-occurrence counts for every pair of the n_terms
-    highest-df vocabulary terms (df desc, term asc — served from the
-    vocab-sized term_stats artifact, no extra corpus pass). The corpus scan
-    reduces each block to ≤ N²/2 pair rows via one matmul partial; a tiny
-    groupby-sum finishes. Columns: t1, t2 (lexicographic pair order),
-    n_docs_both."""
-    import pyarrow.parquet as pq
+    highest-df vocabulary terms (df desc, term asc — resolved by the
+    shared distributed dictionary pass's "top" kind: per-block partial
+    top-n, never a vocab-sized driver frame; no extra corpus pass). The
+    corpus scan reduces each block to ≤ N²/2 pair rows via one matmul
+    partial; a tiny groupby-sum finishes. Columns: t1, t2 (lexicographic
+    pair order), n_docs_both."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from engine.core.context import ensure_hash_shuffle
-    from engine.index.build import ensure_term_stats
     from engine.pipelines import documents_index
+    from engine.query.expand import expand_terms
 
     ensure_hash_shuffle()
     idx = documents_index(sf_dir)
-    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
-    top = tuple(
-        stats.sort_values(["df", "term"], ascending=[False, True], kind="stable")
-        .head(n_terms)["term"]
-    )
+    top = tuple(expand_terms(idx, [("top", None, n_terms)])[0]["term"].astype(str))
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     agg = (
         ds.map_batches(_CooccurPartial, fn_constructor_args=(top,),
@@ -2532,14 +2527,14 @@ def cooccur_pmi(sf_dir: str, n_terms: int = COOCCUR_TOP_N) -> pd.DataFrame:
     Columns: t1, t2, n_docs_both, pmi_micro (int64)."""
     import pyarrow.parquet as pqt
 
-    from engine.index.build import ensure_term_stats
     from engine.pipelines import documents_index
+    from engine.query.expand import expand_terms
 
     pairs = cooccur_top_terms(sf_dir, n_terms=n_terms)
     idx = documents_index(sf_dir)
-    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
-    df_map = dict(zip(stats["term"], stats["df"].astype(int)))
+    wanted = tuple(sorted(set(pairs["t1"]) | set(pairs["t2"])))
+    stats = expand_terms(idx, [("isin", wanted, None)])[0]
+    df_map = dict(zip(stats["term"].astype(str), stats["df"].astype(int)))
     n_docs = pqt.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     both = pairs["n_docs_both"].to_numpy(np.int64)

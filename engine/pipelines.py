@@ -439,29 +439,26 @@ def ft_bm25_wildcard_leading(sf_dir: str, k: int = 10,
                              max_expand: int = MAX_EXPAND) -> pd.DataFrame:
     """Leading-wildcard retrieval (`*suffix`): suffix terms expand against
     the term dictionary by endswith (df desc, term asc cap, the same
-    top-terms rewrite as X10). At this dictionary scale the scan is a
-    vocab-sized Arrow pass; the production path for huge vocabularies is
-    Lucene's reverse-token field — index each term REVERSED so a leading
-    wildcard becomes a trailing-prefix lookup on the reversed dictionary —
-    which changes only where this expansion reads, not the query contract.
-    Columns: qid, rank, doc_id, score_micro."""
-    import pyarrow.parquet as pq
-
-    from engine.index.build import ensure_term_stats
+    top-terms rewrite as X10), resolved by the shared distributed
+    expansion pass (engine/query/expand.py) — the driver never holds a
+    vocab-sized frame. The further production refinement for huge
+    vocabularies is Lucene's reverse-token field — index each term
+    REVERSED so a leading wildcard becomes a trailing-prefix lookup on the
+    reversed dictionary — which changes only where this expansion reads,
+    not the query contract. Columns: qid, rank, doc_id, score_micro."""
+    from engine.query.expand import expand_terms
 
     idx = documents_index(sf_dir)
-    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
+    specs = [("suffix", tok.lstrip("*"), max_expand)
+             for _qid, qtext in LEADING_WILDCARD_QUERIES
+             for tok in qtext.split() if tok.startswith("*")]
+    hits = iter(expand_terms(idx, specs))
     items = []
     for qid, qtext in LEADING_WILDCARD_QUERIES:
         terms: list[str] = []
         for tok in qtext.split():
             if tok.startswith("*"):
-                sfx = tok.lstrip("*")
-                hit = stats[stats["term"].str.endswith(sfx)]
-                hit = hit.sort_values(["df", "term"], ascending=[False, True],
-                                      kind="stable").head(max_expand)
-                terms.extend(hit["term"])
+                terms.extend(next(hits)["term"])
             else:
                 terms.append(tok)
         items.append({"qid": qid, "text": " ".join(terms)})
@@ -473,26 +470,22 @@ def ft_bm25_wildcard(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> 
     the vocab-sized term_stats artifact to their ``max_expand`` highest-df
     matching terms (df desc, term asc — the top-terms rewrite), and the
     expanded disjunction scores as plain BM25. Expansion never touches
-    postings — the dictionary artifact is vocab-sized, not corpus-sized, so
-    the rewrite is cheap at any corpus scale. Columns: qid, rank, doc_id,
-    score_micro."""
-    import pyarrow.parquet as pq
-
-    from engine.index.build import ensure_term_stats
+    postings, and the dictionary scan is the shared distributed pass
+    (engine/query/expand.py) — per-block partial top-k, never a vocab-sized
+    driver frame. Columns: qid, rank, doc_id, score_micro."""
+    from engine.query.expand import expand_terms
 
     idx = documents_index(sf_dir)
-    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
+    specs = [("prefix", tok.rstrip("*"), max_expand)
+             for _qid, qtext in WILDCARD_QUERIES
+             for tok in qtext.split() if tok.endswith("*")]
+    hits = iter(expand_terms(idx, specs))
     items = []
     for qid, qtext in WILDCARD_QUERIES:
         terms: list[str] = []
         for tok in qtext.split():
             if tok.endswith("*"):
-                p = tok.rstrip("*")
-                hit = stats[stats["term"].str.startswith(p)]
-                hit = hit.sort_values(["df", "term"], ascending=[False, True],
-                                      kind="stable").head(max_expand)
-                terms.extend(hit["term"])
+                terms.extend(next(hits)["term"])
             else:
                 terms.append(tok)
         items.append({"qid": qid, "text": " ".join(terms)})
@@ -518,27 +511,25 @@ def ft_bm25_regexp(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd
     expand against the vocab-sized term_stats artifact to their
     ``max_expand`` highest-df FULL-match terms (df desc, term asc — the same
     top-terms rewrite as wildcard), and the expanded disjunction scores as
-    plain BM25. Expansion never touches postings. Columns: qid, rank,
-    doc_id, score_micro."""
-    import re as _re
+    plain BM25. Expansion never touches postings, and the full-match scan
+    is the shared distributed pass (engine/query/expand.py) — never a
+    vocab-sized driver frame. Columns: qid, rank, doc_id, score_micro."""
+    from engine.query.expand import expand_terms
 
-    import pyarrow.parquet as pqt
-
-    from engine.index.build import ensure_term_stats
+    def is_pat(tok: str) -> bool:
+        return len(tok) >= 2 and tok.startswith("/") and tok.endswith("/")
 
     idx = documents_index(sf_dir)
-    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
+    specs = [("regex", tok[1:-1], max_expand)
+             for _qid, qtext in REGEX_QUERIES
+             for tok in qtext.split() if is_pat(tok)]
+    hits = iter(expand_terms(idx, specs))
     items = []
     for qid, qtext in REGEX_QUERIES:
         terms: list[str] = []
         for tok in qtext.split():
-            if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
-                pat = _re.compile(tok[1:-1])
-                hit = stats[[bool(pat.fullmatch(t)) for t in stats["term"]]]
-                hit = hit.sort_values(["df", "term"], ascending=[False, True],
-                                      kind="stable").head(max_expand)
-                terms.extend(hit["term"])
+            if is_pat(tok):
+                terms.extend(next(hits)["term"])
             else:
                 terms.append(tok)
         items.append({"qid": qid, "text": " ".join(terms)})
@@ -586,26 +577,23 @@ def ft_bm25_fuzzy(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.
     term_stats artifact to their ``max_expand`` highest-df terms within
     Levenshtein distance 1 (df desc, term asc — the same top-terms rewrite
     as wildcard), and the expanded disjunction scores as plain BM25.
-    Expansion never touches postings — the dictionary artifact is
-    vocab-sized, so the rewrite stays cheap at any corpus scale. Columns:
-    qid, rank, doc_id, score_micro."""
-    import pyarrow.parquet as pq
-
-    from engine.index.build import ensure_term_stats
+    Expansion never touches postings, and the edit-distance scan is the
+    shared distributed pass (engine/query/expand.py) with a length
+    prefilter — never a vocab-sized driver frame. Columns: qid, rank,
+    doc_id, score_micro."""
+    from engine.query.expand import expand_terms
 
     idx = documents_index(sf_dir)
-    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
+    specs = [("edit1", tok.rstrip("~"), max_expand)
+             for _qid, qtext in FUZZY_QUERIES
+             for tok in qtext.split() if tok.endswith("~")]
+    hits = iter(expand_terms(idx, specs))
     items = []
     for qid, qtext in FUZZY_QUERIES:
         terms: list[str] = []
         for tok in qtext.split():
             if tok.endswith("~"):
-                p = tok.rstrip("~")
-                hit = stats[[_within_edit1(p, t) for t in stats["term"]]]
-                hit = hit.sort_values(["df", "term"], ascending=[False, True],
-                                      kind="stable").head(max_expand)
-                terms.extend(hit["term"])
+                terms.extend(next(hits)["term"])
             else:
                 terms.append(tok)
         items.append({"qid": qid, "text": " ".join(terms)})
@@ -628,35 +616,39 @@ def ft_did_you_mean(sf_dir: str) -> pd.DataFrame:
     vocabulary term within Levenshtein distance 1 (df desc, term asc
     tie-break); in-vocab tokens pass through with their own df; tokens
     with no candidate emit df 0 and themselves. The correction source is
-    the vocab-sized committed term_stats artifact — the rewrite never
-    touches postings, so suggestion cost is independent of corpus size.
-    Columns: qid, pos, token, suggestion, df."""
-    import pyarrow.parquet as pqt
-
-    from engine.index.build import ensure_term_stats
+    the committed term_stats artifact scanned by the shared distributed
+    expansion pass (engine/query/expand.py): one pass resolves an exact
+    membership lookup for every token PLUS a top-1 edit-1 neighbour per
+    distinct token — the driver never holds a vocab-sized frame, so
+    suggestion cost is independent of corpus size. Columns: qid, pos,
+    token, suggestion, df."""
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     idx = documents_index(sf_dir)
-    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
-    df_of = dict(zip(stats["term"], stats["df"].astype("int64")))
     an = Analyzer()
+    toks_of = {qid: an.tokens(qtext) for qid, qtext in DYM_QUERIES}
+    distinct = sorted({t for ts in toks_of.values() for t in ts})
+    specs = [("isin", tuple(distinct), None)]
+    specs += [("edit1", t, 1) for t in distinct]
+    res = expand_terms(idx, specs)
+    df_of = dict(zip(res[0]["term"], res[0]["df"].astype("int64")))
+    best_of = {t: res[1 + i] for i, t in enumerate(distinct)}
     rows = []
-    for qid, qtext in DYM_QUERIES:
-        for pos, tok in enumerate(an.tokens(qtext)):
+    for qid, _qtext in DYM_QUERIES:
+        for pos, tok in enumerate(toks_of[qid]):
             if tok in df_of:
                 rows.append({"qid": qid, "pos": pos, "token": tok,
                              "suggestion": tok, "df": int(df_of[tok])})
                 continue
-            hit = stats[[_within_edit1(tok, t) for t in stats["term"]]]
+            hit = best_of[tok]
             if len(hit) == 0:
                 rows.append({"qid": qid, "pos": pos, "token": tok,
                              "suggestion": tok, "df": 0})
                 continue
-            best = hit.sort_values(["df", "term"], ascending=[False, True],
-                                   kind="stable").iloc[0]
             rows.append({"qid": qid, "pos": pos, "token": tok,
-                         "suggestion": str(best["term"]), "df": int(best["df"])})
+                         "suggestion": str(hit["term"].iloc[0]),
+                         "df": int(hit["df"].iloc[0])})
     out = pd.DataFrame(rows).sort_values(["qid", "pos"]).reset_index(drop=True)
     return out.astype({"qid": "int64", "pos": "int64", "df": "int64"})
 
@@ -762,15 +754,12 @@ def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
     excluding the seed itself from the ranking.
 
     Scale shape: seed texts come from a candidate-only pruned scan (|seeds|
-    rows); per-term global df comes from the index's term_stats artifact
-    filtered to the seeds' vocabulary (vocab-sized, not corpus-sized); the
-    retrieval is the ordinary distributed query path. Columns: qid (seed
-    doc_id), rank, doc_id, score_micro."""
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data as rd
-
-    from engine.index.build import ensure_term_stats
+    rows); per-term global df comes from the shared distributed dictionary
+    pass (engine/query/expand.py, isin point-lookups with row-group
+    pruning — the driver holds only the seeds' vocabulary, never the full
+    dictionary); the retrieval is the ordinary distributed query path.
+    Columns: qid (seed doc_id), rank, doc_id, score_micro."""
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     idx = documents_index(sf_dir)
@@ -779,10 +768,10 @@ def ft_more_like_this(sf_dir: str, seeds: tuple[int, ...] = MLT_SEEDS,
     an = Analyzer()
     seed_toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
     all_terms = sorted({t for ts in seed_toks.values() for t in ts})
-    stats = pq.read_table(
-        ensure_term_stats(idx), columns=["term", "df"],
-        filters=[("term", "in", all_terms)],
-    ).to_pandas().set_index("term")["df"]
+    stats = (
+        expand_terms(idx, [("isin", tuple(all_terms), None)])[0]
+        .set_index("term")["df"]
+    )
 
     items = []
     for seed in seeds_np:
@@ -864,15 +853,12 @@ def ft_bm25_explain(sf_dir: str, k: int = 5) -> pd.DataFrame:
     Scale shape: explanation cost ∝ queries×k, never the corpus — rank
     first, then a column-pruned candidate-only scan (vectorized isin, the
     snippets pattern) retokenizes only the ≤ q·k hit texts; df comes from
-    the vocab-sized term_stats artifact and n_docs/avgdl from the manifest.
-    Columns: qid, rank, doc_id, term, tf, w_micro."""
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data as rd
-
-    from engine.index.build import ensure_term_stats
+    the shared distributed dictionary pass (engine/query/expand.py isin
+    point-lookups — never a vocab-sized driver frame) and n_docs/avgdl
+    from the manifest. Columns: qid, rank, doc_id, term, tf, w_micro."""
     from engine.io.manifest import Manifest
     from engine.oracle.bm25 import idf, tf_sat
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     idx = documents_index(sf_dir)
@@ -882,10 +868,10 @@ def ft_bm25_explain(sf_dir: str, k: int = 5) -> pd.DataFrame:
     toks = {int(r.doc_id): an.tokens(r.text) for r in docs.itertuples()}
     qterms = {qid: sorted(set(an.tokens(t))) for qid, t in DOC_QUERIES}
     all_q = sorted({t for ts in qterms.values() for t in ts})
-    dfs = pq.read_table(
-        ensure_term_stats(idx), columns=["term", "df"],
-        filters=[("term", "in", all_q)],
-    ).to_pandas().set_index("term")["df"]
+    dfs = (
+        expand_terms(idx, [("isin", tuple(all_q), None)])[0]
+        .set_index("term")["df"]
+    )
     st = Manifest(idx).stats
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
 
@@ -923,20 +909,17 @@ SUGGEST_PREFIXES = ("ba", "s", "qu", "zz")  # mirrored in the oracle SQL
 def ft_term_suggest(sf_dir: str, prefixes: tuple[str, ...] = SUGGEST_PREFIXES,
                     k: int = 5) -> pd.DataFrame:
     """Prefix term completion: the k highest-df index terms per prefix
-    (df desc, term asc) — the autocomplete primitive, served entirely from
-    the vocab-sized term_stats artifact (never touches postings).
-    Columns: prefix, rank, term, df."""
-    import pyarrow.parquet as pq
-
-    from engine.index.build import ensure_term_stats
+    (df desc, term asc) — the autocomplete primitive, served from the
+    term_stats artifact by the shared distributed expansion pass
+    (engine/query/expand.py; never touches postings, never a vocab-sized
+    driver frame). Columns: prefix, rank, term, df."""
+    from engine.query.expand import expand_terms
 
     idx = documents_index(sf_dir)
-    stats = pq.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
+    res = expand_terms(idx, [("prefix", p, k) for p in prefixes])
     frames = []
-    for p in prefixes:
-        hit = stats[stats["term"].str.startswith(p)].copy()
-        hit = hit.sort_values(["df", "term"], ascending=[False, True], kind="stable").head(k)
+    for p, hit in zip(prefixes, res):
+        hit = hit.copy()
         hit["prefix"] = p
         hit["rank"] = np.arange(1, len(hit) + 1, dtype=np.int64)
         frames.append(hit[["prefix", "rank", "term", "df"]])
@@ -1241,17 +1224,17 @@ def ft_significant_terms(sf_dir: str, top_n: int = 5) -> pd.DataFrame:
     sized, spillable). Leg A: keyed hash join to distinct (doc, term) rows
     (token-level corpus side — linear, no broadcast) → per-batch (qid,
     term) partials → ONE small groupby-sum = fg_df. Leg B: per-batch qid
-    counts → n_fg. bg_df comes from the vocab-sized term_stats artifact
-    (dictionary, not corpus). Columns: qid, rank, term, fg_df, bg_df,
-    score_micro."""
-    import pyarrow.parquet as pqt
+    counts → n_fg. bg_df comes from the shared distributed dictionary pass
+    (engine/query/expand.py isin point-lookups over the foreground
+    vocabulary — never a full-dictionary driver frame). Columns: qid,
+    rank, term, fg_df, bg_df, score_micro."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from engine.core.context import join_args
-    from engine.index.build import ensure_term_stats
     from engine.query.engine import MatchServer
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     idx = documents_index(sf_dir)
@@ -1324,7 +1307,8 @@ def ft_significant_terms(sf_dir: str, top_n: int = 5) -> pd.DataFrame:
         .to_pandas()
     )
 
-    bg = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
+    fg_terms = tuple(sorted(set(fg["term"].astype(str))))
+    bg = expand_terms(idx, [("isin", fg_terms, None)])[0]
     out = fg.merge(bg.rename(columns={"df": "bg_df"}), on="term", how="inner")
     nfg_arr = out["qid"].map(n_fg).to_numpy(dtype=np.int64)
     out["score_micro"] = (
@@ -2488,16 +2472,15 @@ def ft_autocomplete(sf_dir: str) -> pd.DataFrame:
     edge-ngram completion): for each probe prefix, the number of documents
     containing a token completing it — an EXACT TERM LOOKUP in the
     edge-n-gram index's committed term_stats (freshness-sealed via
-    ensure_term_stats), zero dictionary scans at query time; contrast with
-    X7 term suggest, which scans dictionaries. Prefixes with no
-    completions produce no row. Columns: prefix, df."""
-    import pyarrow.parquet as pqt
-
-    from engine.index.build import ensure_term_stats
+    ensure_term_stats, served by the shared expand pass whose isin
+    predicate pushes into the parquet read — row-group-pruned point
+    lookups, no full dictionary scan); contrast with X7 term suggest,
+    which scans dictionaries. Prefixes with no completions produce no
+    row. Columns: prefix, df."""
+    from engine.query.expand import expand_terms
 
     idx = documents_edge_index(sf_dir)
-    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    hit = stats[stats["term"].isin(AUTOCOMPLETE_PREFIXES)]
+    hit = expand_terms(idx, [("isin", tuple(AUTOCOMPLETE_PREFIXES), None)])[0]
     out = hit.rename(columns={"term": "prefix"})[["prefix", "df"]]
     out = out.sort_values("prefix").reset_index(drop=True)
     return out.astype({"df": "int64"})
@@ -3099,35 +3082,33 @@ def ft_match_phrase_prefix(sf_dir: str, k: int = 10,
     query's literal tokens must occur as an adjacent phrase immediately
     followed by some completion of the trailing prefix. The prefix expands
     to its ``max_expand`` highest-df dictionary terms (df desc, term asc —
-    the wildcard rewrite, vocab-sized artifact, no postings touched);
-    each expanded phrase is proven by positional window votes under a
-    synthetic per-expansion qid, then expansions collapse by OR. Ranking
-    contract: BM25 over the literal base tokens (every match contains
-    them), tie-break doc asc. Columns: qid, rank, doc_id, score_micro."""
-    import pyarrow.parquet as pqt
+    the wildcard rewrite, resolved by the shared distributed expansion
+    pass in engine/query/expand.py, no postings touched, never a
+    vocab-sized driver frame); each expanded phrase is proven by
+    positional window votes under a synthetic per-expansion qid, then
+    expansions collapse by OR. Ranking contract: BM25 over the literal
+    base tokens (every match contains them), tie-break doc asc.
+    Columns: qid, rank, doc_id, score_micro."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    from engine.index.build import ensure_term_stats
     from engine.index.positions import phrase_votes_fn, positions_paths
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     idx = documents_index(sf_dir)
-    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    stats["term"] = stats["term"].astype(str)
     an = Analyzer()
 
     base_of: dict[int, list[str]] = {}
-    expansions: dict[int, list[str]] = {}
+    prefix_of: dict[int, str] = {}
     for qid, qtext in MPP_QUERIES:
         toks = an.tokens(qtext)
         assert len(toks) >= 2, "match_phrase_prefix needs >=1 literal + prefix"
         base_of[qid] = toks[:-1]
-        p = toks[-1]
-        hit = stats[stats["term"].str.startswith(p)]
-        hit = hit.sort_values(["df", "term"], ascending=[False, True],
-                              kind="stable").head(max_expand)
-        expansions[qid] = [str(t) for t in hit["term"]]
+        prefix_of[qid] = toks[-1]
+    qids = sorted(prefix_of)
+    res = expand_terms(idx, [("prefix", prefix_of[q], max_expand) for q in qids])
+    expansions = {q: [str(t) for t in hit["term"]] for q, hit in zip(qids, res)}
 
     cand = _run_doc_queries(
         sf_dir,
@@ -3199,18 +3180,18 @@ def ft_query_profile(sf_dir: str) -> pd.DataFrame:
     instead of wall-times, so the profile is oracle-checkable — SQL
     recomputes the same three numbers from the corpus.
     Columns: qid, n_terms, sum_df, n_candidates."""
-    import pyarrow.parquet as pqt
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from engine.index.build import ensure_term_stats
     from engine.query.engine import MatchServer
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     idx = documents_index(sf_dir)
-    stats = pqt.read_table(ensure_term_stats(idx), columns=["term", "df"]).to_pandas()
-    df_of = dict(zip(stats["term"].astype(str), stats["df"].astype("int64")))
     an = Analyzer()
+    all_q = sorted({t for _q, qtext in DOC_QUERIES for t in an.tokens(qtext)})
+    lut = expand_terms(idx, [("isin", tuple(all_q), None)])[0]
+    df_of = dict(zip(lut["term"].astype(str), lut["df"].astype("int64")))
     prof = []
     for qid, qtext in DOC_QUERIES:
         terms = sorted(set(an.tokens(qtext)))
@@ -3693,13 +3674,12 @@ def tr_cross_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
     merge. Per-row micro-rounding happens before Max, so both groupbys
     are integer-exact and the SQL oracle replays them verbatim.
     Columns: qid, rank, doc_key, score_micro."""
-    import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
-    from engine.index.build import ensure_term_stats
     from engine.oracle.bm25 import idf as bm25_idf
     from engine.query.engine import TermScoredMatchServer
+    from engine.query.expand import expand_terms
     from engine.text.analyzer import Analyzer
 
     _path, idx_text = tr_oracle_index()
@@ -3710,9 +3690,8 @@ def tr_cross_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
     all_terms = sorted({t for _, qtext in _dismax_query_set() for t in an.tokens(qtext)})
     dfs = {}
     for idx in (idx_text, idx_tool):
-        tb = pq.read_table(ensure_term_stats(idx), columns=["term", "df"],
-                           filters=[("term", "in", all_terms)])
-        dfs[idx] = dict(zip(tb["term"].to_pylist(), tb["df"].to_pylist()))
+        tb = expand_terms(idx, [("isin", tuple(all_terms), None)])[0]
+        dfs[idx] = dict(zip(tb["term"].astype(str), tb["df"].astype("int64")))
     n_text = int(Manifest(idx_text).stats["n_docs"])
     n_tool = int(Manifest(idx_tool).stats["n_docs"])
     if n_text != n_tool:  # same corpus, A3 every-docmap-row-counts on both
