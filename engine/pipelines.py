@@ -3395,30 +3395,68 @@ def tr_time_slice_indexes(num_slices: int = TIME_SLICES) -> tuple[str, list[str]
     ``(ts_us − lo) · n // span`` (identical in the SQL oracle). Each slice
     index carries its OWN stats (per-index df/avgdl, the ES reality).
 
-    Scale shape: slicing is a shuffle-free predicate per slice over the
-    column-pruned corpus; at production scale each period's index builds
-    incrementally as its data arrives (X20) and old periods are dropped by
-    deleting one directory — the lifecycle win the pattern exists for."""
+    Scale shape: slice routing is ONE corpus pass that writes
+    hive-partitioned parquet by slice id (the X78 partitioned-sink
+    machinery — never N full corpus reads); each slice's build then reads
+    only its own partition directory. At production scale each period's
+    index instead builds incrementally as its data arrives (X20) and old
+    periods are dropped by deleting one directory — the lifecycle win the
+    pattern exists for."""
+    import json
+
     import ray.data as rd
 
     path = tr_oracle_corpus_path()
     lo, span = _corpus_ts_bounds(path)
     key = hashlib.md5(f"trslice|{path}|{num_slices}|v1".encode()).hexdigest()[:10]
+
+    # ONE corpus read, hive-partitioned by slice id; marker sits OUTSIDE the
+    # tree so read_parquet(part_dir) stays pure parquet
+    part_dir = os.path.join(INDEX_ROOT, f"trslice-parts-{key}")
+    meta_path = f"{part_dir}.meta.json"
+    with _index_lock(part_dir):
+        ok = False
+        try:
+            with open(meta_path) as f:
+                ok = json.load(f) == {"key": key}
+        except (OSError, ValueError):
+            ok = False
+        if not ok:
+            import shutil
+
+            shutil.rmtree(part_dir, ignore_errors=True)
+
+            def assign(b: pa.Table) -> pa.Table:
+                ts = b["ts"].cast(pa.int64()).to_numpy()
+                sl = (ts - lo) * num_slices // span
+                return b.drop_columns(["ts"]).append_column(
+                    "slice_id", pa.array(sl, type=pa.int64())
+                )
+
+            rd.read_parquet(
+                path, columns=["conv_id", "turn_idx", "text", "ts"]
+            ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
+                          ).write_parquet(part_dir, partition_cols=["slice_id"])
+            with open(meta_path, "w") as f:
+                json.dump({"key": key}, f)
+
     dirs = []
     for s in range(num_slices):
         idx = os.path.join(INDEX_ROOT, f"trslice{s}-{key}")
         dirs.append(idx)
         with _index_lock(idx):
             if _needs_build(idx):
-                def pick(b: pa.Table, s=s) -> pa.Table:
-                    ts = b["ts"].cast(pa.int64()).to_numpy()
-                    sl = (ts - lo) * num_slices // span
-                    return b.filter(pa.array(sl == s))
-
-                ds = rd.read_parquet(
-                    path, columns=["conv_id", "turn_idx", "text", "ts"]
-                ).map_batches(pick, batch_format="pyarrow", zero_copy_batch=True
-                              ).drop_columns(["ts"])
+                sub = os.path.join(part_dir, f"slice_id={s}")
+                if os.path.isdir(sub):
+                    ds = rd.read_parquet(
+                        sub, columns=["conv_id", "turn_idx", "text"]
+                    )
+                else:  # empty period: no partition directory was written
+                    ds = rd.from_arrow(pa.table({
+                        "conv_id": pa.array([], type=pa.string()),
+                        "turn_idx": pa.array([], type=pa.int64()),
+                        "text": pa.array([], type=pa.string()),
+                    }))
                 build_index(ds, idx, num_shards=4, build_id=f"trslice{s}")
     return path, dirs, lo, span
 

@@ -3928,3 +3928,37 @@ def test_time_routing_never_misses_a_slice():
                 assert (ts - lo) * n // span in routed, (lo, span, n, a, b, ts)
     # exact on aligned boundaries: slice 1 of 4 over [0, 800)
     assert _slices_for_window(0, 800, 4, 200, 400) == [1]
+
+
+def test_time_slice_build_is_one_corpus_pass(ray_session, monkeypatch):
+    """VERDICT r4 'what's wrong' #2: building the N time-slice indexes must
+    read the corpus ONCE (hive-partitioned by slice id), not once per
+    slice. Instrument read_parquet and cold-rebuild the slice tree."""
+    import glob
+    import shutil
+
+    import ray.data as rd_mod
+
+    from engine import pipelines as P
+
+    corpus = P.tr_oracle_corpus_path()  # ensure the corpus exists first
+    for p in glob.glob(os.path.join(P.INDEX_ROOT, "trslice*")):
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+
+    real = rd_mod.read_parquet
+    corpus_reads, part_reads = [], []
+
+    def counting(path, *a, **kw):
+        if str(path) == str(corpus):
+            corpus_reads.append(path)
+        elif "trslice-parts" in str(path):
+            part_reads.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(rd_mod, "read_parquet", counting)
+    _path, dirs, _lo, _span = P.tr_time_slice_indexes()
+    assert len(dirs) == P.TIME_SLICES
+    assert len(corpus_reads) == 1, f"corpus read {len(corpus_reads)}x"
+    # each slice build read only its own partition directory
+    assert len(part_reads) == P.TIME_SLICES
+    assert all(f"slice_id={s}" in str(p) for s, p in enumerate(part_reads))
