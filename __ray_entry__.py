@@ -800,6 +800,171 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_dsl_sql(k: int, max_expand: int = 5) -> str:
+    """Composable-DSL oracle (engine/query/dsl.py): recomputes the WHOLE
+    query tree in SQL — must / should / must_not clause sets, per-term max
+    boost, fuzzy edit-1 expansion re-derived from the df dictionary
+    (levenshtein, df desc / term asc, row_number <= max_expand), phrase
+    adjacency by canonical-token LIKE, minimum_should_match counting, and
+    the n_chars range window. The VALUES lists are generated from the SAME
+    parse_dsl/analyzer the engine uses; everything after the parse is
+    recomputed by DuckDB."""
+    from engine.pipelines import DSL_QUERIES
+    from engine.query.dsl import parse_dsl
+    from engine.text.analyzer import Analyzer
+
+    an = Analyzer()
+    must_rows: list[tuple] = []    # (qid, term, boost) — incl. phrase terms
+    should_rows: list[tuple] = []  # (qid, term, boost)
+    not_rows: list[tuple] = []     # (qid, term)
+    fz_rows: list[tuple] = []      # (qid, seed, is_must)
+    ph_rows: list[tuple] = []      # (qid, pid, canonical phrase text)
+    rng_rows: list[tuple] = []     # (qid, lo, hi)
+    msm_rows: list[tuple] = []     # (qid, msm)
+    for qid, text in DSL_QUERIES:
+        p = parse_dsl(text)
+        for tok in p.must_tokens:
+            for t in an.tokens(tok):
+                must_rows.append((qid, t, 1.0))
+        for tok, b in p.must_boosts:
+            for t in an.tokens(tok):
+                must_rows.append((qid, t, b))
+        for pid, ph in enumerate(p.phrases):
+            toks = an.tokens(ph)
+            if not toks:
+                continue
+            ph_rows.append((qid, pid, " ".join(toks)))
+            for t in toks:
+                must_rows.append((qid, t, 1.0))
+        for tok, b in p.should_tokens:
+            for t in an.tokens(tok):
+                should_rows.append((qid, t, b))
+        for tok in p.not_tokens:
+            for t in an.tokens(tok):
+                not_rows.append((qid, t))
+        for tok in p.fuzzy_must:
+            for t in an.tokens(tok):
+                fz_rows.append((qid, t, 1))
+        for tok in p.fuzzy_should:
+            for t in an.tokens(tok):
+                fz_rows.append((qid, t, 0))
+        lo, hi = p.range if p.range else (0, 1 << 40)
+        rng_rows.append((qid, lo, hi))
+        msm_rows.append((qid, p.msm if p.msm is not None
+                         else (0 if p.has_required else 1)))
+
+    def vals(rows, sentinel):
+        rows = rows or [sentinel]
+        return ", ".join(
+            "(" + ", ".join(f"'{v}'" if isinstance(v, str) else str(v)
+                            for v in r) + ")"
+            for r in rows
+        )
+
+    return f"""
+WITH {_TOK_CTE},
+mraw(qid, term, boost) AS (VALUES {vals(must_rows, (-1, 'zz', 1.0))}),
+sraw(qid, term, boost) AS (VALUES {vals(should_rows, (-1, 'zz', 1.0))}),
+nterm(qid, term) AS (VALUES {vals(not_rows, (-1, 'zz'))}),
+fzraw(qid, seed, is_must) AS (VALUES {vals(fz_rows, (-1, 'zz', 0))}),
+phr(qid, pid, ptext) AS (VALUES {vals(ph_rows, (-1, 0, 'zz'))}),
+rng(qid, lo, hi) AS (VALUES {vals(rng_rows, (-1, 0, 0))}),
+msmv(qid, msm) AS (VALUES {vals(msm_rows, (-1, 0))}),
+fexp AS (
+  SELECT qid, seed, is_must, term FROM (
+    SELECT f.qid, f.seed, f.is_must, d.term,
+           row_number() OVER (PARTITION BY f.qid, f.seed, f.is_must
+                              ORDER BY d.df DESC, d.term ASC) r
+    FROM fzraw f JOIN df d ON levenshtein(d.term, f.seed) <= 1
+  ) WHERE r <= {max_expand}
+),
+pos AS (
+  SELECT qid::BIGINT qid, term, max(boost) boost FROM (
+    SELECT qid, term, boost FROM mraw
+    UNION ALL SELECT qid, term, boost FROM sraw
+    UNION ALL SELECT qid, term, 1.0 boost FROM fexp
+  ) GROUP BY 1, 2
+),
+mneed AS (SELECT qid::BIGINT qid, count(DISTINCT term) n FROM mraw GROUP BY 1),
+mhit AS (
+  SELECT m.qid::BIGINT qid, tf.doc_id, count(DISTINCT m.term) n
+  FROM (SELECT DISTINCT qid, term FROM mraw) m JOIN tf ON tf.term = m.term
+  GROUP BY 1, 2
+),
+fneed AS (SELECT qid::BIGINT qid, count(DISTINCT seed) n FROM fzraw WHERE is_must = 1 GROUP BY 1),
+fhit AS (
+  SELECT f.qid::BIGINT qid, tf.doc_id, count(DISTINCT f.seed) n
+  FROM fexp f JOIN tf ON tf.term = f.term WHERE f.is_must = 1
+  GROUP BY 1, 2
+),
+sterm AS (
+  SELECT DISTINCT qid::BIGINT qid, term FROM (
+    SELECT qid, term FROM sraw
+    UNION ALL SELECT qid, term FROM fexp WHERE is_must = 0
+  )
+),
+shit AS (
+  SELECT st.qid, tf.doc_id, count(DISTINCT st.term) n
+  FROM sterm st JOIN tf ON tf.term = st.term GROUP BY 1, 2
+),
+doc_canon AS (
+  SELECT doc_id, ' ' || array_to_string({_TOKS}, ' ') || ' ' canon FROM documents
+),
+pneed AS (SELECT qid::BIGINT qid, count(*) n FROM phr GROUP BY 1),
+phit AS (
+  SELECT p.qid::BIGINT qid, dc.doc_id, count(DISTINCT p.pid) n
+  FROM phr p JOIN doc_canon dc
+    ON dc.canon LIKE '%' || ' ' || p.ptext || ' ' || '%'
+  GROUP BY 1, 2
+),
+excluded AS (
+  SELECT DISTINCT n.qid::BIGINT qid, tf.doc_id FROM nterm n JOIN tf ON tf.term = n.term
+),
+contrib AS (
+  SELECT p.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           * p.boost w
+  FROM pos p
+  JOIN df ON df.term = p.term
+  JOIN tf ON tf.term = p.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+gated AS (
+  SELECT s.qid, s.doc_id, s.score_micro
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN rng r ON r.qid = s.qid
+  JOIN msmv mv ON mv.qid = s.qid
+  LEFT JOIN mneed ON mneed.qid = s.qid
+  LEFT JOIN mhit ON mhit.qid = s.qid AND mhit.doc_id = s.doc_id
+  LEFT JOIN fneed ON fneed.qid = s.qid
+  LEFT JOIN fhit ON fhit.qid = s.qid AND fhit.doc_id = s.doc_id
+  LEFT JOIN pneed ON pneed.qid = s.qid
+  LEFT JOIN phit ON phit.qid = s.qid AND phit.doc_id = s.doc_id
+  LEFT JOIN shit ON shit.qid = s.qid AND shit.doc_id = s.doc_id
+  WHERE d.n_chars >= r.lo AND d.n_chars < r.hi
+    AND (mneed.n IS NULL OR coalesce(mhit.n, 0) = mneed.n)
+    AND (fneed.n IS NULL OR coalesce(fhit.n, 0) = fneed.n)
+    AND (pneed.n IS NULL OR coalesce(phit.n, 0) = pneed.n)
+    AND (mv.msm = 0 OR coalesce(shit.n, 0) >= mv.msm)
+    AND NOT EXISTS (SELECT 1 FROM excluded x
+                    WHERE x.qid = s.qid AND x.doc_id = s.doc_id)
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM gated
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _hybrid_rrf_sql(k: int, n_each: int = 20) -> str:
     """Hybrid BM25 + embedding-cosine retrieval fused by reciprocal-rank
     fusion, all-integer: each side ranks by its micro score (desc, doc_id
@@ -4113,6 +4278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_adjacency": P.ft_adjacency,
         # Lucene-style +must/-not/should clause retrieval
         "ft_bm25_boolean": lambda sf: P.ft_bm25_boolean(sf, k=10),
+        "ft_bm25_dsl": lambda sf: P.ft_bm25_dsl(sf, k=10),
         # facet counts over each query's FULL match set (match-stream →
         # keyed attr join → multi-key groupby count)
         "ft_bm25_facets": P.ft_bm25_facets,
@@ -4465,6 +4631,7 @@ ORDER BY b.purchase_id
         "ft_cardinality": _cardinality_sql(),
         "ft_adjacency": _adjacency_sql(),
         "ft_bm25_boolean": _bm25_boolean_sql(10),
+        "ft_bm25_dsl": _bm25_dsl_sql(10),
         "ft_bm25_facets": _bm25_facets_sql(),
         "ft_hit_count": _hit_count_sql(),
         "ft_match_stats": _match_stats_sql(),

@@ -45,11 +45,14 @@ def _edit1_mask(arg: str, terms: pd.Series) -> np.ndarray:
     return out
 
 
-_EMPTY = {"slot": "int64", "term": "object", "df": "int64"}
+import pyarrow as pa
+
+_SCHEMA = pa.schema([("slot", pa.int64()), ("term", pa.string()),
+                     ("df", pa.int64())])
 
 
-def _empty_partial() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _EMPTY.items()})
+def _empty_partial() -> pa.Table:
+    return _SCHEMA.empty_table()
 
 
 class _MatchSpecs:
@@ -104,7 +107,12 @@ class _MatchSpecs:
             parts.append(hit)
         if not parts:
             return _empty_partial()
-        return pd.concat(parts, ignore_index=True)
+        # Arrow out: typed blocks even when empty (pandas object columns
+        # trip Ray's block-size estimator and drop schema on empty)
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), schema=_SCHEMA,
+            preserve_index=False,
+        )
 
 
 def expand_terms(
@@ -158,8 +166,8 @@ def expand_terms(
     parts = ds.map_batches(
         _MatchSpecs(specs), batch_format="pandas"
     ).to_pandas()
-    if len(parts) == 0:  # all-empty blocks can drop columns entirely
-        parts = _empty_partial()
+    if len(parts) == 0 or "slot" not in parts.columns:
+        parts = _empty_partial().to_pandas()
 
     out: list[pd.DataFrame] = []
     for slot, (_kind, _arg, cap) in enumerate(specs):
