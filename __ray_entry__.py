@@ -455,6 +455,163 @@ def _ta_bpe_merges_sql() -> str:
     )
 
 
+def _script_fields_sql(k: int) -> str:
+    """Scripted-fields oracle: the standard BM25 top-k, then the SAME
+    expression strings the engine compiles (engine/pipelines.py::
+    SCRIPT_FIELDS) evaluated verbatim by DuckDB over the joined doc
+    values — the parity contract of the shared '//' / '%' semantics."""
+    from engine.pipelines import SCRIPT_FIELDS
+
+    exprs = ",\n       ".join(f"({src})::BIGINT AS {name}"
+                              for name, src in SCRIPT_FIELDS)
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, score_micro, rank FROM (
+    SELECT qid, doc_id, score_micro,
+           row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+base AS (
+  SELECT r.qid, r.rank, r.doc_id, r.score_micro, d.n_chars
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+)
+SELECT qid, rank, doc_id, score_micro,
+       {exprs}
+FROM base
+ORDER BY qid, rank
+"""
+
+
+def _bm25_stopword_sql(k: int) -> str:
+    """Stopword-analyzer oracle: the token CTE drops Lucene's English stop
+    set on BOTH sides, so tf/df/dl/avgdl are all content-term statistics
+    (a stopword-keeping dl would shift every BM25 score)."""
+    from engine.pipelines import STOP_QUERIES
+    from engine.text.analyzer import ENGLISH_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+    rows = ", ".join(f"({q}, '{t}')" for q, t in STOP_QUERIES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+ctok AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({stops})),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM ctok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM ctok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(qid, qtext) AS (VALUES {rows}),
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid, term FROM (
+    SELECT qid,
+           unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+    FROM q
+  ) WHERE term NOT IN ({stops})
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)::BIGINT rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _ta_bpe_encode_sql() -> str:
+    """Apply-BPE oracle: REPLAYS the whole tokenizer story — the
+    BPE_MERGE_ROUNDS training rounds unrolled as chained CTEs (carrying
+    the term through the state this time), then ENCODING: per term the
+    final symbol split, symbol ids = rank in the sorted distinct symbol
+    set, and per doc Σ tf·n_syms / Σ tf·sum_id via plain joins."""
+    from engine.ops.textstats import BPE_MERGE_ROUNDS
+
+    ctes = [
+        "state0 AS (SELECT term, cf, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') s FROM vocab)"
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT pr.a a, pr.b b, sum(cf)::BIGINT cnt FROM (
+    SELECT cf,
+           unnest(list_transform(range(1, len(syms)),
+                                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) pr
+    FROM (SELECT cf, list_filter(string_split(s, ' '), x -> x <> '') syms
+          FROM state{r - 1})
+  ) GROUP BY 1, 2
+)""")
+        ctes.append(f"best{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)")
+        ctes.append(f"""state{r} AS (
+  SELECT term, cf, replace(s, ' ' || ba.a || ' ' || ba.b || ' ',
+                           ' ' || ba.a || ba.b || ' ') s
+  FROM state{r - 1}, best{r} ba
+)""")
+    K = BPE_MERGE_ROUNDS
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({toks}) term FROM documents),\n"
+        "vocab AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),\n"
+        "doctf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),\n"
+        + ",\n".join(ctes) + f""",
+split AS (
+  SELECT term, list_filter(string_split(s, ' '), x -> x <> '') syms FROM state{K}
+),
+symtab AS (
+  SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::BIGINT id
+  FROM (SELECT DISTINCT unnest(syms) sym FROM split)
+),
+word AS (
+  SELECT sp.term, len(sp.syms)::BIGINT n_syms, sum(st.id)::BIGINT sum_id
+  FROM (SELECT term, syms, unnest(syms) sym FROM split) sp
+  JOIN symtab st ON st.sym = sp.sym
+  GROUP BY sp.term, sp.syms
+)
+SELECT dt.doc_id,
+       sum(dt.tf)::BIGINT n_toks,
+       sum(dt.tf * w.n_syms)::BIGINT n_bpe,
+       sum(dt.tf * w.sum_id)::BIGINT checksum
+FROM doctf dt JOIN word w ON w.term = dt.term
+GROUP BY 1 ORDER BY 1
+""")
+
+
 def _bm25_synonyms_sql(k: int) -> str:
     """Synonym oracle: a (term → class member) mapping table expands each
     query token via LEFT JOIN (unmapped tokens pass through), then standard
@@ -4291,6 +4448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_stats_dv": P.ft_match_stats_dv,
         # per-term BM25 contribution breakdown for every top-k hit (explain)
         "ft_bm25_explain": lambda sf: P.ft_bm25_explain(sf, k=5),
+        "ft_script_fields": lambda sf: P.ft_script_fields(sf, k=10),
         # minimum_should_match: >= 2 distinct query terms must match
         "ft_bm25_msm": lambda sf: P.ft_bm25_msm(sf, k=10, msm=2),
         # Lucene term^boost query-time boosting (power-of-two boosts)
@@ -4313,6 +4471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_wildcard_leading": P.ft_bm25_wildcard_leading,
         # s-stemmed field: plural queries match singular docs
         "ft_bm25_stemmed": lambda sf: P.ft_bm25_stemmed(sf, k=10),
+        "ft_bm25_stopword": lambda sf: P.ft_bm25_stopword(sf, k=10),
         "ft_bm25_wildcard": lambda sf: P.ft_bm25_wildcard(sf, k=10),
         # fuzzy retrieval: term~ expands to edit-distance-1 vocab terms
         "ft_bm25_fuzzy": lambda sf: P.ft_bm25_fuzzy(sf, k=10),
@@ -4466,6 +4625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_bpe_pairs": lambda sf: textstats.bpe_pairs(sf, k=20),
         # the trained merge TABLE: X89's statistic iterated K rounds
         "ta_bpe_merges": lambda sf: textstats.bpe_merges(sf),
+        "ta_bpe_encode": lambda sf: textstats.bpe_encode(sf),
         # tokenizer-vocab coverage audit: per-doc OOV rate vs the top-16
         # corpus vocabulary
         "ta_vocab_coverage": textstats.vocab_coverage,
@@ -4637,6 +4797,7 @@ ORDER BY b.purchase_id
         "ft_match_stats": _match_stats_sql(),
         "ft_match_stats_dv": _match_stats_sql(),
         "ft_bm25_explain": _bm25_explain_sql(5),
+        "ft_script_fields": _script_fields_sql(10),
         "ft_bm25_msm": _bm25_msm_sql(10, 2),
         "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
         "ft_bm25_snippets": _bm25_snippets_sql(10),
@@ -4649,6 +4810,7 @@ ORDER BY b.purchase_id
         "ft_bm25_wildcard": _bm25_wildcard_sql(10),
         "ft_bm25_wildcard_leading": _bm25_wildcard_leading_sql(10),
         "ft_bm25_stemmed": _bm25_stemmed_sql(10),
+        "ft_bm25_stopword": _bm25_stopword_sql(10),
         "ft_bm25_fuzzy": _bm25_fuzzy_sql(10),
         "ft_bm25_regexp": _bm25_regexp_sql(10),
         "ft_bm25_search_after": _bm25_search_after_sql(10),
@@ -4950,6 +5112,7 @@ ORDER BY cnt DESC, bigram ASC LIMIT 20
         # BPE step-1 pair counts: vocab-side explode (cf-weighted adjacent
         # char pairs inside each distinct term), never the corpus
         "ta_bpe_merges": _ta_bpe_merges_sql(),
+        "ta_bpe_encode": _ta_bpe_encode_sql(),
         "ta_bpe_pairs": f"""
 WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT cf FROM tok GROUP BY 1),

@@ -66,7 +66,19 @@ def sink_or_frame(
     key = sort_by if isinstance(sort_by, str) else sort_by[0]
 
     def _shard(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy().astype(np.int64)
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            k = col.to_numpy().astype(np.int64)
+        else:
+            # string/other keys: stable md5-derived int (matches the X78
+            # export convention) so sharding stays deterministic + resumable
+            import hashlib
+
+            k = np.fromiter(
+                (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                 for v in col.to_pylist()),
+                dtype=np.int64, count=len(col),
+            )
         b = ((k % num_shards) + num_shards) % num_shards  # py-mod, sign-safe
         return t.append_column("shard", pa.array(b, type=pa.int64()))
 

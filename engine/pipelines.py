@@ -2539,6 +2539,63 @@ def ft_bm25_stemmed(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        "score_micro": "int64"})
 
 
+# stopword query set — mirrored in the oracle SQL. Edge coverage:
+# stopwords in head (qid 0) / mid (qid 1) / all positions (qid 4: every
+# token is a stopword -> the query matches nothing, the Lucene behavior).
+STOP_QUERIES: list[tuple[int, str]] = [
+    (0, "the slow query"),
+    (1, "merge of the key"),
+    (2, "this is a scan"),
+    (3, "hash and join batch"),
+    (4, "the of and to"),
+]
+
+
+def documents_stop_index(sf_dir: str, num_shards: int = 8) -> str:
+    """Build (once per corpus CONTENT) the STOPWORD-filtered index over
+    documents: same build machinery, `stopword` analyzer plugin
+    (engine/text/analyzer.py::StopwordAnalyzer, Lucene's classic English
+    stop set) — stopwords vanish from postings AND from dl/avgdl, the
+    Lucene analyzer-symmetry rule."""
+    fp = _src_fp(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|{num_shards}|{fp}|stop-v1".encode()).hexdigest()[:10]
+    idx = os.path.join(INDEX_ROOT, f"stop-{key}")
+    with _index_lock(idx):
+        if _needs_build(idx):
+            build_index(documents_corpus(sf_dir), idx, num_shards=num_shards,
+                        build_id="stop", analyzer="stopword", exchange="sort")
+    return idx
+
+
+def ft_bm25_stopword(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Stopword-filtered retrieval (Lucene StandardAnalyzer stop set,
+    VERDICT r4 missing #4): stopwords contribute nothing on either side —
+    they are absent from postings, from query terms, AND from dl/avgdl
+    (document lengths count content terms only, which shifts BM25 scores
+    vs a stopword-keeping index). An all-stopword query matches nothing.
+    Columns: qid, rank, doc_id, score_micro."""
+    import ray.data as rd
+
+    from engine.text.analyzer import StopwordAnalyzer
+
+    idx = documents_stop_index(sf_dir)
+    res = rd.from_items(
+        [{"qid": q, "text": t} for q, t in STOP_QUERIES]
+    ).map_batches(
+        SegmentServer,
+        fn_constructor_kwargs={"index_dir": idx, "k": k, "score_micro": True,
+                               "analyzer_obj": StopwordAnalyzer()},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=default_pool(),
+    ).to_pandas()
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({"qid": "int64", "rank": "int64", "doc_id": "int64",
+                       "score_micro": "int64"})
+
+
 def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
     """Extended-stats aggregation (ES `extended_stats`): count / min / max /
     sum / sum-of-squares of n_chars over each query's FULL match set, plus
@@ -3313,6 +3370,72 @@ def ft_bm25_dsl(sf_dir: str, k: int = 10, max_expand: int = MAX_EXPAND) -> pd.Da
     out = out.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
     out = out[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
     return out.astype({c: "int64" for c in cols})
+
+
+# scripted fields: (name, expression) — the SAME string evaluates in the
+# engine's safe evaluator (engine/query/scripting.py) AND verbatim in the
+# DuckDB oracle ('//'/'%' follow DuckDB truncation semantics; fixture
+# values are non-negative so Python semantics coincide). Mirrored in SQL.
+SCRIPT_FIELDS: list[tuple[str, str]] = [
+    ("density", "score_micro // (n_chars + 1)"),
+    ("bucket", "(n_chars // 100) * 100"),
+    ("blend", "score_micro + n_chars * 50 - 7"),
+]
+
+
+def ft_script_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Scripted / runtime fields (ES ``script_fields``, VERDICT r4 missing
+    #6): per top-k hit, arbitrary integer expressions over the hit's
+    numeric doc values — evaluated by the safe vectorized expression
+    compiler (engine/query/scripting.py; no Python eval, no row loops)
+    over fields served from the X68 DocValues sidecar INSIDE the match
+    stream (mmap part-routed lookups, zero shuffle, zero corpus re-read).
+
+    Scale shape: rank first (cost ∝ q·k), then one sidecar-attach +
+    expression map over the q·k hit rows; expressions compile ONCE in the
+    driver and ship to the pool. Columns: qid, rank, doc_id, score_micro,
+    density, bucket, blend."""
+    import ray.data as rd
+
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.scripting import Script
+
+    idx = documents_index(sf_dir)
+    dv = ensure_docvalues(idx, f"{sf_dir}/documents.parquet",
+                          field="n_chars", key_col="doc_id")
+    base = _run_doc_queries(
+        sf_dir, [{"qid": q, "text": t} for q, t in DOC_QUERIES], k
+    ).rename(columns={"doc_id": "doc_key", "score_micro": "score"})
+
+    fields = {"doc_id", "score_micro", "n_chars"}
+    scripts = [(name, Script(src, fields)) for name, src in SCRIPT_FIELDS]
+
+    def compute(df: pd.DataFrame) -> pd.DataFrame:
+        env = {
+            "doc_id": df["doc_key"].to_numpy(np.int64),
+            "score_micro": df["score"].to_numpy(np.int64),
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+        }
+        out = df[["qid", "rank", "doc_key", "score"]].copy()
+        for name, sc in scripts:
+            out[name] = sc(env)
+        return out
+
+    res = (
+        rd.from_pandas(base)
+        .map_batches(
+            DocValuesLookup,
+            fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=default_pool(cap=4),
+        )
+        .map_batches(compute, batch_format="pandas")
+        .to_pandas()
+    )
+    res = res.rename(columns={"doc_key": "doc_id", "score": "score_micro"})
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return res.astype({c: "int64" for c in res.columns})
 
 
 def ft_query_profile(sf_dir: str) -> pd.DataFrame:

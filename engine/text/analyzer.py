@@ -251,11 +251,205 @@ class SStemAnalyzer(Analyzer):
         return pa.array(out.to_numpy(dtype=object), type=pa.large_string()), dl
 
 
+#: Lucene's classic 33-word English stopword set (StandardAnalyzer /
+#: EnglishAnalyzer default) — the day-one stopword list, mirrored verbatim
+#: in the ft_bm25_stopword SQL oracle.
+ENGLISH_STOPWORDS = frozenset((
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+))
+
+
+class StopwordAnalyzer(Analyzer):
+    """Stopword-filtering analyzer (Lucene StandardAnalyzer's English stop
+    set): the default grammar, then drop every stopword. Stopwords vanish
+    from BOTH documents and queries (analyzer symmetry), so dl/avgdl/df
+    are computed over content terms only — exactly the Lucene field
+    behavior. SQL-replayable: the oracle filters the same list from its
+    token CTE."""
+
+    name = "stopword"
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t in super().tokens(text) if t not in ENGLISH_STOPWORDS]
+
+    def tokenize_arrow(self, texts):
+        import pyarrow.compute as pc
+
+        flat, dl = super().tokenize_arrow(texts)
+        if len(flat) == 0:
+            return flat, dl
+        stop = pa.array(sorted(ENGLISH_STOPWORDS), type=flat.type)
+        keep = pc.invert(pc.is_in(flat, value_set=stop))
+        doc_of = np.repeat(np.arange(dl.size, dtype=np.int64),
+                           dl.astype(np.int64))
+        kept_docs = doc_of[keep.to_numpy(zero_copy_only=False)]
+        out_dl = np.bincount(kept_docs, minlength=dl.size).astype(np.int32)
+        return flat.filter(keep), out_dl
+
+
+class PorterAnalyzer(Analyzer):
+    """Porter stemmer analyzer (Porter 1980, "An algorithm for suffix
+    stripping" — the classic 5-step rule cascade; public algorithm).
+    Derivational English folding beyond the S-stemmer: 'connection' /
+    'connected' / 'connecting' all index as 'connect'. DuckDB cannot
+    replay Porter, so like NFKC this plugin trades the SQL-oracle parity
+    contract for recall; correctness is proven by the published test
+    vectors plus a build/query rank-identity test against the pure-Python
+    oracle under the same analyzer (the NFKC pattern). Distinct tokens
+    stem once per batch via a per-instance cache — the stemmer is
+    per-DISTINCT-term work, not per-occurrence."""
+
+    name = "porter"
+    _VOWELS = "aeiou"
+
+    def __init__(self):
+        self._cache: dict[str, str] = {}
+
+    # --- classic helpers ------------------------------------------------
+    @classmethod
+    def _cons(cls, w: str, i: int) -> bool:
+        c = w[i]
+        if c in cls._VOWELS:
+            return False
+        if c == "y":
+            return i == 0 or not cls._cons(w, i - 1)
+        return True
+
+    @classmethod
+    def _m(cls, w: str) -> int:
+        """Number of VC sequences in w."""
+        forms = []
+        for i in range(len(w)):
+            forms.append("c" if cls._cons(w, i) else "v")
+        return "".join(forms).count("vc")
+
+    @classmethod
+    def _has_vowel(cls, w: str) -> bool:
+        return any(not cls._cons(w, i) for i in range(len(w)))
+
+    @classmethod
+    def _double_cons(cls, w: str) -> bool:
+        return len(w) >= 2 and w[-1] == w[-2] and cls._cons(w, len(w) - 1)
+
+    @classmethod
+    def _cvc(cls, w: str) -> bool:
+        if len(w) < 3:
+            return False
+        return (cls._cons(w, len(w) - 3) and not cls._cons(w, len(w) - 2)
+                and cls._cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+    @classmethod
+    def _stem_one(cls, w: str) -> str:
+        if len(w) <= 2:
+            return w
+        # step 1a
+        if w.endswith("sses"):
+            w = w[:-2]
+        elif w.endswith("ies"):
+            w = w[:-2]
+        elif w.endswith("ss"):
+            pass
+        elif w.endswith("s"):
+            w = w[:-1]
+        # step 1b
+        flag = False
+        if w.endswith("eed"):
+            if cls._m(w[:-3]) > 0:
+                w = w[:-1]
+        elif w.endswith("ed"):
+            if cls._has_vowel(w[:-2]):
+                w = w[:-2]
+                flag = True
+        elif w.endswith("ing"):
+            if cls._has_vowel(w[:-3]):
+                w = w[:-3]
+                flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif cls._double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif cls._m(w) == 1 and cls._cvc(w):
+                w += "e"
+        # step 1c
+        if w.endswith("y") and cls._has_vowel(w[:-1]):
+            w = w[:-1] + "i"
+        # step 2
+        for suf, rep in (("ational", "ate"), ("tional", "tion"),
+                         ("enci", "ence"), ("anci", "ance"), ("izer", "ize"),
+                         ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+                         ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+                         ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+                         ("iveness", "ive"), ("fulness", "ful"),
+                         ("ousness", "ous"), ("aliti", "al"),
+                         ("iviti", "ive"), ("biliti", "ble")):
+            if w.endswith(suf):
+                if cls._m(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + rep
+                break
+        # step 3
+        for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                         ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                         ("ness", "")):
+            if w.endswith(suf):
+                if cls._m(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + rep
+                break
+        # step 4
+        for suf in ("al", "ance", "ence", "er", "ic", "able", "ible",
+                    "ant", "ement", "ment", "ent", "ion", "ou", "ism",
+                    "ate", "iti", "ous", "ive", "ize"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if cls._m(stem) > 1:
+                    if suf == "ion" and (not stem or stem[-1] not in "st"):
+                        break
+                    w = stem
+                break
+        # step 5a
+        if w.endswith("e"):
+            m = cls._m(w[:-1])
+            if m > 1 or (m == 1 and not cls._cvc(w[:-1])):
+                w = w[:-1]
+        # step 5b
+        if cls._m(w) > 1 and cls._double_cons(w) and w.endswith("l"):
+            w = w[:-1]
+        return w
+
+    def _stem(self, t: str) -> str:
+        s = self._cache.get(t)
+        if s is None:
+            s = self._stem_one(t)
+            self._cache[t] = s
+        return s
+
+    def tokens(self, text: str) -> list[str]:
+        return [self._stem(t) for t in super().tokens(text)]
+
+    def tokenize_arrow(self, texts):
+        import pandas as pd
+
+        flat, dl = super().tokenize_arrow(texts)
+        if len(flat) == 0:
+            return flat, dl
+        s = pd.Series(np.asarray(flat.to_pandas(), dtype=object))
+        # stem each DISTINCT token once, then broadcast back
+        uniq = pd.unique(s)
+        lut = {t: self._stem(str(t)) for t in uniq}
+        out = s.map(lut)
+        return pa.array(out.to_numpy(dtype=object), type=pa.large_string()), dl
+
+
 _REGISTRY: dict[str, tuple[type, bool]] = {
     "default": (Analyzer, False),
     "nfkc": (NFKCAnalyzer, False),
     "edge_ngram": (EdgeNGramAnalyzer, False),
     "sstem": (SStemAnalyzer, False),
+    "stopword": (StopwordAnalyzer, False),
+    "porter": (PorterAnalyzer, False),
 }
 
 

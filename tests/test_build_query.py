@@ -358,6 +358,109 @@ class TestNFKCAnalyzer:
         assert set(dk) == {int(keys[0]), int(keys[1])}
 
 
+class TestPorterAnalyzer:
+    def test_published_vectors(self):
+        """Porter 1980's own step examples must stem exactly."""
+        from engine.text.analyzer import PorterAnalyzer
+
+        st = PorterAnalyzer._stem_one
+        vectors = {
+            # step 1a
+            "caresses": "caress", "ponies": "poni", "ties": "ti",
+            "caress": "caress", "cats": "cat",
+            # step 1b (+ cleanup)
+            "feed": "feed", "agreed": "agre", "plastered": "plaster",
+            "bled": "bled", "motoring": "motor", "sing": "sing",
+            "conflated": "conflat", "troubled": "troubl", "sized": "size",
+            "hopping": "hop", "tanned": "tan", "falling": "fall",
+            "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+            "filing": "file",
+            # step 1c
+            "happy": "happi", "sky": "sky",
+            # derivational cascade
+            "relational": "relat", "conditional": "condit",
+            "rational": "ration", "digitizer": "digit",
+            "operator": "oper", "feudalism": "feudal",
+            "decisiveness": "decis", "hopefulness": "hope",
+            "callousness": "callous", "formaliti": "formal",
+            "sensitiviti": "sensit", "sensibiliti": "sensibl",
+            # step 3
+            "triplicate": "triplic", "formative": "form",
+            "formalize": "formal", "electriciti": "electr",
+            "electrical": "electr", "hopeful": "hope", "goodness": "good",
+            # step 4
+            "revival": "reviv", "allowance": "allow", "inference": "infer",
+            "airliner": "airlin", "gyroscopic": "gyroscop",
+            "adjustable": "adjust", "defensible": "defens",
+            "irritant": "irrit", "replacement": "replac",
+            "adjustment": "adjust", "dependent": "depend",
+            "adoption": "adopt", "homologou": "homolog",
+            "communism": "commun", "activate": "activ",
+            "angulariti": "angular", "homologous": "homolog",
+            "effective": "effect", "bowdlerize": "bowdler",
+            # step 5
+            "probate": "probat", "rate": "rate", "cease": "ceas",
+            "controll": "control", "roll": "roll",
+        }
+        bad = {w: (st(w), want) for w, want in vectors.items() if st(w) != want}
+        assert not bad, bad
+        # the canonical conflation class
+        for w in ("connect", "connected", "connecting", "connection",
+                  "connections"):
+            assert st(w) == "connect", (w, st(w))
+
+    def test_porter_build_query_rank_identical(self, tmp_path, ray_session):
+        """An index built with the porter plugin threads the analyzer
+        through build -> manifest -> query servers and stays rank-identical
+        to the pure-Python oracle under the same analyzer (the NFKC
+        contract); derived forms conflate."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from engine.text.analyzer import PorterAnalyzer
+
+        an = PorterAnalyzer()
+        texts = [
+            "connection failed while connecting the stream",
+            "connected streams merge quickly",
+            "relational operators join batches",
+            "the operator relation joins a batch",
+            "sort keys and sorted runs",
+            "zzz filler row",
+        ]
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+            "text": pa.array(texts),
+        })
+        d = str(tmp_path / "pidx")
+        build_index(rd.from_arrow(t), d, num_shards=4, build_id="p",
+                    analyzer="porter")
+        keys = doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy())
+        oracle = BM25Oracle(list(keys), texts, analyzer=an)
+        srv = SegmentServer(d, k=10)
+        for q in ["connect", "connections", "relate streams", "sorting"]:
+            dk, sc = srv.topk(q)
+            odk, osc = oracle.topk(q, 10)
+            np.testing.assert_array_equal(dk, odk)
+            np.testing.assert_allclose(sc, osc, rtol=0, atol=0)
+        # derivational conflation: 'connections' finds both connect-docs
+        dk, _ = srv.topk("connections")
+        assert {int(keys[0]), int(keys[1])} <= set(dk)
+
+
+class TestStopwordAnalyzer:
+    def test_stopwords_vanish_both_sides(self, ray_session):
+        from engine.text.analyzer import StopwordAnalyzer
+
+        an = StopwordAnalyzer()
+        assert an.tokens("the hash of a join") == ["hash", "join"]
+        flat, dl = an.tokenize_arrow(
+            ["the hash of a join", "and or not", "scan"])
+        assert flat.to_pylist() == ["hash", "join", "scan"]
+        assert dl.tolist() == [2, 0, 1]
+
+
 class TestSearchAfter:
     def test_random_cursor_walk_property(self, index_dir, oracle, corpus):
         """Hypothesis: for random queries and page sizes, walking pages via

@@ -563,6 +563,31 @@ class TestStreamingSink:
                 back[c] = back[c].astype(frame[c].dtype)
             assert frame.equals(back), fn.__name__
 
+    def test_sink_shards_string_keys(self, tmp_path, ray_session):
+        """A non-integer shard key must hash-shard, not crash (VERDICT r4
+        nit #3): same read-back contract, deterministic re-shard."""
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        from engine.ops.sink import sink_or_frame
+
+        rows = [{"name": f"conv{i:04d}:{i % 7}", "n": i} for i in range(500)]
+        out = str(tmp_path / "strkey")
+        summ = sink_or_frame(rd.from_items(rows), out, sort_by="name")
+        assert summ["rows"] == 500 and summ["partitions"] >= 2
+        back = (
+            pads.dataset(out, format="parquet", partitioning="hive")
+            .to_table().to_pandas()
+        )
+        assert sorted(back["name"]) == sorted(r["name"] for r in rows)
+        # determinism: every row of a shard re-hashes to that shard
+        import hashlib
+
+        h = back["name"].map(
+            lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 64
+        )
+        assert (h.to_numpy() == back["shard"].astype(int).to_numpy()).all()
+
 
 class TestFingerprint:
     def test_fingerprint_matches_duckdb(self, ray_session):
@@ -2341,6 +2366,53 @@ def test_bpe_merges_python_identity(ray_session):
     assert got.equals(refdf)
     # later rounds must merge MERGED symbols (multi-char operands appear)
     assert (got["left"].str.len().max() > 1) or (got["right"].str.len().max() > 1)
+
+
+def test_bpe_encode_python_identity(ray_session, tmp_path):
+    """Apply-BPE encoding (X129) matches a pure-Python encoder: train
+    merges, apply them greedily to every word, count symbols and id sums
+    per doc. Also exercises the streaming-sink path."""
+    from collections import Counter
+
+    from engine.ops.textstats import bpe_encode, bpe_merges
+    from engine.text.analyzer import Analyzer
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_encode(sf, rounds=8)
+    merges = bpe_merges(sf, rounds=8)
+    an = Analyzer()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(r.doc_id): an.tokens(r.text or "") for r in docs.itertuples()}
+    vocab = {t for ts in toks.values() for t in ts}
+    state = {t: " " + " ".join(t) + " " for t in vocab}
+    for m in merges.itertuples():
+        a, b = m.left, m.right
+        state = {t: s.replace(f" {a} {b} ", f" {a}{b} ") for t, s in state.items()}
+    syms = sorted({s for v in state.values() for s in v.split()})
+    sid = {s: i for i, s in enumerate(syms)}
+    rows = []
+    for doc_id, ts in toks.items():
+        if not ts:
+            continue
+        tf = Counter(ts)
+        rows.append({
+            "doc_id": doc_id,
+            "n_toks": sum(tf.values()),
+            "n_bpe": sum(n * len(state[t].split()) for t, n in tf.items()),
+            "checksum": sum(n * sum(sid[s] for s in state[t].split())
+                            for t, n in tf.items()),
+        })
+    ref = (pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+           .astype({c: "int64" for c in ("doc_id", "n_toks", "n_bpe", "checksum")}))
+    assert got.equals(ref)
+    # merges actually compress: fewer BPE tokens than characters
+    n_chars = sum(len(t) * n for ts in toks.values() for t, n in Counter(ts).items())
+    assert got["n_bpe"].sum() < n_chars
+    assert (got["n_bpe"] >= got["n_toks"]).all()
+    # sink path round-trips
+    summ = bpe_encode(sf, rounds=8, out_dir=str(tmp_path / "bpe"))
+    assert summ["rows"] == len(ref)
 
 
 def test_ft_bm25_range_gate_uses_sidecar(ray_session, monkeypatch, tmp_path):
