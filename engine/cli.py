@@ -67,6 +67,12 @@ def main(argv=None):
     q.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "dense"])
     q.add_argument("--and", dest="conjunctive", action="store_true",
                    help="conjunctive retrieval: docs must match every term")
+    q.add_argument("--dsl", action="store_true",
+                   help="treat --text as a composable DSL query "
+                        "(+must -not should term^2 term~ msm=N; "
+                        "engine/query/dsl.py). Term-level gates only from "
+                        "the CLI — phrase/range need the positions / "
+                        "docvalues artifacts the pipeline entries build")
     q.add_argument("--boolean", action="store_true",
                    help="Lucene-style clauses: +must -not should")
     q.add_argument("--after", default=None, metavar="SCORE_MICRO,DOC_KEY",
@@ -150,6 +156,33 @@ def main(argv=None):
 
             from engine.query.engine import query_index
 
+            if args.dsl:
+                import numpy as np
+
+                from engine.io.manifest import Manifest
+                from engine.query.dsl import DslServer, resolve_specs
+                from engine.query.topk import topk_postings
+                from engine.text.analyzer import get_analyzer
+
+                if args.text is None:
+                    p.error("--dsl needs --text")
+                an = get_analyzer(Manifest(args.index).data["analyzer"])
+                specs = resolve_specs([(0, args.text)], args.index, an,
+                                      max_expand=5)
+                s0 = specs[0]
+                if s0["phrases"] or s0["range"]:
+                    p.error("--dsl via CLI supports term-level gates only; "
+                            "phrase/range need the positions/docvalues "
+                            "artifacts the pipeline entries build")
+                srv = DslServer(args.index, score_micro=True, specs=specs)
+                dk, sc = srv._matches(s0)
+                sc = np.floor(np.asarray(sc, dtype=np.float64) * 1e6 + 0.5
+                              ).astype(np.int64)
+                dk, sc = topk_postings(dk, sc, args.k, keep_zero=True)
+                for r, (key, score) in enumerate(zip(dk.tolist(), sc.tolist()), 1):
+                    print(json.dumps({"qid": 0, "rank": r, "doc_key": key,
+                                      "score_micro": score}))
+                return
             if args.text is not None:
                 queries = [(0, args.text)]
             elif args.queries:

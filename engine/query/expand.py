@@ -20,6 +20,7 @@ builds it, so row-group pruning is real).
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional, Sequence
 
@@ -115,6 +116,126 @@ class _MatchSpecs:
         )
 
 
+def ensure_rev_stats(index_dir: str) -> str:
+    """Build-once (per committed stats) the REVERSED dictionary sidecar —
+    Lucene's reverse-token field for leading wildcards: (rterm, term, df)
+    sorted by ``rterm`` (each term written backwards), so a ``*suffix``
+    predicate becomes a PREFIX lookup whose [p, p+sentinel) bound pushes
+    into the parquet read and prunes row groups — the dictionary is never
+    fully scanned even once per query at web scale. Freshness-sealed
+    against the manifest exactly like term_stats (same fingerprint file),
+    rebuilt under the same flock discipline."""
+    import fcntl
+    import json
+    import shutil
+
+    from engine.index.build import ensure_term_stats
+    from engine.io.manifest import Manifest
+
+    stats_dir = ensure_term_stats(index_dir)
+    rev_dir = os.path.join(index_dir, "term_stats_rev")
+
+    def _fresh() -> bool:
+        st = Manifest(index_dir).stats
+        fingerprint = {"n_docs": int(st["n_docs"]), "sum_dl": int(st["sum_dl"])}
+        try:
+            with open(os.path.join(rev_dir, "_STATS.json")) as f:
+                return json.load(f) == fingerprint
+        except (OSError, ValueError):
+            return False
+
+    if _fresh():
+        return rev_dir
+    with open(f"{rev_dir}.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if _fresh():
+                return rev_dir
+            import ray.data as rd
+
+            shutil.rmtree(rev_dir, ignore_errors=True)
+
+            def rev(df: pd.DataFrame) -> pd.DataFrame:
+                t = df["term"].astype(str)
+                return pd.DataFrame({
+                    "rterm": t.str[::-1],
+                    "term": t,
+                    "df": df["df"].astype("int64"),
+                })
+
+            (rd.read_parquet(stats_dir, columns=["term", "df"])
+             .map_batches(rev, batch_format="pandas")
+             .sort("rterm")
+             .write_parquet(rev_dir))
+            st = Manifest(index_dir).stats
+            with open(os.path.join(rev_dir, "_STATS.json"), "w") as f:
+                json.dump({"n_docs": int(st["n_docs"]),
+                           "sum_dl": int(st["sum_dl"])}, f)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    return rev_dir
+
+
+_PREFIX_SENTINEL = chr(0x10FFFF)
+
+
+def _expand_suffix_rev(
+    index_dir: str,
+    specs: list[tuple[str, object, Optional[int]]],
+) -> list[pd.DataFrame]:
+    """Resolve suffix predicates against the reversed-dictionary sidecar:
+    each ``*suffix`` becomes a prefix match on ``rterm`` whose
+    [p, p + sentinel) window is pushed into the parquet read (row-group
+    pruning on the rterm-sorted artifact)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    rev_dir = ensure_rev_stats(index_dir)
+    prefixes = [str(arg)[::-1] for _k, arg, _c in specs]
+    flt = None
+    for p in prefixes:
+        leg = (pads.field("rterm") >= p) & (pads.field("rterm") < p + _PREFIX_SENTINEL)
+        flt = leg if flt is None else (flt | leg)
+
+    class _RevMatch:
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            r = df["rterm"].astype(str)
+            parts = []
+            for slot, p in enumerate(prefixes):
+                m = r.str.startswith(p)
+                if not m.any():
+                    continue
+                hit = pd.DataFrame({
+                    "slot": np.int64(slot),
+                    "term": df["term"].astype(str).to_numpy()[m.to_numpy()],
+                    "df": df["df"].to_numpy()[m.to_numpy()].astype(np.int64),
+                })
+                cap = specs[slot][2]
+                if cap is not None and len(hit) > cap:
+                    hit = hit.sort_values(["df", "term"],
+                                          ascending=[False, True],
+                                          kind="stable").head(cap)
+                parts.append(hit)
+            if not parts:
+                return _empty_partial()
+            return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                        schema=_SCHEMA, preserve_index=False)
+
+    ds = rd.read_parquet(rev_dir, columns=["rterm", "term", "df"], filter=flt)
+    parts = ds.map_batches(_RevMatch(), batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "slot" not in parts.columns:
+        parts = _empty_partial().to_pandas()
+    out = []
+    for slot, (_k, _a, cap) in enumerate(specs):
+        hit = parts[parts["slot"] == slot][["term", "df"]]
+        hit = hit.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable")
+        if cap is not None:
+            hit = hit.head(cap)
+        out.append(hit.reset_index(drop=True).astype({"df": "int64"}))
+    return out
+
+
 def expand_terms(
     index_dir: str,
     specs: Sequence[tuple[str, object, Optional[int]]],
@@ -127,7 +248,10 @@ def expand_terms(
     ``specs`` is a sequence of ``(kind, arg, cap)``:
 
     - ``("prefix", p, cap)``  — terms starting with ``p``
-    - ``("suffix", s, cap)``  — terms ending with ``s``
+    - ``("suffix", s, cap)``  — terms ending with ``s``: served from the
+      REVERSED-dictionary sidecar (:func:`ensure_rev_stats`) as a prefix
+      window pushed into the parquet read — Lucene's reverse-token field,
+      so leading wildcards never scan the dictionary
     - ``("regex", pat, cap)`` — FULL-match against ``pat`` (re / RE2 subset)
     - ``("edit1", t, cap)``   — Levenshtein distance <= 1 from ``t``
     - ``("isin", terms, None)`` — exact membership (df lookups); the match
@@ -152,6 +276,22 @@ def expand_terms(
     for kind, _arg, cap in specs:
         if cap is None and kind != "isin":
             raise ValueError(f"kind {kind!r} requires a cap")
+
+    # suffix predicates route to the reversed-dictionary sidecar (prefix
+    # pushdown); everything else scans the forward artifact once
+    sfx_idx = [i for i, (k, _a, _c) in enumerate(specs) if k == "suffix"]
+    if sfx_idx:
+        sfx_res = _expand_suffix_rev(index_dir, [specs[i] for i in sfx_idx])
+        rest_idx = [i for i in range(len(specs)) if specs[i][0] != "suffix"]
+        if not rest_idx:
+            return sfx_res
+        rest_res = expand_terms(index_dir, [specs[i] for i in rest_idx])
+        merged: list[Optional[pd.DataFrame]] = [None] * len(specs)
+        for j, i in enumerate(sfx_idx):
+            merged[i] = sfx_res[j]
+        for j, i in enumerate(rest_idx):
+            merged[i] = rest_res[j]
+        return merged  # type: ignore[return-value]
 
     stats_dir = ensure_term_stats(index_dir)
     read_kw = {}

@@ -148,3 +148,117 @@ class TestEndToEnd:
             assert len(sub) > 0, qid
             assert list(sub["rank"]) == list(range(1, len(sub) + 1))
             assert (np.diff(sub["score_micro"].to_numpy()) <= 0).all()
+
+
+class TestDslProperty:
+    """Hypothesis: random boolean trees (must / should / must_not, boosts,
+    msm — the gates DslServer evaluates itself) against a pure-Python
+    reference over a small built index. Fuzzy / phrase / range have their
+    own targeted tests + the SQL oracle; this suite hunts gate-interaction
+    bugs the fixtures can't reach."""
+
+    @pytest.fixture(scope="class")
+    def world(self, tmp_path_factory, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from engine.core.dockey import doc_key_batch
+        from engine.index.build import build_index
+        from engine.query.dsl import DslServer
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+            for _ in range(60)
+        ]
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+            "text": pa.array(texts),
+        })
+        d = str(tmp_path_factory.mktemp("dslprop") / "idx")
+        build_index(rd.from_arrow(t), d, num_shards=4, build_id="dslprop")
+        keys = np.asarray(doc_key_batch(t["conv_id"], t["turn_idx"].to_numpy()),
+                          dtype=np.int64)
+        server = DslServer(d, score_micro=True, specs={})
+        return server, vocab, texts, keys
+
+    def _reference(self, spec, texts, keys):
+        """Direct per-doc evaluation of the documented DSL semantics."""
+        from collections import Counter
+
+        from engine.oracle.bm25 import idf, tf_sat
+
+        toks = [t.split() for t in texts]
+        n = len(texts)
+        dls = np.array([len(t) for t in toks], dtype=np.float64)
+        avgdl = float(dls.mean())
+        df = Counter()
+        for ts in toks:
+            df.update(set(ts))
+        out = {}
+        for i, ts in enumerate(toks):
+            tset = set(ts)
+            if any(t not in df for t in spec["must_all"]):
+                return {}
+            if not all(t in tset for t in spec["must_all"]):
+                continue
+            if not all(tset & set(g) for g in spec["must_any"]):
+                continue
+            if tset & set(spec["must_not"]):
+                continue
+            if spec["msm"] and len(tset & set(spec["should"])) < spec["msm"]:
+                continue
+            cnt = Counter(ts)
+            if not any(t in cnt for t in spec["boost"]):
+                continue  # engine candidates come from positive-term postings
+            s = 0.0
+            for t in sorted(spec["boost"]):
+                if t not in cnt:
+                    continue
+                w = idf(n, df[t]) * tf_sat(np.array([cnt[t]]),
+                                           np.array([float(len(ts))]), avgdl)
+                s += float(w[0]) * spec["boost"][t]
+            out[int(keys[i])] = int(np.floor(s * 1e6 + 0.5))
+        return out
+
+    def test_random_trees_match_reference(self, world):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        server, vocab, texts, keys = world
+        clause = st.tuples(
+            st.sampled_from(vocab + ["zzznope"]),
+            st.sampled_from(["must", "should", "not"]),
+            st.sampled_from([1.0, 1.0, 2.0, 4.0]),
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(clause, min_size=1, max_size=6),
+               st.integers(min_value=0, max_value=3))
+        def check(clauses, msm):
+            boost, must_all, must_not, should = {}, set(), set(), set()
+            for term, kind, b in clauses:
+                if kind == "not":
+                    must_not.add(term)
+                    continue
+                boost[term] = max(boost.get(term, 0.0), b)
+                if kind == "must":
+                    must_all.add(term)
+                else:
+                    should.add(term)
+            spec = {
+                "boost": boost, "must_all": sorted(must_all),
+                "must_any": [], "must_not": sorted(must_not),
+                "should": sorted(should), "msm": msm,
+                "phrases": [], "range": None,
+                "has_required": bool(must_all),
+            }
+            dk, sc = server._matches(spec)
+            sc = np.floor(np.asarray(sc, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+            got = dict(zip(dk.tolist(), sc.tolist()))
+            want = self._reference(spec, texts, keys)
+            assert got == want, (clauses, msm)
+
+        check()

@@ -91,6 +91,30 @@ class TestExpandKinds:
 
         out = expand_terms(doc_index, [("prefix", "zzzzzzz-nope", 5)])[0]
         assert len(out) == 0 and list(out.columns) == ["term", "df"]
+        out2 = expand_terms(doc_index, [("suffix", "zzznosuffix", 5)])[0]
+        assert len(out2) == 0
+
+    def test_reversed_dictionary_sidecar(self, doc_index, ref_stats):
+        """Suffix predicates serve from the rterm-SORTED reversed sidecar
+        (Lucene's reverse-token field): artifact is sorted (row-group
+        pruning is real), covers the whole dictionary, and is sealed to
+        the committed stats fingerprint."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from engine.query.expand import ensure_rev_stats
+
+        d = ensure_rev_stats(doc_index)
+        tbl = pq.read_table(d, columns=["rterm", "term", "df"]).to_pandas()
+        assert len(tbl) == len(ref_stats)
+        assert (tbl["rterm"] == tbl["term"].str[::-1]).all()
+        rt = tbl["rterm"].to_numpy()
+        assert all(rt[i] <= rt[i + 1] for i in range(len(rt) - 1))
+        with open(os.path.join(d, "_STATS.json")) as f:
+            fp = json.load(f)
+        assert set(fp) == {"n_docs", "sum_dl"}
 
 
 class TestNoDriverDictionaryFrame:

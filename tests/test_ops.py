@@ -1705,6 +1705,40 @@ def test_cli_search_after_paging(tmp_path, ray_session, capsys):
     ]
 
 
+def test_cli_dsl_query(tmp_path, ray_session, capsys):
+    """CLI --dsl: must/should/boost/msm gates work end-to-end; a must_not
+    clause really excludes; phrase/range are refused with a clear error."""
+    import json
+    import os
+
+    from engine.cli import main
+    from engine.io.synth import synth_transcripts_table
+
+    frag = str(tmp_path / "in")
+    os.makedirs(frag)
+    t = synth_transcripts_table(40, seed=5)
+    pq.write_table(t, f"{frag}/part0.parquet")
+    idx = str(tmp_path / "idx")
+    main(["build", "--input", frag, "--index", idx, "--shards", "4"])
+    capsys.readouterr()
+    w = [x.lower() for x in t["text"][0].as_py().split()[:3]]
+
+    def rows(argv):
+        main(argv)
+        return [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+
+    got = rows(["query", "--index", idx, "--dsl", "--k", "5",
+                "--text", f"+{w[0]} {w[1]}^2"])
+    assert 0 < len(got) <= 5
+    assert got[0]["rank"] == 1 and got[0]["score_micro"] > 0
+    # excluding the must term empties the result
+    got2 = rows(["query", "--index", idx, "--dsl", "--k", "5",
+                 "--text", f"+{w[0]} -{w[0]}"])
+    assert got2 == []
+    with pytest.raises(SystemExit):
+        main(["query", "--index", idx, "--dsl", "--text", '"a b" x'])
+
+
 def test_events_heavy_hitters_vs_pandas(ray_session):
     from engine.ops.relational import events_heavy_hitters
 
