@@ -4564,6 +4564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean,
         # similarity search
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf, n_queries=5, k=10),
+        "ann_sq8_topk": lambda sf: ann.sq8_topk(sf, n_queries=5, k=10),
         # knn with filter: pre-filtered exact cosine within the query's label
         "ann_filtered_topk": lambda sf: ann.filtered_cosine_topk(sf, n_queries=5, k=10),
         # hard-negative mining: nearest DIFFERENT-label vectors
@@ -5434,6 +5435,28 @@ FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "emb_kmeans": _emb_kmeans_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
+        "ann_sq8_topk": """
+WITH comp AS (
+  SELECT vec_id, s['j'] j, s['v'] v FROM (
+    SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+           i -> {'j': i - 1,
+                 'v': floor(embedding[i]::DOUBLE * 1e6 + 0.5)::BIGINT})) s
+    FROM embeddings)
+),
+bounds AS (SELECT greatest(max(abs(v)), 1) m FROM comp),
+q8 AS (SELECT vec_id, j, (v * 127) // b.m AS c FROM comp, bounds b),
+q AS (SELECT vec_id qid, j, c FROM q8 WHERE vec_id < 5),
+dots AS (
+  SELECT q.qid::BIGINT qid, e.vec_id::BIGINT vec_id, sum(q.c * e.c)::BIGINT dot
+  FROM q8 e JOIN q ON q.j = e.j AND e.vec_id <> q.qid
+  GROUP BY 1, 2
+)
+SELECT qid, rank, vec_id, dot FROM (
+  SELECT qid, vec_id, dot,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC)::BIGINT rank
+  FROM dots
+) WHERE rank <= 10 ORDER BY qid, rank
+""",
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id qid, embedding FROM embeddings WHERE vec_id < 5),
 sims AS (

@@ -176,6 +176,88 @@ def cosine_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     return _merge_topk(cand, k)
 
 
+def sq8_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """int8 SCALAR-quantized similarity search — the Lucene 9 / ES
+    ``dense_vector`` default compression (scalar quantization to one byte
+    per component, vs PQ's one byte per SUBSPACE): components micro-int
+    quantize SYMMETRICALLY as ``q8 = trunc(v_micro · 127 / m)`` with the
+    GLOBAL corpus max-abs bound ``m`` (signed range [−127, 127] — the
+    vectors are unit-norm, so the integer dot of signed codes tracks
+    cosine; a positive-shifted code would rank by component sums instead),
+    and ranking is the INTEGER dot product of quantized vectors — every
+    quantity int64-exact with DuckDB truncation-division semantics, so the
+    SQL oracle replays the whole approximate ranking bit-for-bit (the
+    PQ/ADC contract applied to SQ). Self-match excluded like cosine_topk.
+
+    Scale shape: bounds come from ONE distributed min/max partial
+    aggregate (two int64s on the driver); quantization + int matmul run
+    per batch against the broadcast quantized query matrix with per-block
+    partial top-k — queries×k×blocks candidate rows at any corpus scale.
+    At 100 TB the production variant persists the int8 codes once (4×
+    smaller transit than float32, the reason Lucene defaults to SQ) —
+    the hive-partitioned codes layout PQ already implements (ann.py
+    pq_artifacts) applies unchanged. Output: qid, rank, vec_id, dot."""
+    import ray
+    import ray.data as rd  # noqa: F401  (symmetry with siblings)
+
+    ds = _read_embeddings(sf_dir)
+
+    def maxabs(batch: pa.Table) -> pd.DataFrame:
+        _ids, mat = _to_matrix(batch)
+        vm = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"m": [int(np.abs(vm).max())]})
+
+    mm = ds.map_batches(maxabs, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    m = max(int(mm["m"].max()), 1)
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        vm = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        # DuckDB '//' truncates toward zero — mirror it exactly
+        q = np.abs(vm) * 127 // m
+        return np.where(vm < 0, -q, q)
+
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy()
+    qm = quantize(np.stack([np.asarray(v, dtype=np.float64)
+                            for v in qdf["embedding"]]))
+    q_ref = ray.put((q_ids, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        ids, mat = _to_matrix(batch)
+        dots = quantize(mat) @ qmat.T  # int64 (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = dots[:, j]
+            mask = ids != qid
+            vids, s = ids[mask], col[mask]
+            if s.size > k:
+                kth = np.partition(-s, k - 1)[k - 1]
+                keep = s >= -kth
+                vids, s = vids[keep], s[keep]
+            order = np.lexsort((vids, -s))[:k]
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_v.append(vids[order])
+            out_s.append(s[order])
+        return pa.table({
+            "qid": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+            "vec_id": np.concatenate(out_v) if out_v else np.empty(0, np.int64),
+            "dot": np.concatenate(out_s) if out_s else np.empty(0, np.int64),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    out_rows = []
+    for qid, g in cand.groupby("qid"):
+        g = g.sort_values(["dot", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out_rows.append(g)
+    out = pd.concat(out_rows, ignore_index=True)[["qid", "rank", "vec_id", "dot"]]
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True).astype("int64")
+
+
 def seeded_cosine_topk(sf_dir: str, pairs: list[tuple[int, int]], k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k where each query is the embedding of an EXISTING
     vector: ``pairs`` = [(qid, seed_vec_id), ...]. The seed itself is not

@@ -314,6 +314,34 @@ class TestANNRecall:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
 
+    def test_sq8_recall_and_quantization_law(self, ray_session):
+        """int8 scalar quantization (X134): high neighbour recall vs exact
+        cosine, and the quantized dot is the documented pure-integer
+        expression recomputed here from the raw table."""
+        from engine.ops.ann import cosine_topk, sq8_topk
+
+        sf = "/root/testdata/sf0.001"
+        exact = cosine_topk(sf, n_queries=5, k=10)
+        sq = sq8_topk(sf, n_queries=5, k=10)
+        recalls = []
+        for qid in exact["qid"].unique():
+            e = set(exact[exact.qid == qid]["vec_id"])
+            a = set(sq[sq.qid == qid]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6, f"SQ8 recall too low: {recalls}"
+
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+        mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+        vm = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        m = max(int(np.abs(vm).max()), 1)
+        q8 = np.where(vm < 0, -(np.abs(vm) * 127 // m), np.abs(vm) * 127 // m)
+        assert q8.min() >= -127 and q8.max() <= 127
+        byid = dict(zip(emb["vec_id"].astype(int), q8))
+        for r in sq.itertuples():
+            want = int(byid[int(r.qid)] @ byid[int(r.vec_id)])
+            assert int(r.dot) == want, (r.qid, r.vec_id)
+
     def test_ivf_full_probe_exact(self, ray_session, tmp_path):
         """nprobe = n_lists probes every partition, so the persisted-IVF
         read path must reproduce brute-force cosine top-k EXACTLY — the
