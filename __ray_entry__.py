@@ -4034,6 +4034,93 @@ ORDER BY qid, rank
 """
 
 
+def _tr_dsl_sql(k: int) -> str:
+    """Field-scoped DSL oracle: text-field BM25 (boolean must/should model
+    over the text field's own tf/dl/df/avgdl) gated by tool-field FILTER
+    clauses recomputed from the tool column — include = EXISTS in the
+    tool token set (bypassed for queries with no include clause),
+    exclude = NOT EXISTS. Filters never score (ES filter context)."""
+    from engine.pipelines import _tr_dsl_query_set, tr_oracle_corpus_path
+
+    path = tr_oracle_corpus_path()
+    rows = []
+    for qid, qtext in _tr_dsl_query_set():
+        rest, inc, exc = [], [], []
+        for tok in qtext.split():
+            if tok.startswith("tool:"):
+                inc.append(tok[len("tool:"):])
+            elif tok.startswith("-tool:"):
+                exc.append(tok[len("-tool:"):])
+            elif tok.startswith("+"):
+                rest.append(("m", tok[1:]))
+            else:
+                rest.append(("s", tok))
+        m = " ".join(t for k2, t in rest if k2 == "m")
+        s = " ".join(t for k2, t in rest if k2 == "s")
+        rows.append(f"({qid}, '{m}', '{s}', '{' '.join(inc)}', '{' '.join(exc)}')")
+
+    def terms(col: str) -> str:
+        return (f"list_filter(regexp_split_to_array(lower({col}), "
+                "'[^a-z0-9]+'), x -> x <> '')")
+
+    return f"""
+WITH src AS (SELECT doc_key, text, tool FROM read_parquet('{path}')),
+q(qid, mtext, stext, inctool, exctool) AS (VALUES {", ".join(rows)}),
+ttok AS (SELECT doc_key, unnest({terms('text')}) AS term FROM src),
+ttf AS (SELECT doc_key, term, count(*)::BIGINT tf FROM ttok GROUP BY 1, 2),
+tdl AS (SELECT doc_key, count(*)::BIGINT dl FROM ttok GROUP BY 1),
+tstats AS (
+  SELECT (SELECT count(*) FROM src)::BIGINT n_docs,
+         (SELECT sum(dl) FROM tdl)::DOUBLE / (SELECT count(*) FROM src) avgdl
+),
+tdf AS (SELECT term, count(*)::BIGINT df FROM ttf GROUP BY 1),
+mterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({terms('mtext')}) term FROM q),
+sterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({terms('stext')}) term FROM q),
+mn AS (SELECT qid, count(*)::BIGINT n_must FROM mterm GROUP BY 1),
+posterm AS (SELECT qid, term FROM mterm UNION SELECT qid, term FROM sterm),
+mmatch AS (
+  SELECT m.qid, tf.doc_key
+  FROM mterm m JOIN ttf tf ON tf.term = m.term JOIN mn ON mn.qid = m.qid
+  GROUP BY m.qid, tf.doc_key, mn.n_must
+  HAVING count(DISTINCT m.term) = mn.n_must
+),
+tscored AS (
+  SELECT pt.qid, tf.doc_key,
+         floor(sum(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) * 1e6 + 0.5)::BIGINT score_micro
+  FROM posterm pt
+  JOIN tdf df ON df.term = pt.term
+  JOIN ttf tf ON tf.term = pt.term
+  JOIN tdl dl ON dl.doc_key = tf.doc_key
+  CROSS JOIN tstats s
+  GROUP BY 1, 2
+),
+ktok AS (SELECT doc_key, unnest({terms('tool')}) AS term FROM src),
+incterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({terms('inctool')}) term FROM q),
+excterm AS (SELECT DISTINCT qid::BIGINT qid, unnest({terms('exctool')}) term FROM q),
+hasinc AS (SELECT DISTINCT qid FROM incterm),
+inc AS (SELECT DISTINCT i.qid, kt.doc_key FROM incterm i JOIN ktok kt ON kt.term = i.term),
+exc AS (SELECT DISTINCT x.qid, kt.doc_key FROM excterm x JOIN ktok kt ON kt.term = x.term),
+gated AS (
+  SELECT s.qid, s.doc_key, s.score_micro
+  FROM tscored s
+  WHERE (s.qid NOT IN (SELECT qid FROM mn)
+         OR EXISTS (SELECT 1 FROM mmatch m WHERE m.qid = s.qid AND m.doc_key = s.doc_key))
+    AND (s.qid NOT IN (SELECT qid FROM hasinc)
+         OR EXISTS (SELECT 1 FROM inc i WHERE i.qid = s.qid AND i.doc_key = s.doc_key))
+    AND NOT EXISTS (SELECT 1 FROM exc x WHERE x.qid = s.qid AND x.doc_key = s.doc_key)
+)
+SELECT qid, rank, doc_key, score_micro FROM (
+  SELECT qid, doc_key, score_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_key ASC)::BIGINT rank
+  FROM gated
+) WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _tr_most_fields_sql(k: int) -> str:
     """most_fields oracle: the dis_max per-field CTEs with SUM + integer
     boost in place of MAX."""
@@ -4520,6 +4607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per field (text + tool)
         "tr_most_fields": lambda sf: P.tr_most_fields(sf, k=10),
         "tr_dis_max": lambda sf: P.tr_dis_max(sf, k=10),
+        "tr_dsl": lambda sf: P.tr_dsl(sf, k=10),
         # multi-field cross_fields: blended per-term df across text+tool
         # (BM25F-style), per-term best-field saturation, summed over terms
         "tr_cross_fields": lambda sf: P.tr_cross_fields(sf, k=10),
@@ -4833,6 +4921,7 @@ ORDER BY b.purchase_id
         "tr_bm25_collapse": _tr_bm25_collapse_sql(10),
         "tr_has_child": _tr_has_child_sql(10),
         "tr_dis_max": _tr_dis_max_sql(10),
+        "tr_dsl": _tr_dsl_sql(10),
         "tr_most_fields": _tr_most_fields_sql(10),
         "tr_cross_fields": _tr_cross_fields_sql(10),
         "tr_bm25_time_routed": _tr_time_routed_sql(10),

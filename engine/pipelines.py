@@ -3893,6 +3893,133 @@ def tr_dis_max(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols})
 
 
+def _tr_dsl_query_set() -> list[tuple[int, str]]:
+    """Field-scoped DSL fixture: seeded text clauses (first term required)
+    plus ``tool:`` / ``-tool:`` FILTER-context clauses on the secondary
+    field. Edge coverage: include-only, exclude-only (bypass of the
+    include gate), include+exclude combined, and a no-such-tool include
+    (matches nothing). Mirrored in the oracle SQL."""
+    from engine.oracle.bm25 import seeded_query_set
+
+    filt = ["tool:search", "-tool:python", "tool:browser -tool:search",
+            "tool:calculator", "tool:zznosuchtool"]
+    out = []
+    for (qid, t), f in zip(seeded_query_set(5, seed=23), filt):
+        toks = t.split()
+        out.append((qid, f"+{toks[0]} {' '.join(toks[1:])} {f}".strip()))
+    return out
+
+
+def tr_dsl(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Field-scoped DSL retrieval (ES ``bool.filter`` on a secondary
+    field): text clauses rank via the DSL gates on the TEXT index
+    (+must / should — boolean model, scores from the text field's own
+    stats), while ``tool:name`` clauses gate in FILTER context against
+    the tool field's OWN index (X50's one-index-per-field model) —
+    filters never contribute to the score, the ES filter-context
+    contract. ``-tool:name`` excludes.
+
+    Scale shape: the DslServer match stream (never collected) joins the
+    tool-field MatchServer streams BY KEY — an include filter is an inner
+    join, an exclude is a left-outer join with a marker filter (anti-join)
+    — so field gating is an exchange over match-set-sized streams, never
+    a broadcast of a head tool's match set. Queries without an include
+    filter bypass that join entirely. Columns: qid, rank, doc_key,
+    score_micro."""
+    import ray.data as rd
+
+    from engine.core.context import join_args
+    from engine.query.dsl import DslServer, resolve_specs
+    from engine.query.engine import MatchServer
+    from engine.text.analyzer import Analyzer
+
+    _p, idx_text = tr_oracle_index()
+    _p2, idx_tool = tr_tool_index()
+    qset = _tr_dsl_query_set()
+
+    text_q: list[tuple[int, str]] = []
+    inc_q: list[dict] = []
+    exc_q: list[dict] = []
+    for qid, qtext in qset:
+        rest, inc, exc = [], [], []
+        for tok in qtext.split():
+            if tok.startswith("tool:"):
+                inc.append(tok[len("tool:"):])
+            elif tok.startswith("-tool:"):
+                exc.append(tok[len("-tool:"):])
+            else:
+                rest.append(tok)
+        text_q.append((qid, " ".join(rest)))
+        if inc:
+            inc_q.append({"qid": qid, "text": " ".join(inc)})
+        if exc:
+            exc_q.append({"qid": qid, "text": " ".join(exc)})
+
+    specs = resolve_specs(text_q, idx_text, Analyzer(), MAX_EXPAND)
+    stream = rd.from_items([{"qid": q} for q, _t in qset]).map_batches(
+        DslServer,
+        fn_constructor_kwargs={"index_dir": idx_text, "score_micro": True,
+                               "specs": specs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=default_pool(),
+    )
+
+    def tool_stream(items: list[dict]):
+        return rd.from_items(items).map_batches(
+            MatchServer,
+            fn_constructor_kwargs={"index_dir": idx_tool},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4,
+            concurrency=default_pool(cap=2),
+        )
+
+    n_joins = (1 if inc_q else 0) + (1 if exc_q else 0)
+    if inc_q:
+        inc_qids = sorted({r["qid"] for r in inc_q})
+
+        def part(df: pd.DataFrame, inside: bool) -> pd.DataFrame:
+            m = df["qid"].isin(inc_qids)
+            return df[m] if inside else df[~m]
+
+        jargs = join_args(n_joins=n_joins)
+        gated = stream.map_batches(
+            lambda df: part(df, True), batch_format="pandas"
+        ).join(tool_stream(inc_q), "inner", jargs.pop("num_partitions"),
+               on=("qid", "doc_key"), **jargs)
+        stream = gated.union(
+            stream.map_batches(lambda df: part(df, False), batch_format="pandas")
+        )
+    if exc_q:
+        def mark(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "excluded", pa.array(np.ones(len(b), dtype=np.int64)))
+
+        jargs = join_args(n_joins=n_joins)
+        joined = stream.join(
+            tool_stream(exc_q).map_batches(mark, batch_format="pyarrow"),
+            "left_outer", jargs.pop("num_partitions"),
+            on=("qid", "doc_key"), **jargs,
+        )
+        stream = joined.map_batches(
+            lambda df: df[df["excluded"].isna()][["qid", "doc_key", "score"]],
+            batch_format="pandas",
+        )
+
+    out = _per_block_topk(stream, k, "score", "doc_key")
+    cols = ["qid", "rank", "doc_key", "score_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out.sort_values(["qid", "score", "doc_key"],
+                          ascending=[True, False, True], kind="stable")
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[out["rank"] <= k].rename(columns={"score": "score_micro"})
+    out = out[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
 MOST_FIELDS_TOOL_BOOST = 2  # integer per-field boost (tool^2 in ES syntax)
 
 

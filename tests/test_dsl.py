@@ -150,6 +150,38 @@ class TestEndToEnd:
             assert (np.diff(sub["score_micro"].to_numpy()) <= 0).all()
 
 
+class TestFieldScopedDsl:
+    def test_tool_filters_gate_without_scoring(self, ray_session):
+        """tr_dsl (X135): tool: filters gate in filter context — every hit
+        satisfies its query's include/exclude tool clauses (audited from
+        the raw corpus), and the no-such-tool include returns nothing."""
+        import pyarrow.parquet as pq
+
+        from engine.pipelines import (_tr_dsl_query_set, tr_dsl,
+                                      tr_oracle_corpus_path)
+
+        out = tr_dsl("/root/testdata/sf0.001")
+        corpus = pq.read_table(tr_oracle_corpus_path(),
+                               columns=["doc_key", "tool"]).to_pandas()
+        tool_of = dict(zip(corpus["doc_key"].astype("int64"),
+                           corpus["tool"].astype(str)))
+        gates = {}
+        for qid, qtext in _tr_dsl_query_set():
+            inc = [t[len("tool:"):] for t in qtext.split() if t.startswith("tool:")]
+            exc = [t[len("-tool:"):] for t in qtext.split() if t.startswith("-tool:")]
+            gates[qid] = (inc, exc)
+        assert len(out) > 0
+        for r in out.itertuples():
+            inc, exc = gates[int(r.qid)]
+            tool = tool_of[int(r.doc_key)].lower()
+            if inc:
+                assert tool in inc, (r.qid, tool, inc)
+            assert tool not in exc, (r.qid, tool, exc)
+        # the no-such-tool include produced zero rows
+        dead = [q for q, (inc, _e) in gates.items() if "zznosuchtool" in inc]
+        assert dead and (out["qid"].isin(dead)).sum() == 0
+
+
 class TestDslProperty:
     """Hypothesis: random boolean trees (must / should / must_not, boosts,
     msm — the gates DslServer evaluates itself) against a pure-Python
