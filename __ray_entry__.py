@@ -4738,6 +4738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": lambda sf: sampling.stratified_sample(sf, k=30),
         # source-weighted epoch mixing (fractional upsample by md5 draw)
         "sample_mixture_epochs": sampling.mixture_epochs,
+        "sample_temperature_mix": sampling.temperature_mix,
         # hash-partitioned training-shard export (written + read back)
         "sample_export_shards": sampling.export_shards,
         # multimodal binary-column dataflow (actor-pool metadata decode)
@@ -5332,6 +5333,31 @@ SELECT lang, rank, doc_id FROM r WHERE rank <= 30 ORDER BY lang, rank
 """,
         # engine/ops/sampling.py::mixture_epochs — weight = pure function of
         # the source STRING, fractional epoch by the doc's md5 draw
+        # engine/ops/sampling.py::temperature_mix — α=0.5 temperature
+        # sampling with the integer-exact floor(sqrt) weight surrogate and
+        # the shared md5 fractional-epoch lottery, fully replayed
+        "sample_temperature_mix": """
+WITH base AS (SELECT source, count(*)::BIGINT n_docs FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs, floor(sqrt(n_docs::DOUBLE))::BIGINT w FROM base),
+z AS (SELECT sum(w)::BIGINT z, sum(n_docs)::BIGINT b FROM w),
+rate AS (
+  SELECT w.source, w.n_docs,
+         ((z.b * w.w * 1000000) // (z.z * w.n_docs))::BIGINT rate_micro
+  FROM w, z
+),
+d AS (
+  SELECT dd.source, dd.n_chars, r.n_docs, r.rate_micro,
+         (r.rate_micro // 1000000
+          + CASE WHEN (('0x' || substr(md5(dd.doc_id::VARCHAR), 1, 8))::UBIGINT
+                       % 1000000) < r.rate_micro % 1000000
+                 THEN 1 ELSE 0 END)::BIGINT reps
+  FROM documents dd JOIN rate r USING (source)
+)
+SELECT source, n_docs, rate_micro,
+       sum(reps)::BIGINT n_emitted,
+       sum(reps * n_chars)::BIGINT n_chars_emitted
+FROM d GROUP BY 1, 2, 3 ORDER BY source
+""",
         "sample_mixture_epochs": """
 WITH w AS (
   SELECT source,

@@ -216,6 +216,92 @@ def mixture_epochs(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: "int64" for c in cols[1:]})
 
 
+def temperature_mix(sf_dir: str, budget: int | None = None) -> pd.DataFrame:
+    """Temperature-based source mixing (the multilingual / GPT-3-style
+    ``p_s ∝ n_s^α`` resampling with α = 0.5): small sources upsample,
+    head sources downsample, total stays at ``budget`` docs (default: the
+    corpus size) in expectation. Integer-exact contract: the α=0.5 weight
+    is ``w_s = floor(sqrt(n_s))`` (the SQL-replayable integer surrogate —
+    exact for any corpus below 2^52 docs per source) and the per-doc
+    expected-epoch rate is ``rate_micro = B·w_s·1e6 // (Z·n_s)`` with
+    ``Z = Σ w_s`` — one integer division, byte-reproducible in SQL.
+    Per-doc repetitions use the shared md5 lottery (floor(rate) epochs
+    plus one iff the doc's draw falls under frac(rate)) — a pure function
+    of (source sizes, doc_id): resumable, shard-order-free,
+    cluster-size-free.
+
+    Scale shape: pass 1 reduces the corpus to a |sources|-row count table
+    (per-batch partials → tiny groupby); rates compute on the driver from
+    that sources-sized table and broadcast; pass 2 is the shuffle-free
+    upsample emitting slim repeated rows (at production scale it feeds
+    export_shards' partitioned writer), summarized by a ≤|sources|-row
+    groupby. Columns: source, n_docs, rate_micro, n_emitted,
+    n_chars_emitted."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def base_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", as_index=False).agg(n=("source", "size"))
+
+    base = (
+        ds.map_batches(base_partial, batch_format="pandas")
+        .groupby("source")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n_docs"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n_of = dict(zip(base["source"].astype(str), base["n_docs"].astype(int)))
+    # floor(sqrt(double)) — the exact expression the SQL oracle evaluates
+    w_of = {s: int(np.floor(np.sqrt(float(n)))) for s, n in n_of.items()}
+    Z = sum(w_of.values())
+    B = int(budget) if budget is not None else int(sum(n_of.values()))
+    rate_of = {s: (B * w_of[s] * MIX_MOD) // (Z * n_of[s]) for s in n_of}
+    rate_ref = ray.put(rate_of)
+
+    def upsample(batch: pa.Table) -> pa.Table:
+        rates = ray.get(rate_ref)
+        src = batch["source"].to_pylist()
+        r = np.fromiter((rates[s] for s in src), dtype=np.int64, count=len(src))
+        draw = _md5_u32(batch["doc_id"].to_pylist()) % MIX_MOD
+        reps = r // MIX_MOD + (draw < r % MIX_MOD)
+        idx = np.repeat(np.arange(len(reps)), reps)
+        return pa.table({
+            "source": batch["source"].take(pa.array(idx)),
+            "n_chars": pa.array(
+                batch["n_chars"].to_numpy().astype(np.int64)[idx], type=pa.int64()
+            ),
+        })
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", as_index=False).agg(
+            n_emitted=("n_chars", "size"), n_chars_emitted=("n_chars", "sum")
+        )
+
+    mixed = (
+        ds.map_batches(upsample, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .sum(["n_emitted", "n_chars_emitted"])
+        .to_pandas()
+        .rename(columns={"sum(n_emitted)": "n_emitted",
+                         "sum(n_chars_emitted)": "n_chars_emitted"})
+    )
+    out = base.merge(mixed, on="source", how="left")
+    out["rate_micro"] = out["source"].astype(str).map(rate_of)
+    for c in ("n_emitted", "n_chars_emitted"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    cols = ["source", "n_docs", "rate_micro", "n_emitted", "n_chars_emitted"]
+    out = out[cols].sort_values("source").reset_index(drop=True)
+    out["source"] = out["source"].astype(str)
+    return out.astype({c: "int64" for c in cols[1:]})
+
+
 def _shards_fingerprint(src: str) -> str:
     """(size, mtime_ns) digest of the source parquet — a regenerated corpus
     at the same path must invalidate a cached shard export (the ann.py

@@ -92,6 +92,26 @@ class TestLiveDeletes:
         bogus = np.array([1, 2, 3], dtype=np.int64)
         assert delete_doc_keys(idx, bogus, delete_id="bogus") == 3
 
+    def test_dsl_server_excludes_deleted(self, env):
+        """The composable-DSL match stage honors the committed delete set
+        (it inherits SegmentServer's _filter_deleted) — a deleted doc can
+        never surface through any DSL gate combination."""
+        from engine.query.dsl import DslServer
+
+        tmp, idx, keys, texts, dead_mask, dead_keys = env
+        srv = DslServer(idx, score_micro=True, specs={})
+        for _qid, q in seeded_query_set(6, seed=9):
+            toks = q.split()
+            spec = {
+                "boost": {t: 1.0 for t in toks},
+                "must_all": sorted(set(toks[:1])), "must_any": [],
+                "must_not": [], "should": sorted(set(toks[1:])),
+                "msm": 0, "phrases": [], "range": None,
+                "has_required": True,
+            }
+            dk, _sc = srv._matches(spec)
+            assert not np.isin(dk, dead_keys).any(), q
+
 
 class TestPurge:
     @pytest.fixture(scope="class")

@@ -2733,6 +2733,34 @@ class TestMixtureAndShards:
             ref[out.columns].astype(out.dtypes.to_dict()).reset_index(drop=True),
         )
 
+    def test_temperature_mix_reshapes_toward_small_sources(self, ray_session):
+        """α=0.5 temperature sampling (X136): every rate equals the
+        documented integer expression B·floor(sqrt(n))·1e6 // (Z·n) (so
+        the sampling PROBABILITY p_s ∝ sqrt(n_s) — small sources upsample
+        per doc relative to big ones), the emitted total tracks the
+        budget within the per-source lottery slack, and a halved budget
+        halves every rate."""
+        from engine.ops.sampling import temperature_mix
+
+        sf = "/root/testdata/sf0.001"
+        out = temperature_mix(sf)
+        n = out["n_docs"].to_numpy()
+        w = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+        B, Z = int(n.sum()), int(w.sum())
+        np.testing.assert_array_equal(
+            out["rate_micro"].to_numpy(), B * w * 1_000_000 // (Z * n))
+        # the smallest source's per-doc rate beats the largest source's
+        lo, hi = int(np.argmin(n)), int(np.argmax(n))
+        if n[lo] * 2 <= n[hi]:  # only meaningful with real size spread
+            assert out["rate_micro"][lo] > out["rate_micro"][hi]
+        # expected emitted ≈ budget: each source's slack is < n_docs
+        total = int(out["n_emitted"].sum())
+        budget = int(out["n_docs"].sum())
+        assert abs(total - budget) < budget * 0.2
+        half = temperature_mix(sf, budget=budget // 2)
+        m = out.merge(half, on="source", suffixes=("", "_h"))
+        assert ((m["rate_micro_h"] - m["rate_micro"] // 2).abs() <= 1).all()
+
     def test_export_shards_roundtrip_and_invalidation(self, ray_session, tmp_path):
         import pyarrow.parquet as pq_mod
 
