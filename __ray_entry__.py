@@ -504,6 +504,44 @@ ORDER BY qid, rank
 """
 
 
+def _scripted_metric_sql() -> str:
+    """Scripted-metric oracle: the full per-query match set (union of term
+    postings), BM25 micro score per (qid, doc), then the SAME expression
+    string summed by DuckDB."""
+    from engine.pipelines import SCRIPTED_METRIC_EXPR
+
+    return f"""
+WITH {_TOK_CTE},
+q(qid, qtext) AS {_doc_queries_values()},
+qterm AS (
+  SELECT DISTINCT qid::BIGINT qid,
+         unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) term
+  FROM q
+),
+contrib AS (
+  SELECT qt.qid, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) w
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT score_micro
+  FROM contrib GROUP BY 1, 2
+),
+base AS (
+  SELECT s.qid, s.doc_id, s.score_micro, d.n_chars
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT qid, count(*)::BIGINT n_matches,
+       sum({SCRIPTED_METRIC_EXPR})::BIGINT metric_sum
+FROM base GROUP BY 1 ORDER BY qid
+"""
+
+
 def _bm25_stopword_sql(k: int) -> str:
     """Stopword-analyzer oracle: the token CTE drops Lucene's English stop
     set on BOTH sides, so tf/df/dl/avgdl are all content-term statistics
@@ -4536,6 +4574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-term BM25 contribution breakdown for every top-k hit (explain)
         "ft_bm25_explain": lambda sf: P.ft_bm25_explain(sf, k=5),
         "ft_script_fields": lambda sf: P.ft_script_fields(sf, k=10),
+        "ft_scripted_metric": P.ft_scripted_metric,
         # minimum_should_match: >= 2 distinct query terms must match
         "ft_bm25_msm": lambda sf: P.ft_bm25_msm(sf, k=10, msm=2),
         # Lucene term^boost query-time boosting (power-of-two boosts)
@@ -4888,6 +4927,7 @@ ORDER BY b.purchase_id
         "ft_match_stats_dv": _match_stats_sql(),
         "ft_bm25_explain": _bm25_explain_sql(5),
         "ft_script_fields": _script_fields_sql(10),
+        "ft_scripted_metric": _scripted_metric_sql(),
         "ft_bm25_msm": _bm25_msm_sql(10, 2),
         "ft_bm25_boosted_terms": _bm25_boosted_terms_sql(10),
         "ft_bm25_snippets": _bm25_snippets_sql(10),

@@ -3438,6 +3438,72 @@ def ft_script_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res.astype({c: "int64" for c in res.columns})
 
 
+SCRIPTED_METRIC_EXPR = "score_micro + n_chars * 3 - doc_id % 7"  # mirrored in SQL
+
+
+def ft_scripted_metric(sf_dir: str) -> pd.DataFrame:
+    """Scripted-METRIC aggregation (ES ``scripted_metric``): per query, an
+    arbitrary integer expression evaluated over EVERY doc in the FULL
+    match set and summed — the aggregation sibling of ft_script_fields
+    (which scripts only the top-k hits).
+
+    Scale shape: the scored match stream is never collected — per batch,
+    the sidecar attaches n_chars (X68 mmap lookups), the compiled Script
+    evaluates vectorized, and the batch reduces to per-qid partial
+    (count, sum) rows; ONE small qid-keyed groupby finishes. A head
+    term's match set can be a large corpus fraction; nothing here grows
+    with it on the driver. Columns: qid, n_matches, metric_sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from engine.query.docvalues import DocValuesLookup, ensure_docvalues
+    from engine.query.engine import ScoredMatchServer
+    from engine.query.scripting import Script
+
+    idx = documents_index(sf_dir)
+    dv = ensure_docvalues(idx, f"{sf_dir}/documents.parquet",
+                          field="n_chars", key_col="doc_id")
+    sc = Script(SCRIPTED_METRIC_EXPR, {"doc_id", "score_micro", "n_chars"})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        env = {
+            "doc_id": df["doc_key"].to_numpy(np.int64),
+            "score_micro": df["score"].to_numpy(np.int64),
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+        }
+        d = pd.DataFrame({"qid": df["qid"].astype("int64"),
+                          "n_matches": np.int64(1),
+                          "metric_sum": sc(env)})
+        return d.groupby("qid", as_index=False).sum()
+
+    out = (
+        rd.from_items([{"qid": q, "text": t} for q, t in DOC_QUERIES])
+        .map_batches(
+            ScoredMatchServer,
+            fn_constructor_kwargs={"index_dir": idx, "score_micro": True},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4,
+            concurrency=default_pool(),
+        )
+        .map_batches(
+            DocValuesLookup,
+            fn_constructor_kwargs={"dv_dir": dv, "out_col": "n_chars"},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=default_pool(cap=4),
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("qid")
+        .aggregate(Sum("n_matches", alias_name="n_matches"),
+                   Sum("metric_sum", alias_name="metric_sum"))
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def ft_query_profile(sf_dir: str) -> pd.DataFrame:
     """Query profile (ES `_search?profile=true`, made DETERMINISTIC): per
     query, the work a union scan provably does — in-vocabulary term count,

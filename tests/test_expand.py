@@ -117,6 +117,45 @@ class TestExpandKinds:
         assert set(fp) == {"n_docs", "sum_dl"}
 
 
+class TestExpandProperty:
+    def test_random_predicates_match_reference(self, doc_index, ref_stats,
+                                               ray_session):
+        """Hypothesis: random prefixes/suffixes/edit-1 seeds/caps resolve
+        identically to a direct reference scan — including predicates with
+        zero matches and caps larger than the match set."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from engine.pipelines import _within_edit1
+        from engine.query.expand import expand_terms
+
+        vocab = list(ref_stats["term"])
+        frags = st.one_of(
+            st.sampled_from([t[:j] for t in vocab[:40] for j in (1, 2, 3) if t]),
+            st.text(alphabet="abcz", min_size=1, max_size=4),
+        )
+        spec = st.tuples(st.sampled_from(["prefix", "suffix", "edit1"]),
+                         frags, st.integers(min_value=1, max_value=8))
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(spec, min_size=1, max_size=4))
+        def check(specs):
+            got = expand_terms(doc_index, specs)
+            terms = ref_stats["term"]
+            for (kind, arg, cap), hit in zip(specs, got):
+                if kind == "prefix":
+                    m = terms.str.startswith(arg)
+                elif kind == "suffix":
+                    m = terms.str.endswith(arg)
+                else:
+                    m = pd.Series([_within_edit1(arg, t) for t in terms])
+                want = _ref_top(ref_stats, np.asarray(m), cap)
+                assert list(zip(hit["term"], hit["df"].astype("int64"))) == want, \
+                    (kind, arg, cap)
+
+        check()
+
+
 class TestNoDriverDictionaryFrame:
     """VERDICT r4 'what's wrong' #1: the driver must never hold a
     vocab-sized term_stats frame. Poison the driver-side read_table for
