@@ -114,6 +114,11 @@ def main(argv=None):
     sn.add_argument("--index", required=True)
     sn.add_argument("--out", required=True)
 
+    ing = sub.add_parser("ingest", help="convert a .jsonl corpus to parquet "
+                         "(the lineage-capable build format)")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--out", required=True)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--convs", type=int, required=True)
@@ -140,11 +145,22 @@ def main(argv=None):
     args = p.parse_args(argv)
     ray, owned = _init_ray(args.num_cpus)
     try:
-        if args.verb == "build":
-            from engine.index.build import build_index
+        if args.verb == "ingest":
+            from engine.io.readers import ingest_jsonl
 
+            print(json.dumps(ingest_jsonl(args.input, args.out)))
+        elif args.verb == "build":
+            from engine.index.build import build_index
+            from engine.io.readers import is_jsonl_source, read_jsonl_corpus
+
+            src = args.input
+            if is_jsonl_source(src):
+                # jsonl builds take the Dataset branch: one-shot (no
+                # fragment lineage/resume — parquet-path features). For
+                # incremental builds, `ingest` to parquet first.
+                src = read_jsonl_corpus(src)
             manifest = build_index(
-                args.input, args.index, num_shards=args.shards,
+                src, args.index, num_shards=args.shards,
                 salt_map=args.salt, resume=not args.no_resume,
                 analyzer=args.analyzer,
             )
