@@ -542,6 +542,64 @@ FROM base GROUP BY 1 ORDER BY qid
 """
 
 
+def _ta_html_extract_sql() -> str:
+    """HTML-extraction oracle: DuckDB replays the documented rule chain
+    (script/style blocks → link count → tag strip → fixed entity decode
+    with &amp; last → whitespace collapse) over the SAME materialized
+    HTML parquet the engine reads, and md5's the extracted text — a
+    value-hash proof of the extracted BYTES. Pinned to the driver's
+    correctness scale via a documents-view fingerprint guard."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from engine.ops.html import ENTITIES, html_corpus_path
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        raise OSError("driver correctness dataset absent")
+    path = html_corpus_path(sf)
+    t = _pq.read_table(f"{sf}/documents.parquet", columns=["n_chars"])
+    n, sm = t.num_rows, int(sum(t["n_chars"].to_pylist()))
+    ent_chain = "s"
+    for ent, rep in ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{ent}', '{rep_sql}')"
+    return f"""
+WITH pinchk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM documents) = {n}
+               AND (SELECT sum(n_chars) FROM documents) = {sm}
+         THEN 1 ELSE error('attached documents view is not the pinned '
+              'sf0.01 table this materialized HTML corpus derives from; '
+              'run at sf0.01') END ok
+),
+src AS (SELECT doc_id, html FROM read_parquet('{path}'), pinchk),
+noblocks AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(html, '<script.*?</script>', ' ', 'gs'),
+                        '<style.*?</style>', ' ', 'gs') s
+  FROM src
+),
+counted AS (
+  SELECT doc_id, s, len(regexp_extract_all(s, '<a '))::BIGINT n_links
+  FROM noblocks
+),
+stripped AS (
+  SELECT doc_id, n_links, regexp_replace(s, '<[^>]*>', ' ', 'g') s FROM counted
+),
+decoded AS (SELECT doc_id, n_links, {ent_chain} s FROM stripped),
+finaltext AS (
+  SELECT doc_id, n_links,
+         trim(regexp_replace(s, '\\s+', ' ', 'g')) txt
+  FROM decoded
+)
+SELECT doc_id, length(txt)::BIGINT n_chars_text, n_links,
+       (n_links * 1000000) // greatest(length(txt), 1) link_density_micro,
+       md5(txt) text_md5
+FROM finaltext ORDER BY doc_id
+"""
+
+
 def _bm25_stopword_sql(k: int) -> str:
     """Stopword-analyzer oracle: the token CTE drops Lucene's English stop
     set on BOTH sides, so tf/df/dl/avgdl are all content-term statistics
@@ -4489,6 +4547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (
         ann,
         dedup,
+        html,
         multimodal,
         packing,
         embed,
@@ -4759,6 +4818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_vocab_coverage": textstats.vocab_coverage,
         # RAG sliding-window chunking with overlap + chunk fingerprints
         "ta_chunks": textstats.chunk_windows,
+        "ta_html_extract": html.html_extract,
         # chunk-grain exact dedup with canonical keepers
         "dedup_chunks": textstats.chunk_dedup,
         # count-min sketch: bounded-memory frequency estimates + truth audit
@@ -5304,6 +5364,7 @@ JOIN counters c ON c.r = h.r AND c.w = h.w
 GROUP BY 1, 2 ORDER BY t.term
 """,
         # stride/window chunking; list_slice is 1-indexed and end-inclusive
+        "ta_html_extract": _ta_html_extract_sql(),
         "ta_chunks": f"""
 WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
 d AS (SELECT doc_id, toks, len(toks)::BIGINT dl FROM t WHERE len(toks) > 0),

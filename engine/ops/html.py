@@ -1,0 +1,143 @@
+"""HTML → text extraction (the crawler parse stage, SURVEY §0: the
+reference is a crawl pipeline whose sources are fetched pages — this op is
+that stage's graft-cell re-targeting to a batch corpus).
+
+The extraction CONTRACT is a fixed, SQL-replayable rule chain (documented
+here, mirrored verbatim in the oracle — DuckDB RE2 and Python ``re`` agree
+on this regex subset):
+
+1. drop ``(?s)<script...</script>`` and ``(?s)<style...</style>`` blocks
+   (non-greedy, dot-matches-newline)
+2. ``n_links`` = occurrences of ``<a `` BEFORE tag stripping (the
+   boilerplate-detection signal: link-heavy pages are navigation chrome)
+3. strip every remaining tag ``<[^>]*>`` → one space
+4. decode the fixed entity set, ``&amp;`` LAST (the classic double-decode
+   pitfall): ``&lt; &gt; &quot; &#39; &nbsp; &amp;``
+5. collapse whitespace runs to single spaces and trim
+
+Outputs per doc: extracted-text length, link count, the link-density
+micro ratio (links·1e6 // max(n_chars_text, 1)) and md5(text) — the
+value-hash contract, so the oracle proves the EXTRACTED BYTES, not just
+counts.
+
+The HTML fixture corpus is materialized deterministically from the
+documents table (tags, per-doc link wrapping of every 7th token, a
+script/style block and entities injected) — parquet on disk, read by BOTH
+the engine and the SQL oracle (the tr_bm25_oracle materialization
+pattern). Scale shape: extraction is ONE shuffle-free vectorized
+map_batches pass (compiled-regex pandas str ops); at 100 TB it is the
+canonical "parse" stage between fetch and index, streaming block by
+block with nothing on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+HTML_ROOT = "/tmp/engine_html"
+
+#: (pattern, replacement) applied in order — step 4's entity chain;
+#: &amp; deliberately last
+ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_corpus_path(sf_dir: str) -> str:
+    """Materialize (idempotent, atomic) the HTML-wrapped documents corpus:
+    every 7th token becomes a link, plus title/heading chrome, a script
+    and style block, and encoded entities in a trailing footer. Pure
+    pyarrow — callable from oracle_sql() without a Ray session."""
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"html|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(HTML_ROOT, f"docs-{key}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(HTML_ROOT, exist_ok=True)
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    htmls = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (text or "").split()
+        body = " ".join(
+            f'<a href="http://example.com/{doc_id}/{i}">{w}</a>'
+            if i % 7 == 3 else w
+            for i, w in enumerate(toks)
+        )
+        htmls.append(
+            f"<html><head><title>doc {doc_id}</title>"
+            f"<style>body {{ margin: 0; }}</style>"
+            f"<script>var doc = {doc_id};</script></head>"
+            f"<body><h1>Doc {doc_id}</h1><p>{body}</p>"
+            f"<footer>copy &amp; paste &lt;ok&gt; &quot;quoted&quot;"
+            f" it&#39;s&nbsp;fine</footer></body></html>"
+        )
+    out = pa.table({"doc_id": t["doc_id"], "html": pa.array(htmls, pa.string())})
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+_SCRIPT_RE = re.compile(r"(?s)<script.*?</script>")
+_STYLE_RE = re.compile(r"(?s)<style.*?</style>")
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_batch(html: pd.Series) -> pd.DataFrame:
+    """Vectorized extraction of one batch (the shared kernel: engine stage
+    and tests both call it)."""
+    s = html.astype(str)
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_STYLE_RE, " ", regex=True)
+    n_links = s.str.count("<a ").astype("int64")
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, rep in ENTITIES:
+        s = s.str.replace(ent, rep, regex=False)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    n_chars = s.str.len().astype("int64")
+    return pd.DataFrame({
+        "text": s,
+        "n_chars_text": n_chars,
+        "n_links": n_links,
+        "link_density_micro": n_links * 1_000_000 // np.maximum(n_chars, 1),
+    })
+
+
+def html_extract(sf_dir: str, out_dir: str | None = None):
+    """Per-doc extraction results over the materialized HTML corpus.
+    Columns: doc_id, n_chars_text, n_links, link_density_micro, text_md5.
+    out_dir= streams per-doc rows (with the full extracted text) through
+    the shared sink instead of returning a frame."""
+    import ray.data as rd
+
+    from engine.ops.sink import sink_or_frame
+
+    path = html_corpus_path(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ex = extract_batch(df["html"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        out["n_chars_text"] = ex["n_chars_text"]
+        out["n_links"] = ex["n_links"]
+        out["link_density_micro"] = ex["link_density_micro"]
+        out["text_md5"] = [hashlib.md5(t.encode()).hexdigest()
+                           for t in ex["text"]]
+        return out
+
+    res = rd.read_parquet(path).map_batches(fn, batch_format="pandas")
+    return sink_or_frame(
+        res, out_dir, sort_by="doc_id",
+        astype={"doc_id": "int64", "n_chars_text": "int64",
+                "n_links": "int64", "link_density_micro": "int64"},
+    )

@@ -83,6 +83,37 @@ class TestJsonlParity:
         with pytest.raises(ValueError, match="text"):
             read_jsonl_corpus(str(bad))
 
+    def test_html_extraction_recovers_document_text(self, ray_session):
+        """ta_html_extract (X139): the extraction chain recovers every
+        original token in order (tag stripping undoes the link wrapping),
+        counts exactly the injected links, and decodes the footer
+        entities — checked directly against the rule the fixture
+        injects."""
+        import pyarrow.parquet as pq_mod
+
+        from engine.ops.html import extract_batch, html_corpus_path
+
+        sf = "/root/testdata/sf0.001"
+        path = html_corpus_path(sf)
+        hdf = pq_mod.read_table(path).to_pandas().head(25)
+        docs = pq_mod.read_table(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"]).to_pandas()
+        text_of = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+        ex = extract_batch(hdf["html"])
+        for (_, row), (_, e) in zip(hdf.iterrows(), ex.iterrows()):
+            toks = str(text_of[int(row["doc_id"])]).split()
+            words = e["text"].split()
+            # h1 chrome, then every original token in order, then footer
+            assert words[:2] == ["doc", str(int(row["doc_id"]))]
+            i = 0
+            for w in words:
+                if i < len(toks) and w == toks[i]:
+                    i += 1
+            assert i == len(toks), (row["doc_id"], i, len(toks))
+            assert e["n_links"] == sum(1 for i2 in range(len(toks))
+                                       if i2 % 7 == 3)
+            assert e["text"].endswith('copy & paste <ok> "quoted" it\'s fine')
+
     def test_extra_columns_dropped_and_optional_kept(self, tmp_path, ray_session):
         from engine.io.readers import read_jsonl_corpus
 
