@@ -600,6 +600,44 @@ FROM finaltext ORDER BY doc_id
 """
 
 
+def _ta_link_hosts_sql() -> str:
+    """Link-host rollup oracle: hrefs re-extracted and host-parsed by
+    DuckDB RE2 over the same materialized HTML parquet; per-host link and
+    distinct-doc counts. Same sf0.01 pin guard as ta_html_extract."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from engine.ops.html import html_corpus_path
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        raise OSError("driver correctness dataset absent")
+    path = html_corpus_path(sf)
+    t = _pq.read_table(f"{sf}/documents.parquet", columns=["n_chars"])
+    n, sm = t.num_rows, int(sum(t["n_chars"].to_pylist()))
+    return f"""
+WITH pinchk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM documents) = {n}
+               AND (SELECT sum(n_chars) FROM documents) = {sm}
+         THEN 1 ELSE error('attached documents view is not the pinned '
+              'sf0.01 table this materialized HTML corpus derives from; '
+              'run at sf0.01') END ok
+),
+src AS (SELECT doc_id, html FROM read_parquet('{path}'), pinchk),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) url
+  FROM src
+),
+hosts AS (
+  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) host FROM links
+  WHERE regexp_matches(url, '^https?://[^/]+/')
+)
+SELECT host, count(*)::BIGINT n_links, count(DISTINCT doc_id)::BIGINT n_docs
+FROM hosts GROUP BY 1 ORDER BY 1
+"""
+
+
 def _bm25_stopword_sql(k: int) -> str:
     """Stopword-analyzer oracle: the token CTE drops Lucene's English stop
     set on BOTH sides, so tf/df/dl/avgdl are all content-term statistics
@@ -4819,6 +4857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RAG sliding-window chunking with overlap + chunk fingerprints
         "ta_chunks": textstats.chunk_windows,
         "ta_html_extract": html.html_extract,
+        "ta_link_hosts": html.link_hosts,
         # chunk-grain exact dedup with canonical keepers
         "dedup_chunks": textstats.chunk_dedup,
         # count-min sketch: bounded-memory frequency estimates + truth audit
@@ -5365,6 +5404,7 @@ GROUP BY 1, 2 ORDER BY t.term
 """,
         # stride/window chunking; list_slice is 1-indexed and end-inclusive
         "ta_html_extract": _ta_html_extract_sql(),
+        "ta_link_hosts": _ta_link_hosts_sql(),
         "ta_chunks": f"""
 WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
 d AS (SELECT doc_id, toks, len(toks)::BIGINT dl FROM t WHERE len(toks) > 0),

@@ -58,7 +58,7 @@ def html_corpus_path(sf_dir: str) -> str:
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     key = hashlib.md5(
-        f"html|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"html|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
     ).hexdigest()[:10]
     path = os.path.join(HTML_ROOT, f"docs-{key}.parquet")
     if os.path.exists(path):
@@ -69,7 +69,8 @@ def html_corpus_path(sf_dir: str) -> str:
     for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
         toks = (text or "").split()
         body = " ".join(
-            f'<a href="http://example.com/{doc_id}/{i}">{w}</a>'
+            f'<a href="http://host{(int(doc_id) + i) % 5}.example.com/'
+            f'{doc_id}/{i}">{w}</a>'
             if i % 7 == 3 else w
             for i, w in enumerate(toks)
         )
@@ -112,6 +113,59 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
         "n_links": n_links,
         "link_density_micro": n_links * 1_000_000 // np.maximum(n_chars, 1),
     })
+
+
+_HREF_RE = re.compile(r'href="([^"]+)"')
+_HOST_RE = re.compile(r"^https?://([^/]+)/")
+
+
+def link_hosts(sf_dir: str) -> pd.DataFrame:
+    """Out-link host rollup — the crawl-FRONTIER primitive (per-host link
+    and referencing-document counts drive politeness budgets and frontier
+    prioritization in the fetch stage this corpus descends from): extract
+    every href, parse its host, aggregate per host.
+
+    Scale shape: one shuffle-free extract pass reduces each block to
+    distinct (host, doc) partials + per-host link counts; two tiny
+    host-keyed groupbys finish (hosts ≪ links — the web's in-degree
+    skew). Columns: host, n_links, n_docs."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    path = html_corpus_path(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows_host, rows_doc, rows_n = [], [], []
+        for doc_id, h in zip(df["doc_id"].astype("int64"), df["html"]):
+            hosts: dict[str, int] = {}
+            for url in _HREF_RE.findall(str(h)):
+                m = _HOST_RE.match(url)
+                if m:
+                    hosts[m.group(1)] = hosts.get(m.group(1), 0) + 1
+            for host, n in hosts.items():
+                rows_host.append(host)
+                rows_doc.append(doc_id)
+                rows_n.append(n)
+        return pd.DataFrame({"host": pd.Series(rows_host, dtype=object),
+                             "doc_id": pd.Series(rows_doc, dtype="int64"),
+                             "n": pd.Series(rows_n, dtype="int64")})
+
+    per_doc = (
+        rd.read_parquet(path)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["host", "doc_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = (
+        per_doc.groupby("host")
+        .aggregate(Sum("n", alias_name="n_links"),
+                   Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    out["host"] = out["host"].astype(str)
+    return out.astype({"n_links": "int64", "n_docs": "int64"})
 
 
 def html_extract(sf_dir: str, out_dir: str | None = None):
