@@ -5403,8 +5403,6 @@ JOIN counters c ON c.r = h.r AND c.w = h.w
 GROUP BY 1, 2 ORDER BY t.term
 """,
         # stride/window chunking; list_slice is 1-indexed and end-inclusive
-        "ta_html_extract": _ta_html_extract_sql(),
-        "ta_link_hosts": _ta_link_hosts_sql(),
         "ta_chunks": f"""
 WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
 d AS (SELECT doc_id, toks, len(toks)::BIGINT dl FROM t WHERE len(toks) > 0),
@@ -5984,6 +5982,16 @@ FROM documents ORDER BY doc_id
         pass
     try:
         sql["ann_ivfpq_residual_topk"] = _ann_ivfpq_residual_topk_sql()
+    except OSError:
+        pass
+    # HTML extraction + link rollup read the materialized HTML corpus
+    # derived from the pinned sf0.01 documents; degrade like the ANN family
+    try:
+        sql["ta_html_extract"] = _ta_html_extract_sql()
+    except OSError:
+        pass
+    try:
+        sql["ta_link_hosts"] = _ta_link_hosts_sql()
     except OSError:
         pass
     sql["dedup_span_coverage"] = _span_coverage_sql()
